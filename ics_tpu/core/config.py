@@ -1,0 +1,151 @@
+"""Application settings.
+
+Environment-variable surface mirrors the reference
+(``/root/reference/app/core/config.py:5-84``): same names, same defaults, so a
+``.env`` written for the reference drops in unchanged.  pydantic-settings is
+not available in this image, so this module implements its own small
+env/.env loader on top of plain pydantic v2.
+
+New ``TPU_*`` group configures the inference tier (mesh shape, batching
+deadline, precision) — net-new capability per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+from pydantic import BaseModel
+
+
+def _parse_env_file(path: Path) -> dict[str, str]:
+    """Parse a minimal ``KEY=VALUE`` .env file (comments + blank lines ok)."""
+    out: dict[str, str] = {}
+    if not path.is_file():
+        return out
+    for raw in path.read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+            value = value[1:-1]
+        out[key.strip()] = value
+    return out
+
+
+class Settings(BaseModel):
+    """Global settings, loaded from process env and an optional ``.env``.
+
+    Field names are case-sensitive and match the reference's env contract.
+    """
+
+    # Environment
+    ENV: str = "development"  # "development" | "production" | "test"
+
+    # Database (DSN; sqlite:///path, sqlite:///:memory: or postgresql://...)
+    DATABASE_URL: str = "sqlite:///./image_classification.db"
+
+    # API
+    API_HOST: str = "0.0.0.0"
+    API_PORT: int = 8000
+
+    # CORS origins, comma-separated
+    CORS_ORIGINS: str = "http://localhost:5173,http://127.0.0.1:5173"
+
+    # File constraints
+    ALLOWED_EXTENSIONS: list = [".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff"]
+    MAX_FILE_SIZE: int = 10 * 1024 * 1024
+
+    # Initial admin seed
+    ADMIN_NOME_COMPLETO: str = "Administrador do Sistema"
+    ADMIN_EMAIL: str = "admin@seudominio.com"
+    ADMIN_SENHA: str = "senha_super_secreta"
+    ADMIN_CPF: str = "00000000000"
+
+    # JWT
+    JWT_SECRET_KEY: str = "dev-secret-key-change-me"
+    JWT_ALGORITHM: str = "HS256"
+    JWT_ACCESS_TOKEN_EXPIRE_MINUTES: int = 60
+
+    # Cookies
+    COOKIE_NAME: str = "access_token"
+    COOKIE_HTTPONLY: bool = True
+    COOKIE_SAMESITE: str = "lax"
+    COOKIE_SECURE: bool = False
+    COOKIE_DOMAIN: Optional[str] = None
+
+    # NextCloud WebDAV
+    NEXTCLOUD_BASE_URL: str = ""
+    NEXTCLOUD_USERNAME: str = ""
+    NEXTCLOUD_PASSWORD: str = ""
+    NEXTCLOUD_WEBDAV_PATH: str = "/remote.php/dav"
+    NEXTCLOUD_USER_PATH: str = ""
+    NEXTCLOUD_MAX_PAGE_SIZE: int = 100
+    NEXTCLOUD_VERIFY_SSL: bool = True
+
+    # NextCloud sync engine
+    NEXTCLOUD_SYNC_ACTIVITY_API_INTERVAL: int = 5      # minutes
+    NEXTCLOUD_SYNC_WEBDAV_INTERVAL: int = 300          # minutes
+    NEXTCLOUD_SYNC_INITIAL_ON_STARTUP: bool = True
+    NEXTCLOUD_SYNC_MAX_RETRIES: int = 3
+    NEXTCLOUD_SYNC_RETRY_DELAY: int = 30               # seconds
+    NEXTCLOUD_SYNC_BATCH_SIZE: int = 50
+
+    # Timezone
+    TIMEZONE: str = "America/Sao_Paulo"
+
+    # ---- TPU inference tier (net-new; BASELINE.json north star) ----
+    TPU_ENABLE_INFERENCE: bool = True
+    TPU_DEFAULT_MODEL: str = "resnet50"
+    TPU_MESH_SHAPE: str = "1"            # comma-separated, e.g. "8" or "2,4"
+    TPU_MESH_AXES: str = "data"          # comma-separated axis names
+    TPU_BATCH_BUCKETS: str = "1,8,32,128"  # padded batch buckets
+    TPU_BATCH_DEADLINE_US: int = 2000    # dynamic batcher flush deadline
+    TPU_PRECISION: str = "bf16"          # "bf16" | "fp32"
+    TPU_IMAGE_SIZE: int = 224
+    TPU_NUM_CLASSES: int = 1000
+
+    def get_cors_origins_list(self) -> list[str]:
+        origins = []
+        for raw in self.CORS_ORIGINS.split(","):
+            origin = raw.strip()
+            if origin.startswith(("http://", "https://")):
+                origins.append(origin)
+        return origins or ["http://localhost:5173", "http://127.0.0.1:5173"]
+
+    def get_mesh_shape(self) -> tuple[int, ...]:
+        return tuple(int(x) for x in self.TPU_MESH_SHAPE.split(",") if x.strip())
+
+    def get_mesh_axes(self) -> tuple[str, ...]:
+        return tuple(x.strip() for x in self.TPU_MESH_AXES.split(",") if x.strip())
+
+    def get_batch_buckets(self) -> tuple[int, ...]:
+        return tuple(
+            sorted(int(x) for x in self.TPU_BATCH_BUCKETS.split(",") if x.strip())
+        )
+
+    @classmethod
+    def load(cls, env_file: str | os.PathLike = ".env", **overrides: Any) -> "Settings":
+        """Build settings: defaults < .env file < process env < overrides."""
+        raw: dict[str, Any] = {}
+        raw.update(_parse_env_file(Path(env_file)))
+        for name in cls.model_fields:
+            if name in os.environ:
+                raw[name] = os.environ[name]
+        raw.update(overrides)
+        known = {k: v for k, v in raw.items() if k in cls.model_fields}
+        return cls(**known)
+
+
+settings = Settings.load()
+
+
+def reload_settings(**overrides: Any) -> Settings:
+    """Re-read env (used by tests); mutates the module singleton in place."""
+    global settings
+    fresh = Settings.load(**overrides)
+    settings.__dict__.update(fresh.__dict__)
+    return settings

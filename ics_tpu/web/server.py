@@ -1,0 +1,187 @@
+"""From-scratch asyncio HTTP/1.1 server speaking ASGI to an App.
+
+Replaces uvicorn in the deployment story (``Dockerfile`` CMD of the
+reference). Supports: keep-alive, chunked responses (via explicit
+content-length or connection close), request bodies with Content-Length,
+concurrent connections. Deliberately HTTP/1.1-only — TLS/H2 terminate at the
+reverse proxy in production, as with the reference's compose setup.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+from urllib.parse import unquote, urlsplit
+
+logger = logging.getLogger(__name__)
+
+MAX_HEADER_BYTES = 64 * 1024
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class _Connection:
+    def __init__(self, app, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self.app = app
+        self.reader = reader
+        self.writer = writer
+
+    async def run(self) -> None:
+        try:
+            while True:
+                keep_alive = await self._one_request()
+                if not keep_alive:
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception:
+            logger.exception("connection error")
+        finally:
+            try:
+                self.writer.close()
+                await self.writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _one_request(self) -> bool:
+        raw = await self.reader.readuntil(b"\r\n\r\n")
+        if len(raw) > MAX_HEADER_BYTES:
+            await self._simple_response(431, b"Request Header Fields Too Large")
+            return False
+        lines = raw.split(b"\r\n")
+        request_line = lines[0].decode("latin-1")
+        try:
+            method, target, version = request_line.split(" ")
+        except ValueError:
+            await self._simple_response(400, b"Bad Request")
+            return False
+        headers: list[tuple[bytes, bytes]] = []
+        content_length = 0
+        keep_alive = version.upper() != "HTTP/1.0"
+        for line in lines[1:]:
+            if not line:
+                continue
+            k, _, v = line.partition(b":")
+            k_l, v_s = k.strip().lower(), v.strip()
+            headers.append((k_l, v_s))
+            if k_l == b"content-length":
+                content_length = int(v_s or b"0")
+            elif k_l == b"connection":
+                token = v_s.decode("latin-1").lower()
+                if "close" in token:
+                    keep_alive = False
+                elif "keep-alive" in token:
+                    keep_alive = True
+        if content_length > MAX_BODY_BYTES:
+            await self._simple_response(413, b"Payload Too Large")
+            return False
+        body = (
+            await self.reader.readexactly(content_length) if content_length else b""
+        )
+
+        split = urlsplit(target)
+        scope = {
+            "type": "http",
+            "asgi": {"version": "3.0", "spec_version": "2.3"},
+            "http_version": version.split("/")[-1],
+            "method": method.upper(),
+            "scheme": "http",
+            "path": unquote(split.path),
+            "raw_path": split.path.encode("latin-1"),
+            "query_string": split.query.encode("latin-1"),
+            "headers": headers,
+            "client": self.writer.get_extra_info("peername"),
+            "server": self.writer.get_extra_info("sockname"),
+        }
+
+        received = False
+
+        async def receive():
+            nonlocal received
+            if received:
+                return {"type": "http.disconnect"}
+            received = True
+            return {"type": "http.request", "body": body, "more_body": False}
+
+        started = False
+        bodyless = method.upper() == "HEAD"
+
+        async def send(message):
+            nonlocal started
+            if message["type"] == "http.response.start":
+                started = True
+                status = message["status"]
+                from ics_tpu.web.responses import STATUS_PHRASES
+
+                phrase = STATUS_PHRASES.get(status, "Unknown")
+                out = [f"HTTP/1.1 {status} {phrase}\r\n".encode("latin-1")]
+                has_length = False
+                for k, v in message.get("headers", []):
+                    if k.lower() == b"content-length":
+                        has_length = True
+                    out.append(k + b": " + v + b"\r\n")
+                if not has_length:
+                    # no content-length -> must close to delimit body
+                    out.append(b"connection: close\r\n")
+                    self._force_close = True
+                out.append(
+                    b"connection: keep-alive\r\n" if keep_alive and has_length else b""
+                )
+                out.append(b"\r\n")
+                self.writer.write(b"".join(out))
+            elif message["type"] == "http.response.body":
+                chunk = message.get("body", b"")
+                if chunk and not bodyless:
+                    self.writer.write(chunk)
+                await self.writer.drain()
+
+        self._force_close = False
+        await self.app(scope, receive, send)
+        if not started:
+            await self._simple_response(500, b"Internal Server Error")
+            return False
+        await self.writer.drain()
+        return keep_alive and not self._force_close
+
+    async def _simple_response(self, status: int, text: bytes) -> None:
+        payload = (
+            f"HTTP/1.1 {status} X\r\ncontent-length: {len(text)}\r\n"
+            f"connection: close\r\n\r\n"
+        ).encode("latin-1") + text
+        self.writer.write(payload)
+        await self.writer.drain()
+
+
+class Server:
+    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000):
+        self.app = app
+        self.host = host
+        self.port = port
+        self._server: Optional[asyncio.AbstractServer] = None
+
+    async def _handle(self, reader, writer):
+        await _Connection(self.app, reader, writer).run()
+
+    async def start(self) -> None:
+        await self.app.startup()
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        logger.info("ics_tpu serving on http://%s:%s", self.host, self.port)
+
+    async def serve_forever(self) -> None:
+        await self.start()
+        assert self._server is not None
+        try:
+            async with self._server:
+                await self._server.serve_forever()
+        finally:
+            await self.app.shutdown()
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        await self.app.shutdown()
+
+
+def run(app, host: str = "0.0.0.0", port: int = 8000) -> None:
+    asyncio.run(Server(app, host, port).serve_forever())

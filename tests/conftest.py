@@ -1,0 +1,27 @@
+"""Test bootstrap.
+
+MUST run before anything imports jax: forces the CPU backend with 8 virtual
+devices so mesh/pjit/sharding tests exercise real multi-device code paths
+without TPU hardware (SURVEY.md §4 implication (d)).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("ENV", "test")
+os.environ.setdefault("DATABASE_URL", "sqlite:///:memory:")
+os.environ.setdefault("JWT_SECRET_KEY", "test-secret")
+os.environ.setdefault("NEXTCLOUD_SYNC_INITIAL_ON_STARTUP", "false")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def anyio_backend():
+    return "asyncio"

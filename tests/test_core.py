@@ -1,0 +1,104 @@
+import time
+from datetime import datetime, timezone as dt_tz
+
+import pytest
+
+from ics_tpu.core import security
+from ics_tpu.core.config import Settings
+from ics_tpu.core import timezone as tz
+from ics_tpu.core.validators import validar_cpf, validar_forca_senha, validar_nome
+
+
+class TestValidators:
+    def test_cpf_valid(self):
+        assert validar_cpf("529.982.247-25")
+        assert validar_cpf("52998224725")
+
+    def test_cpf_invalid(self):
+        assert not validar_cpf("11111111111")
+        assert not validar_cpf("52998224724")
+        assert not validar_cpf("123")
+        assert not validar_cpf("")
+
+    def test_nome(self):
+        assert validar_nome("Maria Silva")
+        assert not validar_nome("Maria")
+        assert not validar_nome("  ")
+
+    def test_senha(self):
+        assert validar_forca_senha("Senha123")
+        assert not validar_forca_senha("senha123")
+        assert not validar_forca_senha("SENHA123")
+        assert not validar_forca_senha("SenhaForte")
+        assert not validar_forca_senha("Ab1")
+
+
+class TestSecurity:
+    def test_password_roundtrip(self):
+        h = security.hash_password("Secreta1")
+        assert h.startswith("scrypt$")
+        assert security.verify_password("Secreta1", h)
+        assert not security.verify_password("errada", h)
+
+    def test_password_salted(self):
+        assert security.hash_password("x") != security.hash_password("x")
+
+    def test_jwt_roundtrip(self):
+        claims = {"sub": "abc", "tipo": "administrador", "exp": time.time() + 60}
+        token = security.jwt_encode(claims, "s3cret")
+        out = security.jwt_decode(token, "s3cret")
+        assert out["sub"] == "abc"
+
+    def test_jwt_expired(self):
+        token = security.jwt_encode({"sub": "a", "exp": time.time() - 1}, "k")
+        with pytest.raises(security.TokenError):
+            security.jwt_decode(token, "k")
+
+    def test_jwt_tampered(self):
+        token = security.jwt_encode({"sub": "a", "exp": time.time() + 60}, "k")
+        with pytest.raises(security.TokenError):
+            security.jwt_decode(token, "other")
+        with pytest.raises(security.TokenError):
+            security.jwt_decode(token[:-2] + "zz", "k")
+
+    def test_sha256(self):
+        assert security.sha256_hex(b"") == (
+            "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+        )
+
+
+class TestTimezone:
+    def test_now_is_aware(self):
+        assert tz.now().tzinfo is not None
+
+    def test_local_to_utc_roundtrip(self):
+        local = tz.now()
+        utc = tz.local_to_utc(local)
+        assert utc.tzinfo is not None
+        assert abs((tz.utc_to_local(utc) - local).total_seconds()) < 1e-6
+
+    def test_naive_utc_conversion(self):
+        naive = datetime(2026, 1, 1, 12, 0, 0)
+        out = tz.utc_to_local(naive)
+        assert out.tzinfo is not None
+        assert tz.local_to_utc(out).replace(tzinfo=None) == naive
+
+
+class TestSettings:
+    def test_defaults(self):
+        s = Settings()
+        assert s.JWT_ALGORITHM == "HS256"
+        assert s.NEXTCLOUD_SYNC_BATCH_SIZE == 50
+        assert s.get_batch_buckets() == (1, 8, 32, 128)
+        assert s.get_mesh_shape() == (1,)
+
+    def test_cors_filtering(self):
+        s = Settings(CORS_ORIGINS="http://a.com, ftp://bad, https://b.com ,")
+        assert s.get_cors_origins_list() == ["http://a.com", "https://b.com"]
+
+    def test_env_file(self, tmp_path):
+        f = tmp_path / ".env"
+        f.write_text("# comment\nAPI_PORT=9001\nTIMEZONE='UTC'\nUNKNOWN=x\n")
+        s = Settings.load(env_file=f)
+        assert s.API_PORT == 9001
+        assert s.TIMEZONE == "UTC"

@@ -1,0 +1,208 @@
+import asyncio
+import contextlib
+
+import httpx
+import pytest
+
+from ics_tpu.web import App, HTTPException, JSONResponse, Response, Router
+from ics_tpu.web.responses import StreamingResponse
+from ics_tpu.web.routing import compile_path
+
+
+def make_app():
+    app = App(cors_origins=["http://localhost:5173"])
+    router = Router(prefix="/items")
+
+    @router.get("/")
+    async def list_items(request):
+        return JSONResponse([{"id": 1}])
+
+    @router.get("/{item_id}")
+    async def get_item(request):
+        return JSONResponse({"id": request.path_params["item_id"]})
+
+    @router.post("/")
+    async def create_item(request):
+        body = await request.json()
+        return JSONResponse(body, 201)
+
+    @router.get("/{item_id}/fail")
+    async def fail(request):
+        raise HTTPException(418, "teapot")
+
+    @router.get("/{item_id}/boom")
+    async def boom(request):
+        raise RuntimeError("kaput")
+
+    files = Router(prefix="/files")
+
+    @files.get("/{file_path:path}")
+    async def file_path(request):
+        return JSONResponse({"path": request.path_params["file_path"]})
+
+    @files.post("/upload")
+    async def upload(request):
+        form = await request.form()
+        f = form.getfiles("files")[0]
+        return JSONResponse(
+            {"name": f.filename, "size": f.size, "extra": form.get("extra")}
+        )
+
+    misc = Router()
+
+    @misc.get("/cookie")
+    async def cookie(request):
+        resp = JSONResponse({"got": request.cookies.get("tok")})
+        resp.set_cookie("tok", "abc", httponly=True, samesite="lax", max_age=60)
+        return resp
+
+    @misc.get("/stream")
+    async def stream(request):
+        async def gen():
+            for i in range(3):
+                yield f"chunk{i}".encode()
+
+        return StreamingResponse(gen(), media_type="text/plain")
+
+    @misc.get("/q")
+    async def query(request):
+        return JSONResponse(
+            {"page": request.query_int("page", 1, lo=1, hi=10),
+             "s": request.query_params.get("s")}
+        )
+
+    app.include_router(router)
+    app.include_router(files)
+    app.include_router(misc)
+    return app
+
+
+@pytest.fixture()
+def client():
+    app = make_app()
+    transport = httpx.ASGITransport(app=app)
+    return httpx.AsyncClient(transport=transport, base_url="http://test")
+
+
+class TestRouting:
+    def test_compile_path(self):
+        p = compile_path("/a/{x}/b/{rest:path}")
+        m = p.match("/a/1/b/c/d/e.jpg")
+        assert m.group("x") == "1"
+        assert m.group("rest") == "c/d/e.jpg"
+        assert p.match("/a/1/b/") is None or p.match("/a/1/b/").group("rest")
+
+    @pytest.mark.anyio
+    async def test_basic_routes(self, client):
+        async with client:
+            r = await client.get("/items/")
+            assert r.status_code == 200 and r.json() == [{"id": 1}]
+            r = await client.get("/items/42")
+            assert r.json() == {"id": "42"}
+            r = await client.post("/items/", json={"a": 1})
+            assert r.status_code == 201 and r.json() == {"a": 1}
+
+    @pytest.mark.anyio
+    async def test_404_405(self, client):
+        async with client:
+            assert (await client.get("/nope")).status_code == 404
+            r = await client.delete("/items/")
+            assert r.status_code == 405
+
+    @pytest.mark.anyio
+    async def test_errors(self, client):
+        async with client:
+            r = await client.get("/items/1/fail")
+            assert r.status_code == 418 and r.json()["detail"] == "teapot"
+            r = await client.get("/items/1/boom")
+            assert r.status_code == 500
+            assert "Erro interno" in r.json()["detail"]
+
+    @pytest.mark.anyio
+    async def test_path_param(self, client):
+        async with client:
+            r = await client.get("/files/folder/sub/img.jpg")
+            assert r.json() == {"path": "folder/sub/img.jpg"}
+
+    @pytest.mark.anyio
+    async def test_multipart_upload(self, client):
+        async with client:
+            r = await client.post(
+                "/files/upload",
+                files={"files": ("x.jpg", b"\xff\xd8\xff" + b"0" * 100, "image/jpeg")},
+                data={"extra": "meta"},
+            )
+            assert r.status_code == 200
+            out = r.json()
+            assert out == {"name": "x.jpg", "size": 103, "extra": "meta"}
+
+    @pytest.mark.anyio
+    async def test_cookies(self, client):
+        async with client:
+            r = await client.get("/cookie", headers={"cookie": "tok=prev"})
+            assert r.json() == {"got": "prev"}
+            sc = r.headers["set-cookie"]
+            assert "tok=abc" in sc and "HttpOnly" in sc and "Max-Age=60" in sc
+
+    @pytest.mark.anyio
+    async def test_streaming(self, client):
+        async with client:
+            r = await client.get("/stream")
+            assert r.content == b"chunk0chunk1chunk2"
+
+    @pytest.mark.anyio
+    async def test_query_validation(self, client):
+        async with client:
+            r = await client.get("/q?page=3&s=x")
+            assert r.json() == {"page": 3, "s": "x"}
+            r = await client.get("/q?page=0")
+            assert r.status_code == 422
+            r = await client.get("/q?page=999")
+            assert r.json()["page"] == 10
+
+    @pytest.mark.anyio
+    async def test_cors(self, client):
+        async with client:
+            r = await client.get(
+                "/items/", headers={"origin": "http://localhost:5173"}
+            )
+            assert r.headers["access-control-allow-origin"] == "http://localhost:5173"
+            r = await client.get("/items/", headers={"origin": "http://evil.com"})
+            assert "access-control-allow-origin" not in r.headers
+            r = await client.options(
+                "/items/",
+                headers={
+                    "origin": "http://localhost:5173",
+                    "access-control-request-method": "POST",
+                },
+            )
+            assert r.status_code == 204
+
+
+class TestRealServer:
+    """End-to-end over a real TCP socket: our asyncio HTTP/1.1 server."""
+
+    @pytest.mark.anyio
+    async def test_server_roundtrip(self):
+        from ics_tpu.web.server import Server
+
+        app = make_app()
+        server = Server(app, host="127.0.0.1", port=0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}"
+            ) as client:
+                r = await client.get("/items/17")
+                assert r.status_code == 200 and r.json() == {"id": "17"}
+                r = await client.post("/items/", json={"k": "v"})
+                assert r.status_code == 201 and r.json() == {"k": "v"}
+                # keep-alive: second request on same client
+                r = await client.get("/stream")
+                assert r.content == b"chunk0chunk1chunk2"
+                r = await client.get("/cookie")
+                assert "tok=abc" in r.headers.get("set-cookie", "")
+        finally:
+            with contextlib.suppress(Exception):
+                await server.stop()
