@@ -1,0 +1,183 @@
+"""Application factory + entry point.
+
+Startup sequence mirrors the reference lifespan (``app/main.py:37-257``):
+wait for DB -> schema handling by ENV (production: migrate; development:
+drop+recreate+stamp; test: create+stamp) -> seed audit events/user types/
+initial admin -> launch the NextCloud sync engine -> serve.
+
+Run: ``python -m ics_tpu.main [--host H] [--port P]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import contextlib
+import logging
+
+from ics_tpu.core.config import settings
+from ics_tpu.db import migrate, seed
+from ics_tpu.db.engine import Database, get_database
+from ics_tpu.web import App, JSONResponse, Request
+
+logger = logging.getLogger(__name__)
+
+
+def _prepare_schema(db: Database) -> None:
+    if not db.wait_until_ready():
+        raise RuntimeError("database unreachable")
+    env = settings.ENV.lower()
+    if env == "production":
+        db.create_all()
+        migrate.upgrade_head(db)
+    elif env == "development":
+        db.drop_all()
+        db.create_all()
+        migrate.stamp_head(db)
+    else:  # test and anything else: non-destructive
+        db.create_all()
+        migrate.stamp_head(db)
+    seed.seed_all(db)
+
+
+@contextlib.asynccontextmanager
+async def lifespan(app: App):
+    db = app.state.get("db") or get_database()
+    app.state.db = db
+    _prepare_schema(db)
+
+    # TPU inference engine (net-new tier)
+    app.state.engine = None
+    if settings.TPU_ENABLE_INFERENCE:
+        try:
+            from ics_tpu.runtime.service import InferenceService
+
+            app.state.engine = InferenceService.from_settings()
+            await app.state.engine.start()
+            logger.info("TPU inference service started")
+        except Exception as exc:  # pragma: no cover - env-dependent
+            logger.warning("TPU inference disabled: %s", exc)
+
+    # NextCloud sync engine
+    app.state.sync = None
+    if settings.NEXTCLOUD_BASE_URL:
+        try:
+            from ics_tpu.sync.scheduler import SyncScheduler
+            from ics_tpu.sync.service import NextCloudSyncService
+
+            service = NextCloudSyncService.from_settings(db)
+            scheduler = SyncScheduler(service)
+            app.state.sync = scheduler
+            await scheduler.start(
+                initial=settings.NEXTCLOUD_SYNC_INITIAL_ON_STARTUP
+            )
+            logger.info("NextCloud sync engine started")
+        except Exception as exc:  # pragma: no cover - env-dependent
+            logger.warning("NextCloud sync disabled: %s", exc)
+
+    try:
+        yield
+    finally:
+        if app.state.get("sync") is not None:
+            await app.state.sync.stop()
+        if app.state.get("engine") is not None:
+            await app.state.engine.stop()
+
+
+async def _db_session_middleware(request: Request, call_next):
+    """One unit-of-work per request (reference ``get_db`` dependency)."""
+    db = request.app.state.db
+    session = db.open_session()
+    request.state.db = session
+    try:
+        response = await call_next(request)
+        session.commit()
+        return response
+    except Exception:
+        session.rollback()
+        raise
+    finally:
+        session.close()
+
+
+def create_app(db: Database | None = None) -> App:
+    app = App(
+        title="Sistema de Classificação de Imagens (TPU)",
+        lifespan=lifespan,
+        cors_origins=settings.get_cors_origins_list(),
+    )
+    if db is not None:
+        app.state.db = db
+    app.add_middleware(_db_session_middleware)
+
+    from ics_tpu.api.routes import auth as auth_routes
+
+    app.include_router(auth_routes.router)
+    for module_name in (
+        "usuarios",
+        "whitelist",
+        "ambientes",
+        "opcoes",
+        "classificacoes",
+        "usuarios_ambientes",
+        "auditoria",
+        "nextcloud_images",
+        "test_sync",
+        "images",
+        "inferencia",
+    ):
+        try:
+            module = __import__(
+                f"ics_tpu.api.routes.{module_name}", fromlist=["router"]
+            )
+            app.include_router(module.router)
+        except ImportError:
+            logger.debug("router %s not present yet", module_name)
+
+    @app.get("/")
+    async def root(request: Request):
+        return JSONResponse(
+            {
+                "message": "Sistema de Classificação de Imagens (TPU-native)",
+                "version": __import__("ics_tpu").__version__,
+                "docs": "/docs",
+            }
+        )
+
+    @app.get("/health")
+    async def health(request: Request):
+        return JSONResponse(
+            {
+                "status": "healthy",
+                "service": "image-classification-system-tpu",
+                "environment": settings.ENV,
+            }
+        )
+
+    @app.get("/monitor/status")
+    async def monitor_status(request: Request):
+        sync = request.app.state.get("sync")
+        engine = request.app.state.get("engine")
+        return JSONResponse(
+            {
+                "sync": sync.status() if sync else {"enabled": False},
+                "tpu": engine.status() if engine else {"enabled": False},
+            }
+        )
+
+    return app
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default=settings.API_HOST)
+    parser.add_argument("--port", type=int, default=settings.API_PORT)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    from ics_tpu.web.server import run
+
+    run(create_app(), args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

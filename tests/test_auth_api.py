@@ -1,0 +1,211 @@
+"""Auth API contract tests (reference behavior: app/api/routes/auth.py)."""
+
+import httpx
+import pytest
+
+from ics_tpu.core.config import settings
+from ics_tpu.db.engine import Database
+from ics_tpu.db.models import CadastroPermitido, LogAuditoria
+from ics_tpu.main import create_app
+
+
+@pytest.fixture()
+async def app(tmp_path):
+    db = Database(f"sqlite:///{tmp_path}/app.db")
+    a = create_app(db=db)
+    await a.startup()
+    yield a
+    await a.shutdown()
+
+
+@pytest.fixture()
+def client(app):
+    return httpx.AsyncClient(
+        transport=httpx.ASGITransport(app=app), base_url="http://test"
+    )
+
+
+async def login_admin(client) -> str:
+    r = await client.post(
+        "/auth/login",
+        data={"username": settings.ADMIN_EMAIL, "password": settings.ADMIN_SENHA},
+    )
+    assert r.status_code == 200, r.text
+    return r.json()["access_token"]
+
+
+VALID_CPF = "52998224725"
+
+
+class TestLogin:
+    @pytest.mark.anyio
+    async def test_login_success_sets_cookie_and_audits(self, app, client):
+        async with client:
+            r = await client.post(
+                "/auth/login",
+                data={
+                    "username": settings.ADMIN_EMAIL,
+                    "password": settings.ADMIN_SENHA,
+                },
+            )
+            assert r.status_code == 200
+            body = r.json()
+            assert body["token_type"] == "bearer"
+            assert body["user_type"] == 2
+            assert "access_token" in r.cookies
+        with app.state.db.session() as s:
+            logs = s.query(LogAuditoria).all()
+            assert len(logs) == 1
+
+    @pytest.mark.anyio
+    async def test_login_wrong_password(self, client):
+        async with client:
+            r = await client.post(
+                "/auth/login",
+                data={"username": settings.ADMIN_EMAIL, "password": "errada"},
+            )
+            assert r.status_code == 401
+            assert r.json()["detail"] == "Email ou senha incorretos"
+            assert r.headers.get("www-authenticate") == "Bearer"
+
+    @pytest.mark.anyio
+    async def test_login_unknown_user(self, client):
+        async with client:
+            r = await client.post(
+                "/auth/login", data={"username": "x@y.com", "password": "a"}
+            )
+            assert r.status_code == 401
+
+
+class TestCadastro:
+    async def _whitelist(self, app, email, id_tipo=1):
+        from ics_tpu.core import timezone as tz
+
+        with app.state.db.session() as s:
+            adm = s.fetchone("SELECT id_adm FROM usuarios_administradores")
+            s.add(
+                CadastroPermitido(
+                    email=email,
+                    data_criado=tz.utcnow(),
+                    id_tipo=id_tipo,
+                    id_adm=adm["id_adm"],
+                )
+            )
+            s.commit()
+
+    PAYLOAD = {
+        "nome_completo": "Maria da Silva",
+        "email": "maria@x.com",
+        "cpf": VALID_CPF,
+        "senha": "SenhaBoa1",
+        "telefone": "11999990000",
+    }
+
+    @pytest.mark.anyio
+    async def test_cadastro_not_whitelisted(self, client):
+        async with client:
+            r = await client.post("/auth/cadastro", json=self.PAYLOAD)
+            assert r.status_code == 403
+
+    @pytest.mark.anyio
+    async def test_cadastro_success_conventional(self, app, client):
+        await self._whitelist(app, "maria@x.com", id_tipo=1)
+        async with client:
+            r = await client.post("/auth/cadastro", json=self.PAYLOAD)
+            assert r.status_code == 201, r.text
+            assert r.json()["user_type"] == 1
+            # whitelist marked used -> second signup conflicts
+            r2 = await client.post(
+                "/auth/cadastro", json={**self.PAYLOAD, "cpf": "15350946056"}
+            )
+            assert r2.status_code == 400  # email already registered
+
+    @pytest.mark.anyio
+    async def test_cadastro_used_whitelist(self, app, client):
+        await self._whitelist(app, "maria@x.com")
+        async with client:
+            await client.post("/auth/cadastro", json=self.PAYLOAD)
+        # different email, same (now used) whitelist entry is irrelevant;
+        # reuse same whitelist email with new user data
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=app), base_url="http://test"
+        ) as c2:
+            r = await c2.post(
+                "/auth/cadastro",
+                json={**self.PAYLOAD, "cpf": "15350946056"},
+            )
+            assert r.status_code == 400
+
+    @pytest.mark.anyio
+    async def test_cadastro_validation_errors(self, app, client):
+        await self._whitelist(app, "maria@x.com")
+        async with client:
+            r = await client.post(
+                "/auth/cadastro", json={**self.PAYLOAD, "nome_completo": "Maria"}
+            )
+            assert r.status_code == 422
+            r = await client.post(
+                "/auth/cadastro", json={**self.PAYLOAD, "cpf": "11111111111"}
+            )
+            assert r.status_code == 422
+            r = await client.post(
+                "/auth/cadastro", json={**self.PAYLOAD, "senha": "fraca"}
+            )
+            assert r.status_code == 422
+
+    @pytest.mark.anyio
+    async def test_cadastro_admin_type(self, app, client):
+        await self._whitelist(app, "chefe@x.com", id_tipo=2)
+        async with client:
+            r = await client.post(
+                "/auth/cadastro",
+                json={**self.PAYLOAD, "email": "chefe@x.com", "cpf": "15350946056"},
+            )
+            assert r.status_code == 201
+            assert r.json()["user_type"] == 2
+
+
+class TestLogoutAndGuards:
+    @pytest.mark.anyio
+    async def test_logout_clears_cookie(self, client):
+        async with client:
+            token = await login_admin(client)
+            r = await client.post(
+                "/auth/logout", headers={"Authorization": f"Bearer {token}"}
+            )
+            assert r.status_code == 200
+            assert "Max-Age=0" in r.headers.get("set-cookie", "")
+
+    @pytest.mark.anyio
+    async def test_logout_requires_auth(self, client):
+        async with client:
+            r = await client.post("/auth/logout")
+            assert r.status_code == 401
+
+    @pytest.mark.anyio
+    async def test_invalid_token_is_401_not_500(self, client):
+        """Reference defect §2.4.2 (NameError -> 500) must be fixed."""
+        async with client:
+            r = await client.post(
+                "/auth/logout", headers={"Authorization": "Bearer abc.def.ghi"}
+            )
+            assert r.status_code == 401
+
+    @pytest.mark.anyio
+    async def test_cookie_auth_works(self, client):
+        async with client:
+            await login_admin(client)  # cookie now in jar
+            r = await client.post("/auth/logout")
+            assert r.status_code == 200
+
+
+class TestHealth:
+    @pytest.mark.anyio
+    async def test_health_and_root(self, client):
+        async with client:
+            r = await client.get("/health")
+            assert r.json()["status"] == "healthy"
+            r = await client.get("/")
+            assert r.status_code == 200
+            r = await client.get("/monitor/status")
+            assert r.status_code == 200
