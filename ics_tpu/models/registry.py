@@ -1,0 +1,87 @@
+"""Model registry: name -> (constructor, preprocessing config).
+
+The API tier and the benchmark select models by name
+(``settings.TPU_DEFAULT_MODEL``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    build: Callable[..., Any]
+    image_size: int
+    resize_short: int
+    description: str = ""
+
+
+_REGISTRY: dict[str, ModelSpec] = {}
+
+
+def register_model(name: str, build: Callable, image_size: int,
+                   resize_short: int, description: str = "") -> None:
+    _REGISTRY[name] = ModelSpec(name, build, image_size, resize_short, description)
+
+
+def get_model(name: str) -> ModelSpec:
+    _ensure_populated()
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def list_models() -> list[str]:
+    _ensure_populated()
+    return sorted(_REGISTRY)
+
+
+_populated = False
+
+
+def _ensure_populated() -> None:
+    global _populated
+    if _populated:
+        return
+    _populated = True
+    from ics_tpu.models import resnet
+
+    register_model(
+        "resnet50", resnet.resnet50, 224, 256,
+        "ResNet-50 v1.5 — flagship batched-inference model (BASELINE cfg 2)",
+    )
+    register_model(
+        "resnet101", resnet.resnet101, 224, 256, "ResNet-101 v1.5",
+    )
+    try:
+        from ics_tpu.models import vit
+
+        register_model(
+            "vit_b16", vit.vit_b16, 384, 384,
+            "ViT-B/16 @384px — Pallas blockwise attention (BASELINE cfg 3)",
+        )
+    except ImportError:
+        pass
+    try:
+        from ics_tpu.models import mobilenetv3
+
+        register_model(
+            "mobilenetv3_small", mobilenetv3.mobilenetv3_small, 224, 256,
+            "MobileNetV3-Small — single-image latency config (BASELINE cfg 1)",
+        )
+    except ImportError:
+        pass
+    try:
+        from ics_tpu.models import efficientnet
+
+        register_model(
+            "efficientnet_b4", efficientnet.efficientnet_b4, 380, 412,
+            "EfficientNet-B4 — mixed-resolution bucketing (BASELINE cfg 4)",
+        )
+    except ImportError:
+        pass

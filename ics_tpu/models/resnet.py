@@ -1,0 +1,207 @@
+"""ResNet v1.5 (50/101/152) — pure-JAX, NHWC, bf16-ready.
+
+The flagship inference model (BASELINE.json config 2: batched inference,
+fused preproc + conv forward, target >=5k img/s/chip on v5e).
+
+TPU notes:
+- NHWC + HWIO so XLA lowers convs straight onto the MXU.
+- BN folded to scale+bias for inference (``make_inference_fn``): each
+  residual branch becomes conv -> fused multiply-add -> relu, which XLA
+  fuses into the conv epilogue (HBM-bandwidth bound otherwise).
+- stride-2 in the 3x3 (v1.5) — better accuracy, same FLOPs as v1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ics_tpu.nn.layers import (
+    BatchNorm,
+    Conv2D,
+    Dense,
+    fold_batchnorm,
+    global_avg_pool,
+    max_pool,
+)
+
+
+class _ConvBN:
+    def __init__(self, in_ch, out_ch, kernel, stride=1):
+        self.conv = Conv2D(in_ch, out_ch, kernel, stride, padding="SAME")
+        self.bn = BatchNorm(out_ch)
+
+    def init(self, key):
+        return {"conv": self.conv.init(key), "bn": self.bn.init()}
+
+    def init_state(self):
+        return {"bn": self.bn.init_state()}
+
+    def apply(self, params, state, x, training):
+        y = self.conv.apply(params["conv"], x)
+        y, bn_state = self.bn.apply(params["bn"], state["bn"], y, training)
+        return y, {"bn": bn_state}
+
+    def fold(self, params, state):
+        return {"conv": params["conv"], "bnf": fold_batchnorm(params["bn"], state["bn"])}
+
+    def apply_folded(self, folded, x):
+        y = self.conv.apply(folded["conv"], x)
+        f = folded["bnf"]
+        return y * f["scale"].astype(y.dtype) + f["bias"].astype(y.dtype)
+
+
+class Bottleneck:
+    expansion = 4
+
+    def __init__(self, in_ch, width, stride=1):
+        out_ch = width * self.expansion
+        self.cbr1 = _ConvBN(in_ch, width, 1)
+        self.cbr2 = _ConvBN(width, width, 3, stride)   # v1.5: stride on 3x3
+        self.cbr3 = _ConvBN(width, out_ch, 1)
+        self.downsample = (
+            _ConvBN(in_ch, out_ch, 1, stride)
+            if stride != 1 or in_ch != out_ch
+            else None
+        )
+        self.out_ch = out_ch
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        p = {
+            "cbr1": self.cbr1.init(keys[0]),
+            "cbr2": self.cbr2.init(keys[1]),
+            "cbr3": self.cbr3.init(keys[2]),
+        }
+        if self.downsample:
+            p["down"] = self.downsample.init(keys[3])
+        return p
+
+    def init_state(self):
+        s = {
+            "cbr1": self.cbr1.init_state(),
+            "cbr2": self.cbr2.init_state(),
+            "cbr3": self.cbr3.init_state(),
+        }
+        if self.downsample:
+            s["down"] = self.downsample.init_state()
+        return s
+
+    def apply(self, params, state, x, training):
+        y, s1 = self.cbr1.apply(params["cbr1"], state["cbr1"], x, training)
+        y = jax.nn.relu(y)
+        y, s2 = self.cbr2.apply(params["cbr2"], state["cbr2"], y, training)
+        y = jax.nn.relu(y)
+        y, s3 = self.cbr3.apply(params["cbr3"], state["cbr3"], y, training)
+        if self.downsample:
+            shortcut, sd = self.downsample.apply(
+                params["down"], state["down"], x, training
+            )
+        else:
+            shortcut, sd = x, None
+        out = jax.nn.relu(y + shortcut)
+        new_state = {"cbr1": s1, "cbr2": s2, "cbr3": s3}
+        if sd is not None:
+            new_state["down"] = sd
+        return out, new_state
+
+    def fold(self, params, state):
+        f = {
+            "cbr1": self.cbr1.fold(params["cbr1"], state["cbr1"]),
+            "cbr2": self.cbr2.fold(params["cbr2"], state["cbr2"]),
+            "cbr3": self.cbr3.fold(params["cbr3"], state["cbr3"]),
+        }
+        if self.downsample:
+            f["down"] = self.downsample.fold(params["down"], state["down"])
+        return f
+
+    def apply_folded(self, folded, x):
+        y = jax.nn.relu(self.cbr1.apply_folded(folded["cbr1"], x))
+        y = jax.nn.relu(self.cbr2.apply_folded(folded["cbr2"], y))
+        y = self.cbr3.apply_folded(folded["cbr3"], y)
+        shortcut = (
+            self.downsample.apply_folded(folded["down"], x) if self.downsample else x
+        )
+        return jax.nn.relu(y + shortcut)
+
+
+class ResNet:
+    def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3):
+        self.stem = _ConvBN(in_ch, 64, 7, 2)
+        self.stages: list[list[Bottleneck]] = []
+        ch = 64
+        for stage_idx, count in enumerate(block_counts):
+            width = 64 * (2**stage_idx)
+            stride = 1 if stage_idx == 0 else 2
+            blocks = []
+            for b in range(count):
+                blocks.append(Bottleneck(ch, width, stride if b == 0 else 1))
+                ch = width * Bottleneck.expansion
+            self.stages.append(blocks)
+        self.head = Dense(ch, num_classes, init="kaiming")
+        self.num_classes = num_classes
+
+    # -- parameters -----------------------------------------------------
+    def init(self, key) -> dict[str, Any]:
+        keys = iter(jax.random.split(key, 2 + sum(len(s) for s in self.stages)))
+        params = {"stem": self.stem.init(next(keys)), "stages": [], "head": None}
+        state = {"stem": self.stem.init_state(), "stages": []}
+        for blocks in self.stages:
+            params["stages"].append([blk.init(next(keys)) for blk in blocks])
+            state["stages"].append([blk.init_state() for blk in blocks])
+        params["head"] = self.head.init(next(keys))
+        return {"params": params, "state": state}
+
+    # -- forward ----------------------------------------------------------
+    def apply(self, variables, x, training: bool = False):
+        params, state = variables["params"], variables["state"]
+        y, stem_state = self.stem.apply(params["stem"], state["stem"], x, training)
+        y = jax.nn.relu(y)
+        y = max_pool(y, 3, 2, "SAME")
+        new_stages = []
+        for blocks, bparams, bstates in zip(
+            self.stages, params["stages"], state["stages"]
+        ):
+            new_bstates = []
+            for blk, p, s in zip(blocks, bparams, bstates):
+                y, ns = blk.apply(p, s, y, training)
+                new_bstates.append(ns)
+            new_stages.append(new_bstates)
+        y = global_avg_pool(y)
+        logits = self.head.apply(params["head"], y)
+        return logits, {"stem": stem_state, "stages": new_stages}
+
+    # -- folded inference --------------------------------------------------
+    def fold(self, variables) -> dict:
+        params, state = variables["params"], variables["state"]
+        folded = {
+            "stem": self.stem.fold(params["stem"], state["stem"]),
+            "stages": [
+                [blk.fold(p, s) for blk, p, s in zip(blocks, bp, bs)]
+                for blocks, bp, bs in zip(
+                    self.stages, params["stages"], state["stages"]
+                )
+            ],
+            "head": params["head"],
+        }
+        return folded
+
+    def apply_folded(self, folded, x):
+        y = jax.nn.relu(self.stem.apply_folded(folded["stem"], x))
+        y = max_pool(y, 3, 2, "SAME")
+        for blocks, bfolded in zip(self.stages, folded["stages"]):
+            for blk, f in zip(blocks, bfolded):
+                y = blk.apply_folded(f, y)
+        y = global_avg_pool(y)
+        return self.head.apply(folded["head"], y)
+
+
+def resnet50(num_classes: int = 1000) -> ResNet:
+    return ResNet((3, 4, 6, 3), num_classes)
+
+
+def resnet101(num_classes: int = 1000) -> ResNet:
+    return ResNet((3, 4, 23, 3), num_classes)

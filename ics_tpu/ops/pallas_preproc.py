@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: fused uint8 dequant + ImageNet normalize + bf16 cast.
+
+The fixed-size hot path (images already at model resolution, e.g. the
+dynamic batcher's bucket fast lane) skips the resize matmuls entirely; this
+kernel reads the uint8 canvas once from HBM and writes normalized bf16 —
+one pass, VPU-bound at HBM speed, no fp32 intermediate materialized.
+
+Falls back to interpret mode automatically off-TPU (tests run on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ics_tpu.ops.preproc import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _normalize_kernel(x_ref, scale_ref, bias_ref, out_ref):
+    # x: [TILE, C3] uint8 flattened pixels; scale/bias: [1, C3] f32.
+    # mosaic can't lower uint8->f32 directly; hop through int32.
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+    out_ref[:] = (x * scale_ref[:] + bias_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def pallas_normalize(x_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                     dtype=jnp.bfloat16):
+    """x_u8: [B, H, W, 3] uint8 -> [B, H, W, 3] ``dtype`` normalized.
+
+    Computes y = x * scale + bias with scale = 1/(255*std),
+    bias = -mean/std, pre-broadcast to the flattened lane layout.
+    """
+    b, h, w, c = x_u8.shape
+    mean_arr = jnp.asarray(mean, jnp.float32)
+    std_arr = jnp.asarray(std, jnp.float32)
+    scale_c = 1.0 / (255.0 * std_arr)              # [3]
+    bias_c = -mean_arr / std_arr                   # [3]
+
+    # flatten to [rows, 128*3] so the lane dim is 128-aligned and channel
+    # varies fastest: tile the per-channel constants across 128 pixels
+    total = b * h * w
+    lanes = 128
+    rows = pl.cdiv(total, lanes)
+    pad = rows * lanes - total
+    flat = x_u8.reshape(-1, c)
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    flat = flat.reshape(rows, lanes * c)
+    scale = jnp.tile(scale_c, lanes)[None, :]      # [1, 384]
+    bias = jnp.tile(bias_c, lanes)[None, :]
+
+    tile_rows = min(rows, 512)
+    grid = (pl.cdiv(rows, tile_rows),)
+    out = pl.pallas_call(
+        _normalize_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, lanes * c), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_rows, lanes * c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, lanes * c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_should_interpret(),
+    )(flat, scale, bias)
+    out = out.reshape(rows * lanes, c)
+    if pad:
+        out = out[:total]
+    return out.reshape(b, h, w, c)

@@ -1,0 +1,76 @@
+"""Device mesh + sharding layer.
+
+Scaling design (SURVEY.md §2.3): the serving/training unit is a
+``jax.sharding.Mesh`` with axes
+
+- ``data``  — batch-dim data parallelism (the primary axis for CNN/ViT
+  inference at this scale; collectives ride ICI)
+- ``model`` — tensor parallelism seam: classifier head + (for ViT) attention
+  heads/MLP are sharded along this axis. ResNet-50/ViT-B fit one chip, so
+  this axis exists to make TP a config change, not a rewrite.
+
+All parameters are plain pytrees; sharding is applied with
+``jax.device_put`` + ``NamedSharding`` and programs are ``jax.jit``-ed with
+explicit in/out shardings so XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axes: Optional[Sequence[str]] = None,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        # default: 2D (data, model) when we have >=4 devices, else pure DP
+        if n >= 4 and n % 2 == 0:
+            shape, axes = (n // 2, 2), ("data", "model")
+        else:
+            shape, axes = (n,), ("data",)
+    if axes is None:
+        axes = ("data", "model")[: len(shape)]
+    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'; rest replicated."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_head_for_tp(mesh: Mesh, params: dict) -> dict:
+    """Annotate the classifier head for tensor parallelism along 'model'.
+
+    head = {"w": [features, classes], "b": [classes]} -> classes axis sharded.
+    Returns a pytree of shardings matching ``params`` (head TP, rest
+    replicated) usable as ``in_shardings`` / ``device_put`` targets.
+    """
+    rep = replicated_sharding(mesh)
+    shardings = jax.tree_util.tree_map(lambda _: rep, params)
+    if "model" in mesh.axis_names and "head" in params:
+        head = {}
+        if "w" in params["head"]:
+            head["w"] = NamedSharding(mesh, P(None, "model"))
+        if "b" in params["head"]:
+            head["b"] = NamedSharding(mesh, P("model"))
+        shardings["head"] = head
+    return shardings
+
+
+def apply_shardings(tree, shardings):
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

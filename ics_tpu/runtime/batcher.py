@@ -1,0 +1,107 @@
+"""Dynamic request batcher.
+
+Concurrent classify requests are coalesced into padded fixed-shape batches
+sharing one compiled TPU step (north star: "dynamic request batching so
+concurrent API calls share one XLA-compiled step").
+
+Design: an asyncio queue + a single flusher task. A flush fires when either
+(a) the oldest queued request has waited ``deadline_us`` or (b) a full
+largest-bucket batch is ready. Device work runs in a worker thread so the
+event loop (and therefore host CRUD latency) never blocks on the TPU —
+SURVEY.md §7.2 hard-part 5.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray                       # decoded uint8 HWC
+    future: asyncio.Future = None           # resolves to (idx, scores)
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class DynamicBatcher:
+    def __init__(
+        self,
+        predict_staged: Callable[[np.ndarray, np.ndarray], tuple],
+        stage_batch: Callable,
+        max_batch: int = 128,
+        deadline_us: int = 2000,
+    ):
+        self.predict_staged = predict_staged
+        self.stage_batch = stage_batch
+        self.max_batch = max_batch
+        self.deadline_s = deadline_us / 1e6
+        self._queue: asyncio.Queue[_Pending] = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._stopping = False
+        self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0}
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._stopping = False
+            self._task = asyncio.ensure_future(self._flusher())
+
+    async def stop(self) -> None:
+        self._stopping = True
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def submit(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        loop = asyncio.get_running_loop()
+        pending = _Pending(image=image, future=loop.create_future())
+        self.stats["queued"] += 1
+        await self._queue.put(pending)
+        return await pending.future
+
+    async def _flusher(self) -> None:
+        while not self._stopping:
+            first = await self._queue.get()
+            batch = [first]
+            # coalesce until deadline or full batch
+            deadline = first.enqueued_at + self.deadline_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = await asyncio.wait_for(self._queue.get(), timeout)
+                    batch.append(nxt)
+                except asyncio.TimeoutError:
+                    break
+            await self._flush(batch)
+
+    async def _flush(self, batch: list[_Pending]) -> None:
+        self.stats["flushes"] += 1
+        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(batch))
+        loop = asyncio.get_running_loop()
+        images = [p.image for p in batch]
+        try:
+            canvas, sizes = self.stage_batch(images)
+            idx, scores = await loop.run_in_executor(
+                None, self.predict_staged, canvas, sizes
+            )
+            for i, p in enumerate(batch):
+                if not p.future.done():
+                    p.future.set_result((idx[i], scores[i]))
+        except Exception as exc:
+            logger.exception("batch flush failed")
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(exc)

@@ -1,0 +1,137 @@
+"""TPU inference engine: one compiled step per (model, batch-bucket).
+
+The compiled step is the fused pipeline: uint8 canvas -> on-device
+resize/crop/normalize (MXU matmuls) -> folded-BN forward -> softmax/top-k.
+Batch buckets keep XLA shapes static; requests are padded up to the nearest
+bucket (north-star dynamic-batching design, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ics_tpu.models.registry import ModelSpec, get_model
+from ics_tpu.ops.preproc import preprocess_batch
+
+logger = logging.getLogger(__name__)
+
+TOP_K = 5
+
+
+def _cast_pytree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+class InferenceEngine:
+    """Synchronous engine; the async batcher drives it via a thread."""
+
+    def __init__(
+        self,
+        model_name: str,
+        num_classes: int = 1000,
+        precision: str = "bf16",
+        buckets: Sequence[int] = (1, 8, 32, 128),
+        canvas: int = 512,
+        seed: int = 0,
+        variables: Optional[dict] = None,
+    ):
+        self.spec: ModelSpec = get_model(model_name)
+        self.model = self.spec.build(num_classes=num_classes)
+        self.model_name = model_name
+        self.num_classes = num_classes
+        self.precision = precision
+        self.dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        self.buckets = tuple(sorted(buckets))
+        self.canvas = canvas
+        if variables is None:
+            variables = self.model.init(jax.random.PRNGKey(seed))
+        self.variables = variables
+        folded = self.model.fold(variables)
+        self.folded = _cast_pytree(folded, self.dtype)
+        self.folded = jax.device_put(self.folded)
+        self._step = None
+        self._stats = {"batches": 0, "images": 0, "total_device_ms": 0.0}
+
+    # -- compiled step -----------------------------------------------------
+    def _make_step(self):
+        model = self.model
+        spec = self.spec
+        dtype = self.dtype
+
+        @jax.jit
+        def step(folded, canvas_u8, sizes):
+            x = preprocess_batch(
+                canvas_u8, sizes, out_size=spec.image_size,
+                resize_short=spec.resize_short, dtype=dtype,
+            )
+            logits = model.apply_folded(folded, x).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            top_scores, top_idx = jax.lax.top_k(probs, TOP_K)
+            return top_idx, top_scores
+
+        return step
+
+    def _get_step(self):
+        if self._step is None:
+            self._step = self._make_step()
+        return self._step
+
+    def bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        step = self._get_step()
+        for b in buckets or self.buckets:
+            canvas = np.zeros((b, self.canvas, self.canvas, 3), np.uint8)
+            sizes = np.full((b, 2), 256, np.int32)
+            idx, _ = step(self.folded, canvas, sizes)
+            jax.block_until_ready(idx)
+            logger.info("compiled %s step for bucket %d", self.model_name, b)
+
+    # -- public -------------------------------------------------------------
+    def predict_staged(
+        self, canvas: np.ndarray, sizes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """canvas uint8 [N<=bucket, C, C, 3] -> (top_idx, top_scores) [N, K]."""
+        n = canvas.shape[0]
+        bucket = self.bucket_for(n)
+        if n < bucket:
+            canvas = np.concatenate(
+                [canvas, np.zeros((bucket - n, *canvas.shape[1:]), np.uint8)]
+            )
+            sizes = np.concatenate(
+                [sizes, np.full((bucket - n, 2), 256, np.int32)]
+            )
+        step = self._get_step()
+        t0 = time.perf_counter()
+        idx, scores = step(self.folded, canvas, sizes)
+        idx = np.asarray(idx)[:n]
+        scores = np.asarray(scores)[:n]
+        dt = (time.perf_counter() - t0) * 1000
+        self._stats["batches"] += 1
+        self._stats["images"] += n
+        self._stats["total_device_ms"] += dt
+        return idx, scores
+
+    def status(self) -> dict:
+        return {
+            "enabled": True,
+            "model": self.model_name,
+            "precision": self.precision,
+            "buckets": list(self.buckets),
+            "backend": jax.default_backend(),
+            "devices": len(jax.devices()),
+            **self._stats,
+        }

@@ -1,0 +1,95 @@
+"""High-level inference service: bytes in -> labels/scores out.
+
+Composes host decode -> dynamic batcher -> compiled TPU step. This is the
+net-new capability layered under the ``/classificacoes`` surface
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ics_tpu.core.config import settings
+from ics_tpu.runtime.batcher import DynamicBatcher
+from ics_tpu.runtime.decode import decode_image, stage_batch
+from ics_tpu.runtime.engine import InferenceEngine
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceService:
+    def __init__(self, engine: InferenceEngine, deadline_us: int = 2000):
+        self.engine = engine
+        self.batcher = DynamicBatcher(
+            predict_staged=engine.predict_staged,
+            stage_batch=lambda imgs: stage_batch(imgs, canvas=engine.canvas),
+            max_batch=max(engine.buckets),
+            deadline_us=deadline_us,
+        )
+        self._latencies_ms: list[float] = []
+
+    @classmethod
+    def from_settings(cls) -> "InferenceService":
+        engine = InferenceEngine(
+            model_name=settings.TPU_DEFAULT_MODEL,
+            num_classes=settings.TPU_NUM_CLASSES,
+            precision=settings.TPU_PRECISION,
+            buckets=settings.get_batch_buckets(),
+        )
+        return cls(engine, deadline_us=settings.TPU_BATCH_DEADLINE_US)
+
+    async def start(self, warm: bool = False) -> None:
+        if warm:
+            await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.warmup, (1,)
+            )
+        await self.batcher.start()
+
+    async def stop(self) -> None:
+        await self.batcher.stop()
+
+    async def classify_bytes(self, data: bytes) -> dict:
+        t0 = time.perf_counter()
+        loop = asyncio.get_running_loop()
+        image = await loop.run_in_executor(None, decode_image, data)
+        idx, scores = await self.batcher.submit(image)
+        dt_ms = (time.perf_counter() - t0) * 1000
+        self._record_latency(dt_ms)
+        return {
+            "top_classes": [int(i) for i in idx],
+            "scores": [float(s) for s in scores],
+            "latency_ms": round(dt_ms, 3),
+            "model": self.engine.model_name,
+        }
+
+    async def classify_many(self, blobs: Sequence[bytes]) -> list[dict]:
+        return list(
+            await asyncio.gather(*(self.classify_bytes(b) for b in blobs))
+        )
+
+    def _record_latency(self, ms: float) -> None:
+        self._latencies_ms.append(ms)
+        if len(self._latencies_ms) > 10_000:
+            self._latencies_ms = self._latencies_ms[-5_000:]
+
+    def latency_percentiles(self) -> dict:
+        if not self._latencies_ms:
+            return {}
+        arr = np.asarray(self._latencies_ms)
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "n": len(arr),
+        }
+
+    def status(self) -> dict:
+        return {
+            **self.engine.status(),
+            "batcher": self.batcher.stats,
+            "latency": self.latency_percentiles(),
+        }

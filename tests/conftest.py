@@ -7,12 +7,20 @@ without TPU hardware (SURVEY.md §4 implication (d)).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (the TPU tunnel), so env vars alone are too late.
+# jax.config.update before first backend use still wins; XLA_FLAGS is read
+# lazily at CPU-backend creation, so setting it here works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("ENV", "test")
 os.environ.setdefault("DATABASE_URL", "sqlite:///:memory:")
