@@ -45,6 +45,8 @@ def listar_logs(
     evento_id: Optional[int] = None,
     page: int = 1,
     page_size: int = 50,
+    data_inicio: Optional[str] = None,
+    data_fim: Optional[str] = None,
 ) -> tuple[list[dict], int]:
     where = ["1=1"]
     params: list[Any] = []
@@ -54,6 +56,12 @@ def listar_logs(
     if evento_id is not None:
         where.append("l.evento_id = ?")
         params.append(evento_id)
+    if data_inicio:
+        where.append("l.data_evento >= ?")
+        params.append(data_inicio)
+    if data_fim:
+        where.append("l.data_evento <= ?")
+        params.append(data_fim)
     cond = " AND ".join(where)
     total = db.fetchone(
         f"SELECT COUNT(*) AS n FROM logs_auditoria l WHERE {cond}", params
@@ -61,7 +69,8 @@ def listar_logs(
     rows = db.fetchall(
         f"""
         SELECT l.id_log, l.id_usu, l.evento_id, l.data_evento, l.detalhes,
-               e.nome AS evento_nome, u.email AS usuario_email
+               e.nome AS evento_nome, u.email AS usuario_email,
+               u.nome_completo AS usuario_nome
         FROM logs_auditoria l
         JOIN eventos_auditoria e ON e.id_evento = l.evento_id
         LEFT JOIN usuarios u ON u.id_usu = l.id_usu

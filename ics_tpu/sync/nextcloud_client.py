@@ -1,0 +1,337 @@
+"""Async NextCloud client: WebDAV (PROPFIND/GET) + Activity API + health.
+
+Reference behavior (``app/services/nextcloud_service.py``) reimplemented on
+httpx/asyncio: retry policy (N tries, fixed delay, 5xx + 408 + transport
+errors only — other 4xx never retried), PROPFIND XML parsing (displayname,
+contenttype, length, lastmodified, resourcetype, etag, ``oc:fileid``), image
+MIME/extension filtering, streamed downloads, Activity-API availability
+probe, combined server health check.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import xml.etree.ElementTree as ET
+from datetime import datetime
+from email.utils import parsedate_to_datetime
+from typing import Any, AsyncIterator, Optional
+from urllib.parse import quote, unquote
+
+import httpx
+
+from ics_tpu.core.config import settings
+
+logger = logging.getLogger(__name__)
+
+IMAGE_MIMES = {
+    "image/jpeg", "image/png", "image/gif", "image/bmp",
+    "image/tiff", "image/webp",
+}
+IMAGE_EXTENSIONS = {".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp"}
+
+NAMESPACES = {
+    "d": "DAV:",
+    "oc": "http://owncloud.org/ns",
+    "nc": "http://nextcloud.org/ns",
+}
+
+PROPFIND_BODY = """<?xml version="1.0" encoding="UTF-8"?>
+<d:propfind xmlns:d="DAV:" xmlns:oc="http://owncloud.org/ns">
+  <d:prop>
+    <d:displayname/>
+    <d:getcontenttype/>
+    <d:getcontentlength/>
+    <d:getlastmodified/>
+    <d:resourcetype/>
+    <d:getetag/>
+    <oc:fileid/>
+  </d:prop>
+</d:propfind>
+"""
+
+
+class NextCloudError(Exception):
+    pass
+
+
+def _retryable_status(status: int) -> bool:
+    return status >= 500 or status == 408
+
+
+class NextCloudClient:
+    def __init__(
+        self,
+        base_url: Optional[str] = None,
+        username: Optional[str] = None,
+        password: Optional[str] = None,
+        user_path: Optional[str] = None,
+        webdav_path: Optional[str] = None,
+        verify_ssl: Optional[bool] = None,
+        max_retries: Optional[int] = None,
+        retry_delay: Optional[float] = None,
+    ):
+        self.base_url = (base_url if base_url is not None else settings.NEXTCLOUD_BASE_URL).strip().rstrip("/")
+        self.username = (username if username is not None else settings.NEXTCLOUD_USERNAME).strip()
+        self.password = (password if password is not None else settings.NEXTCLOUD_PASSWORD).strip()
+        self.user_path = (user_path if user_path is not None else settings.NEXTCLOUD_USER_PATH).strip().rstrip("/")
+        self.webdav_path = (webdav_path if webdav_path is not None else settings.NEXTCLOUD_WEBDAV_PATH or "/remote.php/dav").strip()
+        if not self.base_url:
+            raise ValueError(
+                "NEXTCLOUD_BASE_URL não configurado. Configure no arquivo .env"
+            )
+        if not self.base_url.startswith(("http://", "https://")):
+            raise ValueError("NEXTCLOUD_BASE_URL deve começar com http:// ou https://")
+        if not self.username:
+            raise ValueError("NEXTCLOUD_USERNAME não configurado.")
+        if not self.password:
+            raise ValueError("NEXTCLOUD_PASSWORD não configurado.")
+        if not self.user_path:
+            self.user_path = f"/files/{self.username}"
+        if not self.user_path.startswith("/"):
+            self.user_path = "/" + self.user_path
+        self.webdav_base_url = f"{self.base_url}{self.webdav_path}"
+        self.max_retries = max_retries or settings.NEXTCLOUD_SYNC_MAX_RETRIES
+        self.retry_delay = (
+            retry_delay
+            if retry_delay is not None
+            else settings.NEXTCLOUD_SYNC_RETRY_DELAY
+        )
+        verify = (
+            verify_ssl if verify_ssl is not None else settings.NEXTCLOUD_VERIFY_SSL
+        )
+        self._client = httpx.AsyncClient(
+            auth=(self.username, self.password),
+            verify=verify,
+            timeout=httpx.Timeout(60.0, connect=15.0),
+            follow_redirects=True,
+        )
+
+    async def aclose(self) -> None:
+        await self._client.aclose()
+
+    # -- retry core --------------------------------------------------------
+    async def _request(self, method: str, url: str, **kwargs) -> httpx.Response:
+        last_exc: Optional[Exception] = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                resp = await self._client.request(method, url, **kwargs)
+                if _retryable_status(resp.status_code):
+                    raise NextCloudError(
+                        f"HTTP {resp.status_code} em {method} {url}"
+                    )
+                if resp.status_code >= 400:
+                    resp.raise_for_status()
+                return resp
+            except (httpx.TransportError, NextCloudError) as exc:
+                last_exc = exc
+                if attempt < self.max_retries:
+                    logger.warning(
+                        "tentativa %s/%s falhou (%s); aguardando %ss",
+                        attempt, self.max_retries, exc, self.retry_delay,
+                    )
+                    await asyncio.sleep(self.retry_delay)
+            except httpx.HTTPStatusError:
+                raise  # non-retryable 4xx
+        raise last_exc  # type: ignore[misc]
+
+    # -- URL / parse helpers -------------------------------------------------
+    def _build_url(self, path: str) -> str:
+        path = path.lstrip("/")
+        full = f"{self.user_path}/{path}" if path else self.user_path
+        return f"{self.webdav_base_url}{quote(full, safe='/')}"
+
+    def _extract_relative_path(self, href: str) -> str:
+        href = unquote(href)
+        marker = f"{self.webdav_path}{self.user_path}"
+        idx = href.find(marker)
+        if idx >= 0:
+            rel = href[idx + len(marker):]
+        else:
+            rel = href
+        return rel.strip("/")
+
+    @staticmethod
+    def _parse_http_date(value: Optional[str]) -> Optional[datetime]:
+        if not value:
+            return None
+        try:
+            return parsedate_to_datetime(value)
+        except Exception:
+            return None
+
+    def _parse_propfind(self, xml_content: str) -> list[dict[str, Any]]:
+        items: list[dict[str, Any]] = []
+        try:
+            root = ET.fromstring(xml_content)
+        except ET.ParseError as exc:
+            raise ValueError(f"Resposta inválida do NextCloud: {exc}")
+        for response in root.findall(".//d:response", NAMESPACES):
+            href_elem = response.find("d:href", NAMESPACES)
+            if href_elem is None or not href_elem.text:
+                continue
+            href = href_elem.text
+            rel = self._extract_relative_path(href)
+            prop = None
+            for propstat in response.findall("d:propstat", NAMESPACES):
+                status = propstat.find("d:status", NAMESPACES)
+                if status is not None and "200" in (status.text or ""):
+                    prop = propstat.find("d:prop", NAMESPACES)
+                    break
+            if prop is None:
+                propstat = response.find("d:propstat", NAMESPACES)
+                prop = propstat.find("d:prop", NAMESPACES) if propstat else None
+            if prop is None:
+                continue
+
+            def get(tag: str) -> Optional[str]:
+                el = prop.find(tag, NAMESPACES)
+                return el.text if el is not None and el.text else None
+
+            resourcetype = prop.find("d:resourcetype", NAMESPACES)
+            is_collection = (
+                resourcetype is not None
+                and resourcetype.find("d:collection", NAMESPACES) is not None
+            )
+            if rel == "":
+                continue  # the directory itself
+            try:
+                length = int(get("d:getcontentlength") or 0)
+            except ValueError:
+                length = 0
+            items.append(
+                {
+                    "href": href,
+                    "path": rel,
+                    "name": get("d:displayname") or rel.rsplit("/", 1)[-1],
+                    "content_type": get("d:getcontenttype") or "",
+                    "content_length": length,
+                    "last_modified": self._parse_http_date(get("d:getlastmodified")),
+                    "is_collection": is_collection,
+                    "file_id": get("oc:fileid") or "",
+                    "etag": (get("d:getetag") or "").strip('"'),
+                }
+            )
+        return items
+
+    # -- public API ----------------------------------------------------------
+    async def list_folder(self, path: str = "", depth: int = 1) -> list[dict]:
+        resp = await self._request(
+            "PROPFIND",
+            self._build_url(path),
+            headers={"Depth": str(depth), "Content-Type": "application/xml"},
+            content=PROPFIND_BODY,
+            timeout=30.0,
+        )
+        return self._parse_propfind(resp.text)
+
+    @staticmethod
+    def filter_images(items: list[dict]) -> list[dict]:
+        out = []
+        for item in items:
+            if item.get("is_collection"):
+                continue
+            ctype = (item.get("content_type") or "").lower()
+            name = (item.get("name") or "").lower()
+            if ctype in IMAGE_MIMES or any(
+                name.endswith(ext) for ext in IMAGE_EXTENSIONS
+            ):
+                out.append(item)
+        return out
+
+    @staticmethod
+    def filter_folders(items: list[dict]) -> list[dict]:
+        return [i for i in items if i.get("is_collection")]
+
+    async def get_file(self, path: str) -> bytes:
+        resp = await self._request("GET", self._build_url(path), timeout=60.0)
+        return resp.content
+
+    async def stream_file(self, path: str, chunk_size: int = 8192):
+        """Streamed download: yields (headers, async-iterator-of-chunks)."""
+        req = self._client.build_request("GET", self._build_url(path), timeout=60.0)
+        resp = await self._client.send(req, stream=True)
+        if resp.status_code >= 400:
+            await resp.aclose()
+            raise httpx.HTTPStatusError(
+                f"HTTP {resp.status_code}", request=req, response=resp
+            )
+
+        async def chunks() -> AsyncIterator[bytes]:
+            try:
+                async for chunk in resp.aiter_bytes(chunk_size):
+                    yield chunk
+            finally:
+                await resp.aclose()
+
+        return resp.headers, chunks()
+
+    # -- Activity API ---------------------------------------------------------
+    def _activity_url(self) -> str:
+        return f"{self.base_url}/ocs/v2.php/apps/activity/api/v2/activity"
+
+    async def fetch_activities(
+        self, since: int = 0, limit: int = 200
+    ) -> list[dict]:
+        resp = await self._request(
+            "GET",
+            self._activity_url(),
+            params={"since": since, "limit": limit, "format": "json"},
+            headers={"OCS-APIRequest": "true", "Accept": "application/json"},
+            timeout=30.0,
+        )
+        if resp.status_code == 304:
+            return []
+        data = resp.json()
+        return data.get("ocs", {}).get("data", []) or []
+
+    async def check_activity_api_available(self) -> bool:
+        try:
+            resp = await self._client.get(
+                self._activity_url(),
+                params={"limit": 1, "format": "json"},
+                headers={"OCS-APIRequest": "true", "Accept": "application/json"},
+                timeout=10.0,
+            )
+            return resp.status_code in (200, 304)
+        except Exception as exc:
+            logger.warning("Activity API indisponível: %s", exc)
+            return False
+
+    async def check_webdav_available(self) -> bool:
+        try:
+            resp = await self._client.request(
+                "PROPFIND",
+                self._build_url(""),
+                headers={"Depth": "0", "Content-Type": "application/xml"},
+                content=PROPFIND_BODY,
+                timeout=10.0,
+            )
+            return resp.status_code in (200, 207)
+        except Exception as exc:
+            logger.warning("WebDAV indisponível: %s", exc)
+            return False
+
+    async def check_server_health(self) -> dict:
+        webdav = await self.check_webdav_available()
+        activity = await self.check_activity_api_available()
+        return {
+            "webdav_available": webdav,
+            "activity_api_available": activity,
+            "server_online": webdav or activity,
+        }
+
+
+_client_singleton: Optional[NextCloudClient] = None
+
+
+def get_nextcloud_client() -> NextCloudClient:
+    global _client_singleton
+    if _client_singleton is None:
+        _client_singleton = NextCloudClient()
+    return _client_singleton
+
+
+def reset_nextcloud_client() -> None:
+    global _client_singleton
+    _client_singleton = None
