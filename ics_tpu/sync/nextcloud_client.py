@@ -70,6 +70,7 @@ class NextCloudClient:
         verify_ssl: Optional[bool] = None,
         max_retries: Optional[int] = None,
         retry_delay: Optional[float] = None,
+        transport: Optional[httpx.AsyncBaseTransport] = None,
     ):
         self.base_url = (base_url if base_url is not None else settings.NEXTCLOUD_BASE_URL).strip().rstrip("/")
         self.username = (username if username is not None else settings.NEXTCLOUD_USERNAME).strip()
@@ -100,12 +101,16 @@ class NextCloudClient:
         verify = (
             verify_ssl if verify_ssl is not None else settings.NEXTCLOUD_VERIFY_SSL
         )
-        self._client = httpx.AsyncClient(
+        kwargs: dict[str, Any] = dict(
             auth=(self.username, self.password),
-            verify=verify,
             timeout=httpx.Timeout(60.0, connect=15.0),
             follow_redirects=True,
         )
+        if transport is not None:
+            kwargs["transport"] = transport  # hermetic tests (fake server)
+        else:
+            kwargs["verify"] = verify
+        self._client = httpx.AsyncClient(**kwargs)
 
     async def aclose(self) -> None:
         await self._client.aclose()
