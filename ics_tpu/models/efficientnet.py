@@ -1,0 +1,187 @@
+"""EfficientNet-B4 — BASELINE config 4 (mixed-resolution stream).
+
+Compound-scaled MBConv stack (width x1.4, depth x1.8, native res 380). The
+serving path handles variable input sizes via padded bucketing in the
+runtime (``ics_tpu.runtime.buckets``) — each resolution bucket gets its own
+compiled graph; inputs are resized on-device to the nearest bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ics_tpu.nn.blocks import ConvBN, SEBlock
+from ics_tpu.nn.layers import Dense, global_avg_pool
+
+# EfficientNet-B0 base: expand, out_ch, kernel, stride, repeats
+BASE_SPEC = [
+    (1, 16, 3, 1, 1),
+    (6, 24, 3, 2, 2),
+    (6, 40, 5, 2, 2),
+    (6, 80, 3, 2, 3),
+    (6, 112, 5, 1, 3),
+    (6, 192, 5, 2, 4),
+    (6, 320, 3, 1, 1),
+]
+
+
+def round_filters(filters: float, width_mult: float, divisor: int = 8) -> int:
+    filters *= width_mult
+    new = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new < 0.9 * filters:
+        new += divisor
+    return int(new)
+
+
+def round_repeats(repeats: int, depth_mult: float) -> int:
+    return int(math.ceil(depth_mult * repeats))
+
+
+class MBConv:
+    def __init__(self, in_ch, out_ch, kernel, stride, expand):
+        mid = in_ch * expand
+        self.expand = ConvBN(in_ch, mid, 1) if expand != 1 else None
+        self.depthwise = ConvBN(mid, mid, kernel, stride, groups=mid)
+        self.se = SEBlock(mid, max(1, in_ch // 4), gate="sigmoid")
+        self.project = ConvBN(mid, out_ch, 1)
+        self.use_residual = stride == 1 and in_ch == out_ch
+
+    def init(self, key):
+        keys = jax.random.split(key, 4)
+        p = {
+            "dw": self.depthwise.init(keys[1]),
+            "se": self.se.init(keys[2]),
+            "proj": self.project.init(keys[3]),
+        }
+        if self.expand:
+            p["exp"] = self.expand.init(keys[0])
+        return p
+
+    def init_state(self):
+        s = {"dw": self.depthwise.init_state(), "proj": self.project.init_state()}
+        if self.expand:
+            s["exp"] = self.expand.init_state()
+        return s
+
+    def apply(self, params, state, x, training):
+        new_state = {}
+        y = x
+        if self.expand:
+            y, new_state["exp"] = self.expand.apply(
+                params["exp"], state["exp"], y, training
+            )
+            y = jax.nn.silu(y)
+        y, new_state["dw"] = self.depthwise.apply(
+            params["dw"], state["dw"], y, training
+        )
+        y = jax.nn.silu(y)
+        y = self.se.apply(params["se"], y)
+        y, new_state["proj"] = self.project.apply(
+            params["proj"], state["proj"], y, training
+        )
+        if self.use_residual:
+            y = y + x
+        return y, new_state
+
+    def fold(self, params, state):
+        f = {
+            "dw": self.depthwise.fold(params["dw"], state["dw"]),
+            "se": params["se"],
+            "proj": self.project.fold(params["proj"], state["proj"]),
+        }
+        if self.expand:
+            f["exp"] = self.expand.fold(params["exp"], state["exp"])
+        return f
+
+    def apply_folded(self, folded, x):
+        y = x
+        if self.expand:
+            y = jax.nn.silu(self.expand.apply_folded(folded["exp"], y))
+        y = jax.nn.silu(self.depthwise.apply_folded(folded["dw"], y))
+        y = self.se.apply(folded["se"], y)
+        y = self.project.apply_folded(folded["proj"], y)
+        return y + x if self.use_residual else y
+
+
+class EfficientNet:
+    def __init__(self, width_mult: float, depth_mult: float,
+                 num_classes: int = 1000):
+        stem_ch = round_filters(32, width_mult)
+        self.stem = ConvBN(3, stem_ch, 3, 2)
+        self.blocks: list[MBConv] = []
+        in_ch = stem_ch
+        for expand, out_base, kernel, stride, repeats in BASE_SPEC:
+            out_ch = round_filters(out_base, width_mult)
+            for r in range(round_repeats(repeats, depth_mult)):
+                self.blocks.append(
+                    MBConv(in_ch, out_ch, kernel, stride if r == 0 else 1, expand)
+                )
+                in_ch = out_ch
+        head_ch = round_filters(1280, width_mult)
+        self.conv_head = ConvBN(in_ch, head_ch, 1)
+        self.head = Dense(head_ch, num_classes)
+        self.num_classes = num_classes
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.blocks) + 3)
+        params = {
+            "stem": self.stem.init(keys[0]),
+            "blocks": [b.init(k) for b, k in zip(self.blocks, keys[1:-2])],
+            "conv_head": self.conv_head.init(keys[-2]),
+            "head": self.head.init(keys[-1]),
+        }
+        state = {
+            "stem": self.stem.init_state(),
+            "blocks": [b.init_state() for b in self.blocks],
+            "conv_head": self.conv_head.init_state(),
+        }
+        return {"params": params, "state": state}
+
+    def apply(self, variables, x, training: bool = False):
+        params, state = variables["params"], variables["state"]
+        y, stem_s = self.stem.apply(params["stem"], state["stem"], x, training)
+        y = jax.nn.silu(y)
+        block_states = []
+        for blk, bp, bs in zip(self.blocks, params["blocks"], state["blocks"]):
+            y, ns = blk.apply(bp, bs, y, training)
+            block_states.append(ns)
+        y, head_s = self.conv_head.apply(
+            params["conv_head"], state["conv_head"], y, training
+        )
+        y = jax.nn.silu(y)
+        y = global_avg_pool(y)
+        logits = self.head.apply(params["head"], y)
+        return logits, {"stem": stem_s, "blocks": block_states, "conv_head": head_s}
+
+    def fold(self, variables):
+        params, state = variables["params"], variables["state"]
+        return {
+            "stem": self.stem.fold(params["stem"], state["stem"]),
+            "blocks": [
+                b.fold(p, s)
+                for b, p, s in zip(self.blocks, params["blocks"], state["blocks"])
+            ],
+            "conv_head": self.conv_head.fold(
+                params["conv_head"], state["conv_head"]
+            ),
+            "head": params["head"],
+        }
+
+    def apply_folded(self, folded, x):
+        y = jax.nn.silu(self.stem.apply_folded(folded["stem"], x))
+        for blk, f in zip(self.blocks, folded["blocks"]):
+            y = blk.apply_folded(f, y)
+        y = jax.nn.silu(self.conv_head.apply_folded(folded["conv_head"], y))
+        y = global_avg_pool(y)
+        return self.head.apply(folded["head"], y)
+
+
+def efficientnet_b4(num_classes: int = 1000) -> EfficientNet:
+    return EfficientNet(width_mult=1.4, depth_mult=1.8, num_classes=num_classes)
+
+
+def efficientnet_b0(num_classes: int = 1000) -> EfficientNet:
+    return EfficientNet(width_mult=1.0, depth_mult=1.0, num_classes=num_classes)

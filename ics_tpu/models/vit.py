@@ -1,0 +1,135 @@
+"""Vision Transformer (ViT-B/16) — BASELINE config 3 (384 px eval).
+
+TPU-first: patchify as a strided conv (MXU), attention via the Pallas
+blockwise flash kernel (``ics_tpu.ops.attention``) for inference; the plain
+XLA path is used when training (flash kernel bwd not needed at this scale).
+577 tokens (24x24 patches + cls) are padded to 640 inside the kernel with
+valid-length masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ics_tpu.nn.layers import Conv2D, Dense, LayerNorm, truncated_normal
+from ics_tpu.ops.attention import attention_reference, flash_attention
+
+
+class MultiHeadAttention:
+    def __init__(self, dim: int, num_heads: int):
+        assert dim % num_heads == 0
+        self.dim = dim
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.qkv = Dense(dim, dim * 3)
+        self.proj = Dense(dim, dim)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"qkv": self.qkv.init(k1), "proj": self.proj.init(k2)}
+
+    def apply(self, params, x, use_flash: bool):
+        b, s, _ = x.shape
+        qkv = self.qkv.apply(params["qkv"], x)             # [B, S, 3*D]
+        qkv = qkv.reshape(b, s, 3, self.num_heads, self.head_dim)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )                                                  # [B, H, S, hd]
+        attn = flash_attention(q, k, v) if use_flash else attention_reference(q, k, v)
+        out = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, self.dim)
+        return self.proj.apply(params["proj"], out)
+
+
+class TransformerBlock:
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4):
+        self.ln1 = LayerNorm(dim)
+        self.attn = MultiHeadAttention(dim, num_heads)
+        self.ln2 = LayerNorm(dim)
+        self.fc1 = Dense(dim, dim * mlp_ratio)
+        self.fc2 = Dense(dim * mlp_ratio, dim)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "ln1": self.ln1.init(), "attn": self.attn.init(k1),
+            "ln2": self.ln2.init(), "fc1": self.fc1.init(k2),
+            "fc2": self.fc2.init(k3),
+        }
+
+    def apply(self, params, x, use_flash: bool):
+        y = self.ln1.apply(params["ln1"], x)
+        x = x + self.attn.apply(params["attn"], y, use_flash)
+        y = self.ln2.apply(params["ln2"], x)
+        y = self.fc1.apply(params["fc1"], y)
+        y = jax.nn.gelu(y)
+        y = self.fc2.apply(params["fc2"], y)
+        return x + y
+
+
+class ViT:
+    def __init__(
+        self,
+        image_size: int = 384,
+        patch_size: int = 16,
+        dim: int = 768,
+        depth: int = 12,
+        num_heads: int = 12,
+        num_classes: int = 1000,
+    ):
+        self.image_size = image_size
+        self.patch_size = patch_size
+        self.dim = dim
+        self.num_patches = (image_size // patch_size) ** 2
+        self.patch_embed = Conv2D(3, dim, patch_size, patch_size, padding="VALID",
+                                  use_bias=True)
+        self.blocks = [TransformerBlock(dim, num_heads) for _ in range(depth)]
+        self.ln = LayerNorm(dim)
+        self.head = Dense(dim, num_classes, init="trunc_normal")
+        self.num_classes = num_classes
+
+    def init(self, key):
+        keys = jax.random.split(key, len(self.blocks) + 4)
+        params = {
+            "patch_embed": self.patch_embed.init(keys[0]),
+            "cls_token": truncated_normal(keys[1], (1, 1, self.dim)),
+            "pos_embed": truncated_normal(
+                keys[2], (1, self.num_patches + 1, self.dim)
+            ),
+            "blocks": [
+                blk.init(k) for blk, k in zip(self.blocks, keys[3:-1])
+            ],
+            "ln": self.ln.init(),
+            "head": self.head.init(keys[-1]),
+        }
+        return {"params": params, "state": {}}
+
+    def _forward(self, params, x, use_flash: bool):
+        b = x.shape[0]
+        y = self.patch_embed.apply(params["patch_embed"], x)   # [B, gh, gw, D]
+        y = y.reshape(b, -1, self.dim)                          # [B, P, D]
+        cls = jnp.broadcast_to(
+            params["cls_token"].astype(y.dtype), (b, 1, self.dim)
+        )
+        y = jnp.concatenate([cls, y], axis=1)
+        y = y + params["pos_embed"].astype(y.dtype)
+        for blk, bp in zip(self.blocks, params["blocks"]):
+            y = blk.apply(bp, y, use_flash)
+        y = self.ln.apply(params["ln"], y)
+        return self.head.apply(params["head"], y[:, 0])
+
+    def apply(self, variables, x, training: bool = False):
+        # training path keeps the XLA attention (differentiable end-to-end)
+        logits = self._forward(variables["params"], x, use_flash=not training)
+        return logits, variables.get("state", {})
+
+    # inference uses the same params; "folding" is identity for ViT
+    def fold(self, variables):
+        return variables["params"]
+
+    def apply_folded(self, folded, x):
+        return self._forward(folded, x, use_flash=True)
+
+
+def vit_b16(num_classes: int = 1000, image_size: int = 384) -> ViT:
+    return ViT(image_size=image_size, num_classes=num_classes)

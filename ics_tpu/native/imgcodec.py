@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "libimgcodec.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libimgcodec.so"], cwd=_HERE, check=True,
+            capture_output=True, timeout=120,
+        )
+        return _SO.exists()
+    except Exception as exc:
+        logger.warning("native imgcodec build failed: %s", exc)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not _SO.exists() and not _build():
+        _build_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+        lib.icstpu_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.icstpu_decode.restype = ctypes.c_int
+        lib.icstpu_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        lib.icstpu_probe.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.icstpu_probe.restype = ctypes.c_int
+        lib.icstpu_sha256.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p
+        ]
+        _lib = lib
+        return lib
+    except OSError as exc:
+        logger.warning("native imgcodec unavailable: %s", exc)
+        _build_failed = True
+        return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def probe(data: bytes) -> Optional[str]:
+    lib = _load()
+    if lib is None:
+        return None
+    kind = lib.icstpu_probe(data, len(data))
+    return {1: "jpeg", 2: "png"}.get(kind)
+
+
+def decode(data: bytes) -> Optional[np.ndarray]:
+    """bytes -> RGB uint8 [H, W, 3]; None when format unsupported or the
+    native library is unavailable (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.icstpu_decode(data, len(data), ctypes.byref(out),
+                           ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        return None
+    try:
+        n = h.value * w.value * 3
+        arr = np.ctypeslib.as_array(out, shape=(n,)).reshape(h.value, w.value, 3)
+        return arr.copy()
+    finally:
+        lib.icstpu_free(out)
+
+
+def sha256_hex(data: bytes) -> Optional[str]:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(65)
+    lib.icstpu_sha256(data, len(data), buf)
+    return buf.value.decode("ascii")

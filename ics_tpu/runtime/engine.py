@@ -59,7 +59,10 @@ class InferenceEngine:
         self.folded = _cast_pytree(folded, self.dtype)
         self.folded = jax.device_put(self.folded)
         self._step = None
-        self._stats = {"batches": 0, "images": 0, "total_device_ms": 0.0}
+        self._compiled_shapes: set[tuple[int, int]] = set()
+        self._stats = {
+            "batches": 0, "images": 0, "total_device_ms": 0.0, "compiles": 0,
+        }
 
     # -- compiled step -----------------------------------------------------
     def _make_step(self):
@@ -115,6 +118,12 @@ class InferenceEngine:
                 [sizes, np.full((bucket - n, 2), 256, np.int32)]
             )
         step = self._get_step()
+        # mixed-resolution bucketing (BASELINE cfg 4): jax.jit caches one
+        # graph per (batch_bucket, canvas) shape; stage_batch quantizes the
+        # canvas side to a small bucket set, bounding the compile count
+        shape_key = (bucket, canvas.shape[1])
+        new_shape = shape_key not in self._compiled_shapes
+        self._compiled_shapes.add(shape_key)
         t0 = time.perf_counter()
         idx, scores = step(self.folded, canvas, sizes)
         idx = np.asarray(idx)[:n]
@@ -122,7 +131,10 @@ class InferenceEngine:
         dt = (time.perf_counter() - t0) * 1000
         self._stats["batches"] += 1
         self._stats["images"] += n
-        self._stats["total_device_ms"] += dt
+        if new_shape:
+            self._stats["compiles"] += 1
+        else:
+            self._stats["total_device_ms"] += dt
         return idx, scores
 
     def status(self) -> dict:

@@ -1,0 +1,107 @@
+"""Training data source: the NextCloud-synced corpus + human labels.
+
+BASELINE config 5 trains on "NextCloud-synced dataset": images live in the
+``imagens`` table (bytes fetched by content identity), labels come from the
+specialists' classifications (``classificacoes`` x ``opcoes``). Option ids
+are mapped to contiguous class indices per ambiente.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from ics_tpu.db.engine import Database
+from ics_tpu.runtime.decode import decode_image, stage_batch
+
+logger = logging.getLogger(__name__)
+
+BytesProvider = Callable[[str, str], bytes]  # (content_hash, caminho) -> bytes
+
+
+def labeled_examples(db: Database, id_amb: str) -> tuple[list[dict], dict[str, int]]:
+    """All active (image, option) labels of an ambiente + option->class map.
+
+    For multi-label images the first option (by option text order) wins —
+    single-label training target, documented behavior.
+    """
+    with db.session() as s:
+        opcoes = s.fetchall(
+            "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? ORDER BY texto",
+            [str(id_amb)],
+        )
+        class_map = {r["id_opc"]: i for i, r in enumerate(opcoes)}
+        rows = s.fetchall(
+            """
+            SELECT c.id_img AS content_hash, i.caminho_img, c.id_opc,
+                   MIN(o.texto) AS texto
+            FROM classificacoes c
+            JOIN imagens i ON i.content_hash = c.id_img
+            JOIN opcoes o ON o.id_opc = c.id_opc
+            JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
+            WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
+              AND i.existe_no_nextcloud = 1
+            GROUP BY c.id_img
+            """,
+            [str(id_amb), str(id_amb)],
+        )
+    examples = [
+        {
+            "content_hash": r["content_hash"],
+            "caminho_img": r["caminho_img"],
+            "label": class_map[r["id_opc"]],
+        }
+        for r in rows
+        if r["id_opc"] in class_map
+    ]
+    return examples, class_map
+
+
+def batch_iterator(
+    examples: list[dict],
+    fetch_bytes: BytesProvider,
+    batch_size: int = 32,
+    canvas: int = 512,
+    shuffle: bool = True,
+    seed: int = 0,
+    epochs: Optional[int] = 1,
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yields (canvas_u8 [B,C,C,3], sizes [B,2], labels [B]) batches.
+
+    Incomplete final batches are padded by repeating examples (static XLA
+    shapes); decode happens on host, resize/normalize on device inside the
+    train step.
+    """
+    if not examples:
+        return
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(examples))
+        if shuffle:
+            rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idx = order[start:start + batch_size]
+            while len(idx) < batch_size:  # pad to static batch
+                idx = np.concatenate([idx, idx[: batch_size - len(idx)]])
+            images, labels = [], []
+            for i in idx:
+                ex = examples[int(i)]
+                try:
+                    data = fetch_bytes(ex["content_hash"], ex["caminho_img"])
+                    images.append(decode_image(data))
+                    labels.append(ex["label"])
+                except Exception as exc:
+                    logger.warning(
+                        "pulando exemplo %s: %s", ex["content_hash"][:8], exc
+                    )
+            if not images:
+                continue
+            while len(images) < batch_size:
+                images.append(images[-1])
+                labels.append(labels[-1])
+            canvas_batch, sizes = stage_batch(images, canvas=canvas)
+            yield canvas_batch, sizes, np.asarray(labels, np.int32)
+        epoch += 1

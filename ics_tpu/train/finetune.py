@@ -72,6 +72,80 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16):
     return step
 
 
+def make_preproc_train_step(model, optimizer, image_size: int = 224,
+                            resize_short: int = 256,
+                            compute_dtype=jnp.bfloat16):
+    """Fused step: uint8 canvas -> on-device preproc -> fwd+bwd -> SGD.
+
+    One compiled graph per batch shape; decode stays on host
+    (``ics_tpu.train.data``).
+    """
+    from ics_tpu.ops.preproc import preprocess_batch
+
+    base_step = make_train_step(model, optimizer, compute_dtype)
+
+    @jax.jit
+    def step(variables, opt_state, canvas_u8, sizes, labels):
+        images = preprocess_batch(
+            canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
+            dtype=compute_dtype,
+        )
+        return base_step(variables, opt_state, images, labels)
+
+    return step
+
+
+class FineTuner:
+    """End-to-end fine-tune driver (BASELINE config 5): synced dataset +
+    human labels -> SGD loop -> orbax checkpoints."""
+
+    def __init__(self, model, optimizer=None, image_size: int = 224,
+                 resize_short: int = 256, compute_dtype=jnp.bfloat16,
+                 checkpoint_dir: Optional[str] = None):
+        self.model = model
+        self.optimizer = optimizer or make_optimizer()
+        self.step_fn = make_preproc_train_step(
+            model, self.optimizer, image_size, resize_short, compute_dtype
+        )
+        self.checkpoint = None
+        if checkpoint_dir:
+            from ics_tpu.train.checkpoint import CheckpointManager
+
+            self.checkpoint = CheckpointManager(checkpoint_dir)
+
+    def run(self, variables, batches, max_steps: Optional[int] = None,
+            checkpoint_every: int = 100, start_step: int = 0):
+        opt_state = self.optimizer.init(variables["params"])
+        if self.checkpoint is not None and self.checkpoint.latest_step() is not None:
+            restored = self.checkpoint.restore(
+                template={"variables": variables, "opt_state": opt_state,
+                          "metadata": {"step": 0}}
+            )
+            variables = restored["variables"]
+            opt_state = restored["opt_state"]
+            start_step = int(restored.get("metadata", {}).get("step", 0))
+        history = []
+        step_num = start_step
+        for canvas, sizes, labels in batches:
+            variables, opt_state, metrics = self.step_fn(
+                variables, opt_state, canvas, sizes, labels
+            )
+            step_num += 1
+            history.append(
+                {"step": step_num, "loss": float(metrics["loss"]),
+                 "accuracy": float(metrics["accuracy"])}
+            )
+            if self.checkpoint is not None and step_num % checkpoint_every == 0:
+                self.checkpoint.save(
+                    step_num, variables, opt_state, {"step": step_num}
+                )
+            if max_steps is not None and step_num - start_step >= max_steps:
+                break
+        if self.checkpoint is not None and history:
+            self.checkpoint.save(step_num, variables, opt_state, {"step": step_num})
+        return variables, opt_state, history
+
+
 def make_sharded_train_step(model, optimizer, mesh: Mesh,
                             compute_dtype=jnp.bfloat16):
     """DP over 'data' (batch) + TP of the classifier head over 'model'.

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_tpu.ops.attention import attention_reference, flash_attention
+
+
+def param_count(tree):
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("shape", [(1, 2, 64, 32), (2, 3, 130, 64)])
+    def test_matches_reference(self, shape):
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(keys[0], shape)
+        k = jax.random.normal(keys[1], shape)
+        v = jax.random.normal(keys[2], shape)
+        out = flash_attention(q, k, v)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_padding_masked(self):
+        # identical valid prefix, different garbage tail -> same output
+        keys = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(keys[0], (1, 2, 100, 32))
+        k = jax.random.normal(keys[1], (1, 2, 100, 32))
+        v = jax.random.normal(keys[2], (1, 2, 100, 32))
+        out_full = flash_attention(q, k, v, seq_len=80)
+        k2 = k.at[:, :, 80:].set(999.0)
+        v2 = v.at[:, :, 80:].set(-999.0)
+        out_masked = flash_attention(q, k2, v2, seq_len=80)
+        np.testing.assert_allclose(
+            np.asarray(out_full[:, :, :80]),
+            np.asarray(out_masked[:, :, :80]),
+            rtol=2e-3, atol=2e-3,
+        )
+
+
+class TestViT:
+    @pytest.fixture(scope="class")
+    def tiny_vit(self):
+        from ics_tpu.models.vit import ViT
+
+        model = ViT(image_size=32, patch_size=8, dim=64, depth=2,
+                    num_heads=2, num_classes=10)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_forward_shapes(self, tiny_vit):
+        model, variables = tiny_vit
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        logits, _ = model.apply(variables, x, training=True)
+        assert logits.shape == (2, 10)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_flash_inference_matches_training_path(self, tiny_vit):
+        model, variables = tiny_vit
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+        train_logits, _ = model.apply(variables, x, training=True)   # XLA attn
+        infer_logits = model.apply_folded(model.fold(variables), x)  # flash
+        np.testing.assert_allclose(
+            np.asarray(train_logits), np.asarray(infer_logits),
+            rtol=5e-3, atol=5e-3,
+        )
+
+    def test_vit_b16_param_count(self):
+        from ics_tpu.models.vit import vit_b16
+
+        model = vit_b16(num_classes=1000, image_size=384)
+        variables = model.init(jax.random.PRNGKey(0))
+        n = param_count(variables["params"])
+        # ViT-B/16 @384: 86.86M (torchvision vit_b_16 has 86.57M @224;
+        # the 384 pos-embed adds (577-197)*768)
+        assert 85_000_000 < n < 89_000_000, n
+
+
+class TestMobileNetV3:
+    def test_forward_and_fold(self):
+        from ics_tpu.models.mobilenetv3 import mobilenetv3_small
+
+        model = mobilenetv3_small(num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.1
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (1, 10)
+        folded = model.fold(variables)
+        logits_f = model.apply_folded(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_f), rtol=1e-3, atol=1e-3
+        )
+
+    def test_param_count(self):
+        from ics_tpu.models.mobilenetv3 import mobilenetv3_small
+
+        model = mobilenetv3_small(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        # torchvision mobilenet_v3_small: 2.54M
+        assert 2_000_000 < n < 3_200_000, n
+
+
+class TestEfficientNet:
+    def test_b0_forward(self):
+        from ics_tpu.models.efficientnet import efficientnet_b0
+
+        model = efficientnet_b0(num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 0.1
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (1, 10)
+        folded = model.fold(variables)
+        logits_f = model.apply_folded(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_f), rtol=1e-3, atol=1e-3
+        )
+
+    def test_b4_param_count(self):
+        from ics_tpu.models.efficientnet import efficientnet_b4
+
+        model = efficientnet_b4(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        # torchvision efficientnet_b4: 19.34M
+        assert 17_000_000 < n < 21_500_000, n
+
+
+class TestRegistryComplete:
+    def test_all_baseline_models_registered(self):
+        from ics_tpu.models.registry import list_models
+
+        models = list_models()
+        for name in (
+            "resnet50", "vit_b16", "mobilenetv3_small", "efficientnet_b4"
+        ):
+            assert name in models, models

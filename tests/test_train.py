@@ -1,0 +1,149 @@
+"""Fine-tune loop tests: labeled dataset from DB, checkpoint/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_tpu.core import timezone as tz
+from ics_tpu.db.engine import Database
+from ics_tpu.db.models import (
+    Ambiente,
+    AmbienteConjuntoImagens,
+    Classificacao,
+    ConjuntoImagens,
+    Imagem,
+    Opcao,
+    TipoUsuario,
+    Usuario,
+    UsuarioAdministrador,
+    UsuarioConvencional,
+)
+from ics_tpu.models.resnet import ResNet
+from ics_tpu.train.data import batch_iterator, labeled_examples
+from ics_tpu.train.finetune import FineTuner, make_optimizer
+
+from tests.fake_nextcloud import make_jpeg
+
+
+@pytest.fixture()
+def labeled_db(tmp_path):
+    db = Database(f"sqlite:///{tmp_path}/train.db")
+    db.create_all()
+    now = tz.utcnow()
+    blobs = {}
+    with db.session() as s:
+        s.add(TipoUsuario(id_tipo=1, nome="convencional"))
+        s.add(TipoUsuario(id_tipo=2, nome="admin"))
+        user = Usuario(nome_completo="A B", email="a@b.c", senha_hash="h",
+                       data_criado=now, id_tipo=2)
+        s.add(user)
+        s.flush()
+        adm = UsuarioAdministrador(cpf="1" * 11, id_usu=user.id_usu)
+        s.add(adm)
+        user2 = Usuario(nome_completo="C D", email="c@d.e", senha_hash="h",
+                        data_criado=now, id_tipo=1)
+        s.add(user2)
+        s.flush()
+        con = UsuarioConvencional(cpf="2" * 11, id_usu=user2.id_usu)
+        s.add(con)
+        cnj = ConjuntoImagens(nome_conj="f", caminho_conj="/f", file_id="1",
+                              data_proc=now, data_sinc=now)
+        s.add(cnj)
+        s.flush()
+        amb = Ambiente(titulo_amb="T", descricao_questionario="d",
+                       data_criado=now, id_adm=adm.id_adm)
+        s.add(amb)
+        s.flush()
+        s.add(AmbienteConjuntoImagens(id_amb=amb.id_amb, id_cnj=cnj.id_cnj,
+                                      data_associado=now))
+        op1 = Opcao(texto="gato", id_amb=amb.id_amb)
+        op2 = Opcao(texto="cão", id_amb=amb.id_amb)
+        s.add_all([op1, op2])
+        s.flush()
+        from ics_tpu.core.security import sha256_hex
+
+        for i in range(8):
+            data = make_jpeg(i, size=(80, 60))
+            h = sha256_hex(data)
+            blobs[h] = data
+            s.add(Imagem(content_hash=h, nome_img=f"{i}.jpg",
+                         caminho_img=f"f/{i}.jpg", data_proc=now,
+                         data_sinc=now, id_cnj=cnj.id_cnj))
+            s.add(Classificacao(
+                id_con=con.id_con, id_img=h,
+                id_opc=op1.id_opc if i % 2 == 0 else op2.id_opc,
+                data_criado=now, ativo=True,
+            ))
+        s.commit()
+        amb_id = amb.id_amb
+    return db, amb_id, blobs
+
+
+class TestDataset:
+    def test_labeled_examples(self, labeled_db):
+        db, amb_id, blobs = labeled_db
+        examples, class_map = labeled_examples(db, amb_id)
+        assert len(examples) == 8
+        assert len(class_map) == 2
+        labels = sorted(e["label"] for e in examples)
+        assert labels == [0] * 4 + [1] * 4
+
+    def test_batch_iterator_pads_and_decodes(self, labeled_db):
+        db, amb_id, blobs = labeled_db
+        examples, _ = labeled_examples(db, amb_id)
+        batches = list(
+            batch_iterator(
+                examples, lambda h, p: blobs[h], batch_size=6, canvas=128,
+                epochs=1,
+            )
+        )
+        assert len(batches) == 2
+        canvas, sizes, labels = batches[0]
+        assert canvas.shape == (6, 128, 128, 3)
+        assert sizes.shape == (6, 2) and labels.shape == (6,)
+        # decoded size is the true image size
+        assert tuple(sizes[0]) == (60, 80)
+
+
+class TestFineTune:
+    def test_finetune_with_checkpoint_resume(self, labeled_db, tmp_path):
+        db, amb_id, blobs = labeled_db
+        examples, class_map = labeled_examples(db, amb_id)
+        model = ResNet(block_counts=(1, 1, 1, 1), num_classes=len(class_map))
+        variables = model.init(jax.random.PRNGKey(0))
+
+        tuner = FineTuner(
+            model, make_optimizer(lr=0.01), image_size=64, resize_short=72,
+            compute_dtype=jnp.float32, checkpoint_dir=tmp_path / "ckpt",
+        )
+        batches = batch_iterator(
+            examples, lambda h, p: blobs[h], batch_size=4, canvas=128,
+            epochs=None,
+        )
+        variables2, opt_state, history = tuner.run(
+            variables, batches, max_steps=3, checkpoint_every=2
+        )
+        assert len(history) == 3
+        assert all(np.isfinite(h["loss"]) for h in history)
+        assert tuner.checkpoint.latest_step() == 3
+        # params actually moved
+        before = variables["params"]["head"]["w"]
+        after = variables2["params"]["head"]["w"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        tuner.checkpoint.close()
+
+        # resume: a fresh tuner picks up from step 3
+        tuner2 = FineTuner(
+            model, make_optimizer(lr=0.01), image_size=64, resize_short=72,
+            compute_dtype=jnp.float32, checkpoint_dir=tmp_path / "ckpt",
+        )
+        batches2 = batch_iterator(
+            examples, lambda h, p: blobs[h], batch_size=4, canvas=128,
+            epochs=None, seed=1,
+        )
+        _, _, history2 = tuner2.run(
+            variables, batches2, max_steps=2, checkpoint_every=100
+        )
+        assert history2[0]["step"] == 4
+        tuner2.checkpoint.close()
