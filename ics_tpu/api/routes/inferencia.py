@@ -1,0 +1,103 @@
+"""TPU inference management routes (net-new tier).
+
+- ``GET /inferencia/modelos`` — registry listing (any authenticated user)
+- ``GET /inferencia/status`` — engine/batcher/latency stats (admin)
+- ``POST /inferencia/warmup`` — pre-compile batch buckets (admin)
+- ``POST /inferencia/classificar`` — direct classify: multipart image(s) ->
+  top-k classes/scores via the shared compiled step (authenticated)
+- ``GET /monitor/metrics`` lives in main.py; profiler endpoints here:
+  ``POST /inferencia/profiler/start|stop`` (admin) wrap jax.profiler traces
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from ics_tpu.models.registry import get_model, list_models
+from ics_tpu.services.auth_service import get_current_user, require_admin
+from ics_tpu.web import HTTPException, JSONResponse, Request, Router
+
+router = Router(prefix="/inferencia")
+
+_PROFILE_DIR = "/tmp/ics_tpu_profile"
+_profiling = {"active": False}
+
+
+def _engine(request: Request):
+    engine = request.app.state.get("engine")
+    if engine is None:
+        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
+    return engine
+
+
+@router.get("/modelos")
+async def listar_modelos(request: Request):
+    get_current_user(request)
+    out = []
+    for name in list_models():
+        spec = get_model(name)
+        out.append(
+            {
+                "nome": name,
+                "image_size": spec.image_size,
+                "resize_short": spec.resize_short,
+                "descricao": spec.description,
+            }
+        )
+    return JSONResponse({"modelos": out, "total": len(out)})
+
+
+@router.get("/status")
+async def status_inferencia(request: Request):
+    require_admin(request)
+    return JSONResponse(_engine(request).status())
+
+
+@router.post("/warmup")
+async def warmup(request: Request):
+    require_admin(request)
+    service = _engine(request)
+    loop = asyncio.get_running_loop()
+    await loop.run_in_executor(None, service.engine.warmup)
+    return JSONResponse(
+        {"message": "warmup concluído", "buckets": list(service.engine.buckets)}
+    )
+
+
+@router.post("/classificar")
+async def classificar_direto(request: Request):
+    get_current_user(request)
+    service = _engine(request)
+    form = await request.form()
+    files = [f for _, f in form.files]
+    if not files:
+        raise HTTPException(422, "Envie ao menos uma imagem (campo 'files').")
+    try:
+        results = await service.classify_many([f.data for f in files])
+    except Exception:
+        raise HTTPException(422, "Uma ou mais imagens são inválidas.")
+    return JSONResponse({"total": len(results), "resultados": results})
+
+
+@router.post("/profiler/start")
+async def profiler_start(request: Request):
+    require_admin(request)
+    if _profiling["active"]:
+        raise HTTPException(409, "Profiler já ativo.")
+    import jax
+
+    jax.profiler.start_trace(_PROFILE_DIR)
+    _profiling["active"] = True
+    return JSONResponse({"message": "trace iniciado", "dir": _PROFILE_DIR})
+
+
+@router.post("/profiler/stop")
+async def profiler_stop(request: Request):
+    require_admin(request)
+    if not _profiling["active"]:
+        raise HTTPException(409, "Profiler não está ativo.")
+    import jax
+
+    jax.profiler.stop_trace()
+    _profiling["active"] = False
+    return JSONResponse({"message": "trace finalizado", "dir": _PROFILE_DIR})

@@ -84,6 +84,40 @@ async def lifespan(app: App):
             await app.state.engine.stop()
 
 
+async def _observability_middleware(request: Request, call_next):
+    """Request-id + structured access log + latency histogram
+    (SURVEY.md §5 tracing build note)."""
+    import time
+    import uuid
+
+    from ics_tpu.utils.metrics import registry
+
+    request_id = request.headers.get("x-request-id") or uuid.uuid4().hex[:12]
+    request.state.request_id = request_id
+    t0 = time.perf_counter()
+    try:
+        response = await call_next(request)
+        status = response.status_code
+        return response
+    except Exception:
+        status = 500
+        raise
+    finally:
+        dt_ms = (time.perf_counter() - t0) * 1000
+        registry.counter(
+            "http_requests_total", "total HTTP requests"
+        ).inc()
+        if status >= 500:
+            registry.counter("http_errors_total", "5xx responses").inc()
+        registry.histogram(
+            "http_request_ms", "request latency (ms)"
+        ).observe(dt_ms)
+        logger.info(
+            'rid=%s method=%s path=%s status=%s ms=%.2f',
+            request_id, request.method, request.path, status, dt_ms,
+        )
+
+
 async def _db_session_middleware(request: Request, call_next):
     """One unit-of-work per request (reference ``get_db`` dependency)."""
     db = request.app.state.db
@@ -108,6 +142,7 @@ def create_app(db: Database | None = None) -> App:
     )
     if db is not None:
         app.state.db = db
+    app.add_middleware(_observability_middleware)
     app.add_middleware(_db_session_middleware)
 
     from ics_tpu.api.routes import auth as auth_routes
@@ -153,6 +188,30 @@ def create_app(db: Database | None = None) -> App:
                 "environment": settings.ENV,
             }
         )
+
+    @app.get("/monitor/metrics")
+    async def monitor_metrics(request: Request):
+        from ics_tpu.utils.metrics import registry
+        from ics_tpu.web import PlainTextResponse
+
+        engine = request.app.state.get("engine")
+        if engine is not None:
+            stats = engine.status()
+            registry.gauge(
+                "tpu_images_total", "images inferred"
+            ).set(stats.get("images", 0))
+            registry.gauge(
+                "tpu_batches_total", "batches executed"
+            ).set(stats.get("batches", 0))
+            lat = stats.get("latency") or {}
+            if lat:
+                registry.gauge("classify_p50_ms", "classify p50").set(
+                    lat.get("p50_ms", 0)
+                )
+                registry.gauge("classify_p99_ms", "classify p99").set(
+                    lat.get("p99_ms", 0)
+                )
+        return PlainTextResponse(registry.expose())
 
     @app.get("/monitor/status")
     async def monitor_status(request: Request):

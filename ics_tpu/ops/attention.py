@@ -22,6 +22,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Q_BLOCK = 128
 K_BLOCK = 128
+# sequences up to this length take the single-pass path (full-row softmax,
+# no online rescaling) — ViT's 577 tokens land here
+SINGLE_PASS_MAX = 1024
 NEG_INF = -1e30
 
 
@@ -30,45 +33,92 @@ def _should_interpret() -> bool:
 
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref):
-    """Grid: (batch*heads, q_blocks). Blocks: q [Q_BLOCK, D], k/v [S, D]."""
-    # q arrives pre-scaled by 1/sqrt(true_head_dim) (wrapper); the padded
-    # lane dim would give the wrong scale here
-    q = q_ref[0].astype(jnp.float32)          # [Qb, D]
+    """Grid: (batch*heads,). Blocks: q/k/v/o [1, S, D] — K/V stream from
+    VMEM once per (batch, head); the q-block loop runs inside the kernel.
+
+    Matmuls run in the INPUT dtype (bf16 in production -> 2x MXU rate) with
+    fp32 accumulation; softmax statistics stay fp32.
+    """
     seq_len = len_ref[0]
     kv_len = k_ref.shape[1]
-
+    num_qb = q_ref.shape[1] // Q_BLOCK
     num_kb = kv_len // K_BLOCK
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(kb * K_BLOCK, K_BLOCK), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * K_BLOCK, K_BLOCK), :].astype(jnp.float32)
+    def q_body(qb, _):
+        # q pre-scaled by 1/sqrt(true_head_dim) in the wrapper (the padded
+        # lane dim here would give the wrong scale)
+        q = q_ref[0, pl.ds(qb * Q_BLOCK, Q_BLOCK), :]      # [Qb, D] input dtype
+
+        def kv_body(kb, carry):
+            acc, m_prev, l_prev = carry
+            k_blk = k_ref[0, pl.ds(kb * K_BLOCK, K_BLOCK), :]
+            v_blk = v_ref[0, pl.ds(kb * K_BLOCK, K_BLOCK), :]
+            scores = jax.lax.dot_general(
+                q, k_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [Qb, Kb] fp32
+            col = kb * K_BLOCK + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, dimension=1
+            )
+            scores = jnp.where(col < seq_len, scores, NEG_INF)
+            m_cur = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(scores - m_new)                    # fp32
+            correction = jnp.exp(m_prev - m_new)
+            l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * correction + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((Q_BLOCK, v_ref.shape[-1]), jnp.float32)
+        m0 = jnp.full((Q_BLOCK, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Q_BLOCK, 1), jnp.float32)
+        acc, _, l_final = jax.lax.fori_loop(0, num_kb, kv_body, (acc0, m0, l0))
+        o_ref[0, pl.ds(qb * Q_BLOCK, Q_BLOCK), :] = (
+            acc / jnp.maximum(l_final, 1e-30)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, num_qb, q_body, 0)
+
+
+def _flash_kernel_single_pass(len_ref, q_ref, k_ref, v_ref, o_ref):
+    """Short-sequence fast path: whole K/V in one dot per Q block — one
+    full-row softmax, no correction passes. Grid: (batch*heads,)."""
+    seq_len = len_ref[0]
+    kv_len = k_ref.shape[1]
+    num_qb = q_ref.shape[1] // Q_BLOCK
+    k_all = k_ref[0]                                        # [S, D]
+    v_all = v_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q_BLOCK, kv_len), 1)
+    mask = col < seq_len
+
+    def q_body(qb, _):
+        q = q_ref[0, pl.ds(qb * Q_BLOCK, Q_BLOCK), :]
         scores = jax.lax.dot_general(
-            q, k_blk,
+            q, k_all,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # [Qb, Kb]
-        col = kb * K_BLOCK + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, dimension=1
-        )
-        scores = jnp.where(col < seq_len, scores, NEG_INF)
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)    # [Qb, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(scores - m_new)                        # [Qb, Kb]
-        correction = jnp.exp(m_prev - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * correction + jax.lax.dot_general(
-            p, v_blk,
+        )                                                   # [Qb, S] fp32
+        scores = jnp.where(mask, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_all.dtype), v_all,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        o_ref[0, pl.ds(qb * Q_BLOCK, Q_BLOCK), :] = (
+            acc / jnp.maximum(denom, 1e-30)
+        ).astype(o_ref.dtype)
+        return 0
 
-    acc0 = jnp.zeros((q.shape[0], v_ref.shape[-1]), jnp.float32)
-    m0 = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-    acc, _, l_final = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, num_qb, q_body, 0)
 
 
 def _pad_to(x, size: int, axis: int):
@@ -100,28 +150,31 @@ def flash_attention(q, k, v, seq_len=None, interpret=None):
         seq_len = s
     len_arr = jnp.full((1,), seq_len, jnp.int32)
 
-    grid = (b * h, s_pad // Q_BLOCK)
+    grid = (b * h,)
+    kernel = (
+        _flash_kernel_single_pass if s_pad <= SINGLE_PASS_MAX else _flash_kernel
+    )
     out = pl.pallas_call(
-        _flash_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d_pad), orig_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, Q_BLOCK, d_pad), lambda i, j: (i, j, 0),
+                (1, s_pad, d_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s_pad, d_pad), lambda i, j: (i, 0, 0),
+                (1, s_pad, d_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, s_pad, d_pad), lambda i, j: (i, 0, 0),
+                (1, s_pad, d_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, Q_BLOCK, d_pad), lambda i, j: (i, j, 0),
+            (1, s_pad, d_pad), lambda i: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,

@@ -88,8 +88,18 @@ class DynamicBatcher:
             await self._flush(batch)
 
     async def _flush(self, batch: list[_Pending]) -> None:
+        from ics_tpu.utils.metrics import registry
+
         self.stats["flushes"] += 1
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], len(batch))
+        registry.histogram(
+            "batch_occupancy", "images per flushed batch",
+            buckets=(1, 2, 4, 8, 16, 32, 64, 128),
+        ).observe(len(batch))
+        queue_ms = (time.perf_counter() - batch[0].enqueued_at) * 1000
+        registry.histogram(
+            "batch_queue_ms", "oldest-request queue wait (ms)"
+        ).observe(queue_ms)
         loop = asyncio.get_running_loop()
         images = [p.image for p in batch]
         try:

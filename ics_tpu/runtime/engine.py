@@ -43,6 +43,7 @@ class InferenceEngine:
         canvas: int = 512,
         seed: int = 0,
         variables: Optional[dict] = None,
+        mesh=None,
     ):
         self.spec: ModelSpec = get_model(model_name)
         self.model = self.spec.build(num_classes=num_classes)
@@ -56,8 +57,21 @@ class InferenceEngine:
             variables = self.model.init(jax.random.PRNGKey(seed))
         self.variables = variables
         folded = self.model.fold(variables)
+        self.mesh = mesh
         self.folded = _cast_pytree(folded, self.dtype)
-        self.folded = jax.device_put(self.folded)
+        if mesh is not None:
+            # multi-chip serving: params replicated, batch sharded over
+            # 'data' (collectives ride ICI; XLA inserts them via GSPMD)
+            from ics_tpu.parallel.mesh import replicated_sharding
+
+            self.folded = jax.device_put(
+                self.folded,
+                jax.tree_util.tree_map(
+                    lambda _: replicated_sharding(mesh), self.folded
+                ),
+            )
+        else:
+            self.folded = jax.device_put(self.folded)
         self._step = None
         self._compiled_shapes: set[tuple[int, int]] = set()
         self._stats = {
@@ -70,7 +84,6 @@ class InferenceEngine:
         spec = self.spec
         dtype = self.dtype
 
-        @jax.jit
         def step(folded, canvas_u8, sizes):
             x = preprocess_batch(
                 canvas_u8, sizes, out_size=spec.image_size,
@@ -81,7 +94,19 @@ class InferenceEngine:
             top_scores, top_idx = jax.lax.top_k(probs, TOP_K)
             return top_idx, top_scores
 
-        return step
+        if self.mesh is not None:
+            from ics_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+            folded_sh = jax.tree_util.tree_map(lambda _: rep, self.folded)
+            data4 = batch_sharding(self.mesh, 4)
+            data2 = batch_sharding(self.mesh, 2)
+            return jax.jit(
+                step,
+                in_shardings=(folded_sh, data4, data2),
+                out_shardings=(data2, data2),
+            )
+        return jax.jit(step)
 
     def _get_step(self):
         if self._step is None:

@@ -23,6 +23,19 @@ class TestFlashAttention:
             np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
         )
 
+    def test_long_sequence_online_softmax_path(self):
+        # seq > SINGLE_PASS_MAX exercises the multi-block online kernel
+        keys = jax.random.split(jax.random.PRNGKey(5), 3)
+        shape = (1, 1, 1100, 64)
+        q = jax.random.normal(keys[0], shape)
+        k = jax.random.normal(keys[1], shape)
+        v = jax.random.normal(keys[2], shape)
+        out = flash_attention(q, k, v)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
     def test_padding_masked(self):
         # identical valid prefix, different garbage tail -> same output
         keys = jax.random.split(jax.random.PRNGKey(1), 3)

@@ -1,0 +1,80 @@
+"""Metrics registry + observability endpoint tests."""
+
+import httpx
+import pytest
+
+from ics_tpu.db.engine import Database
+from ics_tpu.main import create_app
+from ics_tpu.utils.metrics import Histogram, Registry
+
+
+class TestMetricsPrimitives:
+    def test_counter_and_gauge(self):
+        reg = Registry()
+        c = reg.counter("x_total", "x")
+        c.inc()
+        c.inc(2)
+        assert c.value == 3
+        g = reg.gauge("g", "g")
+        g.set(7.5)
+        assert "x_total 3" in reg.expose()
+        assert "g 7.5" in reg.expose()
+        # same name returns same object
+        assert reg.counter("x_total") is c
+
+    def test_histogram_quantiles(self):
+        h = Histogram("lat_ms", buckets=(1, 5, 10, 50, 100))
+        for v in [2, 3, 4, 6, 7, 80]:
+            h.observe(v)
+        assert h.quantile(0.5) == 5     # upper bound of the median bucket
+        assert h.quantile(0.99) == 100
+        text = h.expose()
+        assert 'lat_ms_bucket{le="+Inf"} 6' in text
+        assert "lat_ms_count 6" in text
+
+    def test_histogram_empty(self):
+        h = Histogram("e")
+        assert h.quantile(0.5) is None
+
+
+class TestMonitorEndpoints:
+    @pytest.fixture()
+    async def app(self, tmp_path):
+        db = Database(f"sqlite:///{tmp_path}/obs.db")
+        a = create_app(db=db)
+        await a.startup()
+        yield a
+        await a.shutdown()
+
+    @pytest.mark.anyio
+    async def test_metrics_endpoint_and_request_counter(self, app):
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=app), base_url="http://t"
+        ) as client:
+            await client.get("/health")
+            r = await client.get("/monitor/metrics")
+            assert r.status_code == 200
+            body = r.text
+            assert "http_requests_total" in body
+            assert "http_request_ms_bucket" in body
+
+    @pytest.mark.anyio
+    async def test_request_id_logged(self, app, caplog):
+        import logging
+
+        with caplog.at_level(logging.INFO, logger="ics_tpu.main"):
+            async with httpx.AsyncClient(
+                transport=httpx.ASGITransport(app=app), base_url="http://t"
+            ) as client:
+                await client.get("/health", headers={"x-request-id": "abc123"})
+        assert any("rid=abc123" in rec.getMessage() for rec in caplog.records)
+
+    @pytest.mark.anyio
+    async def test_inferencia_routes_guarded(self, app):
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=app), base_url="http://t"
+        ) as client:
+            r = await client.get("/inferencia/modelos")
+            assert r.status_code == 401
+            r = await client.post("/inferencia/warmup")
+            assert r.status_code == 401
