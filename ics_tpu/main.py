@@ -53,7 +53,7 @@ async def lifespan(app: App):
             from ics_tpu.runtime.service import InferenceService
 
             app.state.engine = InferenceService.from_settings()
-            await app.state.engine.start()
+            await app.state.engine.start(warm=settings.TPU_WARMUP_ON_STARTUP)
             logger.info("TPU inference service started")
         except Exception as exc:  # pragma: no cover - env-dependent
             logger.warning("TPU inference disabled: %s", exc)

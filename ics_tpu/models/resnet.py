@@ -175,10 +175,36 @@ class ResNet:
         return logits, {"stem": stem_state, "stages": new_stages}
 
     # -- folded inference --------------------------------------------------
+    @staticmethod
+    def _stem_s2d_kernel(k7):
+        """7x7/s2 stem kernel -> exact-equivalent 4x4/s1 kernel over a 2x2
+        space-to-depth input (MLPerf ResNet trick: the 3-channel 7x7 stem
+        utilizes a sliver of the MXU; the transformed conv runs on 12
+        channels at 1/4 the spatial size — identical outputs, big speedup).
+
+        k7 [7,7,3,64] -> k8 zero-padded at top-left -> k4 [4,4,12,64] with
+        k4[p,q,(dy*2+dx)*3+c] = k8[2p+dy, 2q+dx, c].
+        """
+        k8 = jnp.pad(k7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # [4,2,4,2,3,64]: split each spatial dim into (block, offset)
+        k = k8.reshape(4, 2, 4, 2, k7.shape[2], k7.shape[3])
+        k = jnp.transpose(k, (0, 2, 1, 3, 4, 5))  # [4,4,dy,dx,3,64]
+        return k.reshape(4, 4, 4 * k7.shape[2], k7.shape[3])
+
+    @staticmethod
+    def _space_to_depth(x):
+        """x [B,H,W,C] (H,W even) -> [B,H/2,W/2,4C], channel (dy,dx,c)."""
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(b, h // 2, w // 2, 4 * c)
+
     def fold(self, variables) -> dict:
         params, state = variables["params"], variables["state"]
+        stem_folded = self.stem.fold(params["stem"], state["stem"])
         folded = {
-            "stem": self.stem.fold(params["stem"], state["stem"]),
+            "stem": stem_folded,
+            "stem_s2d_w": self._stem_s2d_kernel(stem_folded["conv"]["w"]),
             "stages": [
                 [blk.fold(p, s) for blk, p, s in zip(blocks, bp, bs)]
                 for blocks, bp, bs in zip(
@@ -189,8 +215,25 @@ class ResNet:
         }
         return folded
 
+    def _stem_folded(self, folded, x):
+        h, w = x.shape[1], x.shape[2]
+        if "stem_s2d_w" in folded and h % 2 == 0 and w % 2 == 0:
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            xs = self._space_to_depth(xp)
+            y = jax.lax.conv_general_dilated(
+                xs,
+                folded["stem_s2d_w"].astype(x.dtype),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            f = folded["stem"]["bnf"]
+            return y * f["scale"].astype(y.dtype) + f["bias"].astype(y.dtype)
+        return self.stem.apply_folded(folded["stem"], x)
+
     def apply_folded(self, folded, x):
-        y = jax.nn.relu(self.stem.apply_folded(folded["stem"], x))
+        y = jax.nn.relu(self._stem_folded(folded, x))
         y = max_pool(y, 3, 2, "SAME")
         for blocks, bfolded in zip(self.stages, folded["stages"]):
             for blk, f in zip(blocks, bfolded):

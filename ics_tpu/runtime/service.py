@@ -45,8 +45,11 @@ class InferenceService:
 
     async def start(self, warm: bool = False) -> None:
         if warm:
+            # pre-compile every batch bucket so first requests don't pay
+            # cold-compile latency (cold compile can be minutes on a
+            # remote-compile tunnel)
             await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.warmup, (1,)
+                None, self.engine.warmup
             )
         await self.batcher.start()
 
@@ -54,11 +57,20 @@ class InferenceService:
         await self.batcher.stop()
 
     async def classify_bytes(self, data: bytes) -> dict:
+        from ics_tpu.utils.metrics import registry
+
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         image = await loop.run_in_executor(None, decode_image, data)
+        decode_ms = (time.perf_counter() - t0) * 1000
+        registry.histogram("decode_ms", "host decode latency (ms)").observe(
+            decode_ms
+        )
         idx, scores = await self.batcher.submit(image)
         dt_ms = (time.perf_counter() - t0) * 1000
+        registry.histogram(
+            "classify_e2e_ms", "end-to-end classify latency (ms)"
+        ).observe(dt_ms)
         self._record_latency(dt_ms)
         return {
             "top_classes": [int(i) for i in idx],

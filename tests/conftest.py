@@ -26,6 +26,10 @@ os.environ.setdefault("ENV", "test")
 os.environ.setdefault("DATABASE_URL", "sqlite:///:memory:")
 os.environ.setdefault("JWT_SECRET_KEY", "test-secret")
 os.environ.setdefault("NEXTCLOUD_SYNC_INITIAL_ON_STARTUP", "false")
+# app-fixture startup must not build/warm a full inference engine on CPU;
+# the TPU tier has its own dedicated tests
+os.environ.setdefault("TPU_ENABLE_INFERENCE", "false")
+os.environ.setdefault("TPU_WARMUP_ON_STARTUP", "false")
 
 import pytest  # noqa: E402
 
