@@ -1,0 +1,22 @@
+"""Add sync_status.last_activity_id.
+
+NextCloud's Activity API ``since`` parameter is the last-seen ACTIVITY ID,
+not a unix timestamp — the reference passed timestamps, so its incremental
+channel silently returned nothing after the first watermark (review
+finding; reference defect class SURVEY §2.4). The ID watermark fixes the
+semantics; the timestamp columns remain for freshness display.
+"""
+
+revision = "0002_activity_id_watermark"
+down_revision = "0001_initial_schema"
+
+
+def upgrade(session) -> None:
+    cols = {
+        r["name"]
+        for r in session.fetchall("PRAGMA table_info(sync_status)")
+    }
+    if "last_activity_id" not in cols:
+        session.execute(
+            "ALTER TABLE sync_status ADD COLUMN last_activity_id INTEGER"
+        )

@@ -248,6 +248,9 @@ class SyncStatus(Model):
     __tablename__ = "sync_status"
     id = Column(Integer, primary_key=True, default=1)
     last_activity_api_sync = Column(DateTime)
+    # Activity API watermark: ``since`` is the last-seen ACTIVITY ID (the
+    # reference wrongly passed unix timestamps — defect fixed)
+    last_activity_id = Column(Integer)
     last_webdav_sync = Column(DateTime)
     webdav_initial_sync_start = Column(DateTime)
     activity_api_available = Column(Boolean, nullable=False, default=True)

@@ -52,10 +52,14 @@ async def lifespan(app: App):
         try:
             from ics_tpu.runtime.service import InferenceService
 
-            app.state.engine = InferenceService.from_settings()
-            await app.state.engine.start(warm=settings.TPU_WARMUP_ON_STARTUP)
+            service = InferenceService.from_settings()
+            await service.start(warm=settings.TPU_WARMUP_ON_STARTUP)
+            # only publish the service once fully started — a half-started
+            # service (batcher never launched) would hang classify requests
+            app.state.engine = service
             logger.info("TPU inference service started")
         except Exception as exc:  # pragma: no cover - env-dependent
+            app.state.engine = None
             logger.warning("TPU inference disabled: %s", exc)
 
     # NextCloud sync engine

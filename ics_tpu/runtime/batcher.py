@@ -62,6 +62,13 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # fail anything still queued so callers don't await forever
+        while not self._queue.empty():
+            pending = self._queue.get_nowait()
+            if not pending.future.done():
+                pending.future.set_exception(
+                    RuntimeError("batcher stopped before request was served")
+                )
 
     async def submit(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         loop = asyncio.get_running_loop()
@@ -74,18 +81,32 @@ class DynamicBatcher:
         while not self._stopping:
             first = await self._queue.get()
             batch = [first]
-            # coalesce until deadline or full batch
-            deadline = first.enqueued_at + self.deadline_s
-            while len(batch) < self.max_batch:
-                timeout = deadline - time.perf_counter()
-                if timeout <= 0:
-                    break
-                try:
-                    nxt = await asyncio.wait_for(self._queue.get(), timeout)
-                    batch.append(nxt)
-                except asyncio.TimeoutError:
-                    break
-            await self._flush(batch)
+            try:
+                # coalesce until deadline or full batch
+                deadline = first.enqueued_at + self.deadline_s
+                while len(batch) < self.max_batch:
+                    timeout = deadline - time.perf_counter()
+                    if timeout <= 0:
+                        break
+                    try:
+                        nxt = await asyncio.wait_for(self._queue.get(), timeout)
+                        batch.append(nxt)
+                    except asyncio.TimeoutError:
+                        break
+                await self._flush(batch)
+            except asyncio.CancelledError:
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(
+                            RuntimeError("batcher stopped mid-flight")
+                        )
+                raise
+            except Exception as exc:
+                # the flusher must never die: fail this batch, keep serving
+                logger.exception("flusher iteration failed")
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
 
     async def _flush(self, batch: list[_Pending]) -> None:
         from ics_tpu.utils.metrics import registry
@@ -103,10 +124,13 @@ class DynamicBatcher:
         loop = asyncio.get_running_loop()
         images = [p.image for p in batch]
         try:
-            canvas, sizes = self.stage_batch(images)
-            idx, scores = await loop.run_in_executor(
-                None, self.predict_staged, canvas, sizes
-            )
+            # staging (numpy canvas assembly) AND device work run off the
+            # event loop — host CRUD latency must never couple to either
+            def stage_and_predict():
+                canvas, sizes = self.stage_batch(images)
+                return self.predict_staged(canvas, sizes)
+
+            idx, scores = await loop.run_in_executor(None, stage_and_predict)
             for i, p in enumerate(batch):
                 if not p.future.done():
                     p.future.set_result((idx[i], scores[i]))

@@ -126,6 +126,7 @@ class InferenceEngine:
             sizes = np.full((b, 2), 256, np.int32)
             idx, _ = step(self.folded, canvas, sizes)
             jax.block_until_ready(idx)
+            self._compiled_shapes.add((b, self.canvas))
             logger.info("compiled %s step for bucket %d", self.model_name, b)
 
     # -- public -------------------------------------------------------------

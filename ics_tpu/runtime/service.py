@@ -16,6 +16,7 @@ import numpy as np
 
 from ics_tpu.core.config import settings
 from ics_tpu.runtime.batcher import DynamicBatcher
+from ics_tpu.utils.metrics import registry as metrics_registry
 from ics_tpu.runtime.decode import decode_image, stage_batch
 from ics_tpu.runtime.engine import InferenceEngine
 
@@ -57,20 +58,18 @@ class InferenceService:
         await self.batcher.stop()
 
     async def classify_bytes(self, data: bytes) -> dict:
-        from ics_tpu.utils.metrics import registry
-
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         image = await loop.run_in_executor(None, decode_image, data)
         decode_ms = (time.perf_counter() - t0) * 1000
-        registry.histogram("decode_ms", "host decode latency (ms)").observe(
-            decode_ms
-        )
+        metrics_registry.histogram(
+            "decode_ms", "host decode latency (ms)",
+            buckets=(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50),
+        ).observe(decode_ms)
         idx, scores = await self.batcher.submit(image)
         dt_ms = (time.perf_counter() - t0) * 1000
-        registry.histogram(
-            "classify_e2e_ms", "end-to-end classify latency (ms)"
-        ).observe(dt_ms)
+        # e2e percentiles come from _latencies_ms (single source of truth,
+        # exposed via latency_percentiles() and the /monitor gauges)
         self._record_latency(dt_ms)
         return {
             "top_classes": [int(i) for i in idx],

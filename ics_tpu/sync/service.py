@@ -74,15 +74,30 @@ class NextCloudSyncService:
         scan_done = asyncio.Event()
 
         async def collector() -> None:
-            """Buffer live events while the scan runs (race-window closer)."""
-            since = int(started.timestamp())
+            """Buffer live events while the scan runs (race-window closer).
+
+            ``since`` is the last-seen ACTIVITY ID (NextCloud semantics);
+            the baseline is the newest ID at scan start.
+            """
+            baseline = 0
+            try:
+                current = await self.client.fetch_activities(since=0, limit=1)
+                baseline = max(
+                    (int(e.get("activity_id", 0)) for e in current), default=0
+                )
+            except Exception as exc:
+                logger.debug("coletor: baseline indisponível: %s", exc)
             for _ in range(COLLECTOR_MAX_ITERS):
                 if scan_done.is_set():
                     return
                 try:
-                    events = await self.client.fetch_activities(since=since)
+                    events = await self.client.fetch_activities(since=baseline)
                     if events:
                         self.event_cache.add_events(events)
+                        baseline = max(
+                            (int(e.get("activity_id", 0)) for e in events),
+                            default=baseline,
+                        )
                 except Exception as exc:
                     logger.debug("coletor de eventos: %s", exc)
                 try:
@@ -109,8 +124,18 @@ class NextCloudSyncService:
         now = tz.utcnow()
         self.cache.update_last_webdav_sync(now)
         self.cache.update_last_activity_sync(now)
+        await self._refresh_activity_id_watermark()
         self.cache.set_last_result("success", "initial", None)
         return {"mode": "initial_full", **stats, "replay": replay_stats}
+
+    async def _refresh_activity_id_watermark(self) -> None:
+        try:
+            latest = await self.client.fetch_activities(since=0, limit=1)
+            top = max((int(e.get("activity_id", 0)) for e in latest), default=0)
+            if top:
+                self.cache.update_last_activity_id(top)
+        except Exception as exc:
+            logger.debug("watermark refresh: %s", exc)
 
     async def _apply_cached_events(self) -> dict[str, Any]:
         events = self.event_cache.get_events()
@@ -118,6 +143,9 @@ class NextCloudSyncService:
             return {"events_processed": 0}
         activity = ActivityAPISync(self.client, self.db)
         stats = await activity.process_events(events)
+        top = max((int(e.get("activity_id", 0)) for e in events), default=0)
+        if top:
+            self.cache.update_last_activity_id(top)
         self.event_cache.clear()
         return stats
 
@@ -149,14 +177,15 @@ class NextCloudSyncService:
                 self.cache.record_activity_failure()
                 return await self._sync_via_webdav()
             status = self.cache.get()
-            since = (
-                int(status.last_activity_api_sync.timestamp())
-                if status.last_activity_api_sync
-                else 0
-            )
+            # NextCloud Activity API: ``since`` is the last-seen activity ID
+            # (the reference passed timestamps — broken incremental channel)
+            since = status.last_activity_id or 0
             activity = ActivityAPISync(self.client, self.db)
             events = await activity.fetch_events_since(since)
             stats = await activity.process_events(events)
+            top = max((int(e.get("activity_id", 0)) for e in events), default=0)
+            if top:
+                self.cache.update_last_activity_id(top)
             self.cache.record_activity_success()
             self.cache.update_last_activity_sync()
             self.cache.set_last_result("success", "activity_api", None)

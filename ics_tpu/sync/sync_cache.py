@@ -29,7 +29,13 @@ class SyncCache:
             if row is None:
                 now = tz.utcnow()
                 s.add(SyncStatus(id=1, created_at=now, updated_at=now))
-                s.commit()
+            elif row.sync_in_progress:
+                # stale-lock recovery: SyncCache is constructed once per
+                # process start, so a set flag here means a previous process
+                # crashed mid-sync; clearing it keeps the mutex crash-safe
+                row.sync_in_progress = False
+                row.updated_at = tz.utcnow()
+            s.commit()
 
     def _update(self, **fields) -> None:
         with self.db.session() as s:
@@ -46,6 +52,11 @@ class SyncCache:
     # -- watermarks -----------------------------------------------------
     def update_last_activity_sync(self, when: Optional[datetime] = None) -> None:
         self._update(last_activity_api_sync=when or tz.utcnow())
+
+    def update_last_activity_id(self, activity_id: int) -> None:
+        row = self.get()
+        if activity_id > (row.last_activity_id or 0):
+            self._update(last_activity_id=activity_id)
 
     def update_last_webdav_sync(self, when: Optional[datetime] = None) -> None:
         self._update(last_webdav_sync=when or tz.utcnow())

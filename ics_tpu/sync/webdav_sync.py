@@ -36,11 +36,14 @@ ALLOWED_EXTENSIONS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp")
 
 
 def validate_image_entry(info: dict) -> bool:
+    """Extension must match; content-type must match when the server sent
+    one (some WebDAV servers omit getcontenttype — requiring it would
+    silently skip those files forever)."""
     name = (info.get("name") or "").lower()
     ctype = (info.get("content_type") or "").lower()
-    return any(name.endswith(ext) for ext in ALLOWED_EXTENSIONS) and any(
-        mime in ctype for mime in ALLOWED_MIMES
-    )
+    if not any(name.endswith(ext) for ext in ALLOWED_EXTENSIONS):
+        return False
+    return not ctype or any(mime in ctype for mime in ALLOWED_MIMES)
 
 
 def extract_metadata(data: bytes) -> dict:
@@ -163,27 +166,36 @@ class WebDAVSync:
     ) -> dict[str, int]:
         stats = {"processed": 0, "created": 0, "updated": 0}
         now = tz.utcnow()
-        with self.db.session() as s:
-            for info in images:
-                if not validate_image_entry(info):
-                    continue
+        # phase 1: network + hashing + decode, NO open DB transaction —
+        # holding a write txn across 60 s downloads would lock out every
+        # other writer (API requests) for the whole batch
+        prepared: list[tuple[str, dict, dict]] = []
+        for info in images:
+            if not validate_image_entry(info):
+                continue
+            try:
+                data = await self.client.get_file(info["path"])
+            except Exception as exc:
+                logger.error("download falhou %s: %s", info.get("path"), exc)
+                continue
+            content_hash = sha256_hex(data)
+            metadata = await asyncio.to_thread(extract_metadata, data)
+            if self.on_image_bytes is not None:
                 try:
-                    data = await self.client.get_file(info["path"])
-                except Exception as exc:
-                    logger.error("download falhou %s: %s", info.get("path"), exc)
-                    continue
-                content_hash = sha256_hex(data)
-                metadata = await asyncio.to_thread(extract_metadata, data)
-                if self.on_image_bytes is not None:
-                    try:
-                        self.on_image_bytes(content_hash, data)
-                    except Exception:
-                        logger.exception("on_image_bytes hook falhou")
+                    self.on_image_bytes(content_hash, data)
+                except Exception:
+                    logger.exception("on_image_bytes hook falhou")
+            prepared.append((content_hash, info, metadata))
+
+        # phase 2: short write transactions, one commit per image so a
+        # duplicate-hash conflict cannot roll back the rest of the batch
+        with self.db.session() as s:
+            for content_hash, info, metadata in prepared:
                 stats["processed"] += 1
                 self._upsert_image(
                     s, content_hash, info, metadata, conjunto_id, now, stats
                 )
-            s.commit()  # one commit per batch (reference parity)
+                s.commit()
         return stats
 
     def _upsert_image(
@@ -275,6 +287,11 @@ class WebDAVSync:
                 .all()
             )
             for pasta in rows:
+                # the scan only lists ROOT folders (depth 1); nested
+                # conjuntos created via Activity events are invisible here
+                # and must not be tombstoned by their absence
+                if "/" in (pasta.caminho_conj or "").strip("/"):
+                    continue
                 if pasta.file_id not in current_ids:
                     pasta.existe_no_nextcloud = False
                     pasta.data_sinc = now

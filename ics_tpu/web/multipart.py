@@ -61,8 +61,15 @@ def parse_multipart(body: bytes, content_type: str) -> FormData:
     delim = b"--" + boundary.encode()
     form = FormData()
     for raw_part in body.split(delim):
-        part = raw_part.strip(b"\r\n")
-        if not part or part in (b"--", b"--\r\n"):
+        # strip exactly ONE protocol CRLF from each side — the part's own
+        # payload may legitimately begin/end with CR/LF bytes and a greedy
+        # strip would corrupt the content (and its content-hash)
+        part = raw_part
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
+        if not part or part == b"--":
             continue
         if b"\r\n\r\n" in part:
             raw_headers, _, content = part.partition(b"\r\n\r\n")

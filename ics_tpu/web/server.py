@@ -57,6 +57,7 @@ class _Connection:
             return False
         headers: list[tuple[bytes, bytes]] = []
         content_length = 0
+        chunked = False
         keep_alive = version.upper() != "HTTP/1.0"
         for line in lines[1:]:
             if not line:
@@ -66,12 +67,21 @@ class _Connection:
             headers.append((k_l, v_s))
             if k_l == b"content-length":
                 content_length = int(v_s or b"0")
+            elif k_l == b"transfer-encoding":
+                if b"chunked" in v_s.lower():
+                    chunked = True
             elif k_l == b"connection":
                 token = v_s.decode("latin-1").lower()
                 if "close" in token:
                     keep_alive = False
                 elif "keep-alive" in token:
                     keep_alive = True
+        if chunked:
+            # chunked bodies are not implemented; silently ignoring them
+            # would desync the keep-alive stream (request smuggling), so
+            # refuse and close
+            await self._simple_response(501, b"chunked transfer-encoding not supported")
+            return False
         if content_length > MAX_BODY_BYTES:
             await self._simple_response(413, b"Payload Too Large")
             return False

@@ -155,8 +155,11 @@ def make_fake_nextcloud(state: FakeState) -> App:
     async def activity(request: Request):
         if state.fail_activity:
             return Response(b"down", 503)
-        since = float(request.query_params.get("since", 0) or 0)
-        events = [e for e in state.events if e["datetime"] > since]
+        # NextCloud semantics: ``since`` is the last-seen activity ID
+        since = int(float(request.query_params.get("since", 0) or 0))
+        limit = int(request.query_params.get("limit", 200) or 200)
+        events = [e for e in state.events if e["activity_id"] > since]
+        events = sorted(events, key=lambda e: -e["activity_id"])[:limit]
         return JSONResponse({"ocs": {"data": events}})
 
     app.include_router(router)

@@ -173,7 +173,10 @@ class TestMigrations:
     def test_upgrade_head_from_empty(self, tmp_path):
         db = Database(f"sqlite:///{tmp_path}/mig.db")
         applied = upgrade_head(db)
-        assert applied == ["0001_initial_schema"]
+        assert applied == [
+            "0001_initial_schema",
+            "0002_activity_id_watermark",
+        ]
         with db.session() as s:
             assert "usuarios" in {
                 r["name"]
