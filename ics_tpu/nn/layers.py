@@ -79,6 +79,9 @@ class Conv2D:
         return params
 
     def apply(self, params, x):
+        # no explicit preferred_element_type: XLA accumulates bf16 convs in
+        # fp32 on TPU by default, and an explicit f32 output + downcast
+        # breaks the conv transpose (VJP) with mixed dtypes
         w = params["w"].astype(x.dtype)
         y = lax.conv_general_dilated(
             x,
@@ -87,8 +90,7 @@ class Conv2D:
             padding=self.padding,
             feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if self.use_bias:
             y = y + params["b"].astype(x.dtype)
         return y
@@ -115,8 +117,7 @@ class Dense:
         return params
 
     def apply(self, params, x):
-        y = jnp.dot(x, params["w"].astype(x.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, params["w"].astype(x.dtype))
         if self.use_bias:
             y = y + params["b"].astype(x.dtype)
         return y
