@@ -67,7 +67,18 @@ async def warmup(request: Request):
 @router.post("/classificar")
 async def classificar_direto(request: Request):
     get_current_user(request)
-    service = _engine(request)
+    modelo = request.query_params.get("modelo")
+    pool = request.app.state.get("engine_pool")
+    if modelo and pool is not None:
+        from ics_tpu.models.registry import list_models
+
+        if modelo not in list_models():
+            raise HTTPException(
+                422, f"Modelo desconhecido: {modelo}. Use /inferencia/modelos."
+            )
+        service = await pool.get(modelo)
+    else:
+        service = _engine(request)
     form = await request.form()
     files = [f for _, f in form.files]
     if not files:

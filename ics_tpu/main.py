@@ -48,18 +48,32 @@ async def lifespan(app: App):
 
     # TPU inference engine (net-new tier)
     app.state.engine = None
+    app.state.engine_pool = None
     if settings.TPU_ENABLE_INFERENCE:
         try:
-            from ics_tpu.runtime.service import InferenceService
+            from ics_tpu.runtime.service import (
+                InferenceService,
+                InferenceServicePool,
+            )
 
             service = InferenceService.from_settings()
             await service.start(warm=settings.TPU_WARMUP_ON_STARTUP)
-            # only publish the service once fully started — a half-started
-            # service (batcher never launched) would hang classify requests
+            pool = InferenceServicePool(
+                default_model=settings.TPU_DEFAULT_MODEL,
+                deadline_us=settings.TPU_BATCH_DEADLINE_US,
+                num_classes=settings.TPU_NUM_CLASSES,
+                precision=settings.TPU_PRECISION,
+                buckets=settings.get_batch_buckets(),
+            )
+            pool._services[settings.TPU_DEFAULT_MODEL] = service
+            # only publish once fully started — a half-started service
+            # (batcher never launched) would hang classify requests
             app.state.engine = service
+            app.state.engine_pool = pool
             logger.info("TPU inference service started")
         except Exception as exc:  # pragma: no cover - env-dependent
             app.state.engine = None
+            app.state.engine_pool = None
             logger.warning("TPU inference disabled: %s", exc)
 
     # NextCloud sync engine
@@ -84,7 +98,9 @@ async def lifespan(app: App):
     finally:
         if app.state.get("sync") is not None:
             await app.state.sync.stop()
-        if app.state.get("engine") is not None:
+        if app.state.get("engine_pool") is not None:
+            await app.state.engine_pool.stop()
+        elif app.state.get("engine") is not None:
             await app.state.engine.stop()
 
 

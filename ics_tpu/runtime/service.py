@@ -27,12 +27,27 @@ class InferenceService:
     def __init__(self, engine: InferenceEngine, deadline_us: int = 2000):
         self.engine = engine
         self.batcher = DynamicBatcher(
-            predict_staged=engine.predict_staged,
+            predict_staged=self._predict_resilient,
             stage_batch=lambda imgs: stage_batch(imgs, canvas=engine.canvas),
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
         )
         self._latencies_ms: list[float] = []
+        self._device_errors = 0
+
+    def _predict_resilient(self, canvas, sizes):
+        """One retry with a fresh compiled step on device error — transient
+        TPU/runtime faults must not poison the compiled-step cache
+        (failure-detection note, SURVEY.md §5)."""
+        try:
+            return self.engine.predict_staged(canvas, sizes)
+        except Exception:
+            self._device_errors += 1
+            logger.exception(
+                "device step failed; recompiling and retrying once"
+            )
+            self.engine._step = None  # drop the (possibly wedged) step
+            return self.engine.predict_staged(canvas, sizes)
 
     @classmethod
     def from_settings(cls) -> "InferenceService":
@@ -103,4 +118,37 @@ class InferenceService:
             **self.engine.status(),
             "batcher": self.batcher.stats,
             "latency": self.latency_percentiles(),
+            "device_errors": self._device_errors,
         }
+
+
+class InferenceServicePool:
+    """Lazily-created per-model services sharing one event loop.
+
+    The default model serves ``/classificacoes``; additional registry models
+    spin up on first use via ``/inferencia/classificar?modelo=...``.
+    """
+
+    def __init__(self, default_model: str, deadline_us: int = 2000,
+                 **engine_kwargs):
+        self.default_model = default_model
+        self.deadline_us = deadline_us
+        self.engine_kwargs = engine_kwargs
+        self._services: dict[str, InferenceService] = {}
+        self._lock = asyncio.Lock()
+
+    async def get(self, model_name: Optional[str] = None) -> InferenceService:
+        name = model_name or self.default_model
+        async with self._lock:
+            service = self._services.get(name)
+            if service is None:
+                engine = InferenceEngine(model_name=name, **self.engine_kwargs)
+                service = InferenceService(engine, deadline_us=self.deadline_us)
+                await service.start()
+                self._services[name] = service
+            return service
+
+    async def stop(self) -> None:
+        for service in self._services.values():
+            await service.stop()
+        self._services.clear()

@@ -1,0 +1,61 @@
+"""InferenceServicePool + device-error resilience tests (CPU backend)."""
+
+import asyncio
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ics_tpu.runtime.engine import InferenceEngine
+from ics_tpu.runtime.service import InferenceService, InferenceServicePool
+
+
+def _jpeg(seed=0):
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(seed).integers(0, 256, (40, 50, 3), np.uint8)
+    ).save(buf, "JPEG")
+    return buf.getvalue()
+
+
+class TestResilience:
+    @pytest.mark.anyio
+    async def test_device_error_retries_with_fresh_step(self, monkeypatch):
+        engine = InferenceEngine(
+            "mobilenetv3_small", num_classes=8, precision="fp32",
+            buckets=(1,), canvas=64,
+        )
+        svc = InferenceService(engine, deadline_us=500)
+        await svc.start()
+        real = engine.predict_staged
+        calls = {"n": 0}
+
+        def flaky(canvas, sizes):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient device fault")
+            return real(canvas, sizes)
+
+        monkeypatch.setattr(engine, "predict_staged", flaky)
+        out = await svc.classify_bytes(_jpeg())
+        assert len(out["top_classes"]) == 5
+        assert svc._device_errors == 1
+        assert calls["n"] == 2
+        await svc.stop()
+
+
+class TestPool:
+    @pytest.mark.anyio
+    async def test_lazy_creation_and_reuse(self):
+        pool = InferenceServicePool(
+            default_model="mobilenetv3_small", deadline_us=500,
+            num_classes=8, precision="fp32", buckets=(1,), canvas=64,
+        )
+        s1 = await pool.get()
+        s2 = await pool.get("mobilenetv3_small")
+        assert s1 is s2
+        out = await s1.classify_bytes(_jpeg(3))
+        assert out["model"] == "mobilenetv3_small"
+        await pool.stop()
+        assert pool._services == {}
