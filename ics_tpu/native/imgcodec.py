@@ -52,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.icstpu_sha256.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p
         ]
+        lib.icstpu_jpeg_coeffs.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.icstpu_jpeg_coeffs.restype = ctypes.c_int
         _lib = lib
         return lib
     except OSError as exc:
@@ -89,6 +95,61 @@ def decode(data: bytes) -> Optional[np.ndarray]:
         n = h.value * w.value * 3
         arr = np.ctypeslib.as_array(out, shape=(n,)).reshape(h.value, w.value, 3)
         return arr.copy()
+    finally:
+        lib.icstpu_free(out)
+
+
+class JpegCoefficients:
+    """Entropy-decoded JPEG: quantized DCT coefficient planes + quant tables.
+
+    ``components`` is a list of dicts with int16 ``coeffs``
+    [blocks_h, blocks_w, 64] (natural order), ``quant`` uint16 [64],
+    ``h_samp``/``v_samp``; plus image ``width``/``height``.
+    """
+
+    def __init__(self, width, height, components):
+        self.width = width
+        self.height = height
+        self.components = components
+
+
+def jpeg_coefficients(data: bytes) -> Optional[JpegCoefficients]:
+    """Host Huffman decode only; everything after runs on the device."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    out_len = ctypes.c_size_t()
+    rc = lib.icstpu_jpeg_coeffs(data, len(data), ctypes.byref(out),
+                                ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    try:
+        raw = np.ctypeslib.as_array(out, shape=(out_len.value,))
+        # header layout mirrors CoeffHeader in imgcodec.cpp
+        ints = raw[: 4 * (3 + 16)].view(np.int32)
+        num_comp = int(ints[0])
+        width, height = int(ints[1]), int(ints[2])
+        comp_meta = ints[3:3 + 16].reshape(4, 4)
+        quant = raw[4 * 19: 4 * 19 + 4 * 64 * 2].view(np.uint16).reshape(4, 64)
+        cursor = 4 * 19 + 4 * 64 * 2
+        components = []
+        for c in range(num_comp):
+            bw, bh, hs, vs = (int(x) for x in comp_meta[c])
+            n = bh * bw * 64 * 2
+            coeffs = (
+                raw[cursor:cursor + n].view(np.int16).reshape(bh, bw, 64).copy()
+            )
+            cursor += n
+            components.append(
+                {
+                    "coeffs": coeffs,
+                    "quant": quant[c].copy(),
+                    "h_samp": hs,
+                    "v_samp": vs,
+                }
+            )
+        return JpegCoefficients(width, height, components)
     finally:
         lib.icstpu_free(out)
 

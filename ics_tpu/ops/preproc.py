@@ -82,10 +82,13 @@ def preprocess_image(canvas_img, h, w, out_size: int = 224,
     (sy, oy), (sx, ox) = _resize_plan(h, w, out_size, resize_short)
     ry = _triangle_weights(ch, out_size, h, sy, oy)             # [out, CH]
     rx = _triangle_weights(cw, out_size, w, sx, ox)             # [out, CW]
-    img = canvas_img.astype(jnp.float32)
-    # rows then cols — two MXU matmuls
-    y = jnp.einsum("oH,HWc->oWc", ry, img, preferred_element_type=jnp.float32)
-    y = jnp.einsum("oW,hWc->hoc", rx, y, preferred_element_type=jnp.float32)
+    # channels as the BATCH dim of the matmuls: [out,CH] @ [c,CH,CW] keeps
+    # the 128-lane dim fully utilized (channels-last layout would put c=3
+    # in the lanes — measured 40x slower at 512 canvases)
+    img = jnp.transpose(canvas_img, (2, 0, 1)).astype(jnp.float32)  # [c,CH,CW]
+    y = jnp.einsum("oH,cHW->coW", ry, img, preferred_element_type=jnp.float32)
+    y = jnp.einsum("oW,chW->cho", rx, y, preferred_element_type=jnp.float32)
+    y = jnp.transpose(y, (1, 2, 0))                             # [out,out,c]
     mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
     std_arr = jnp.asarray(std, jnp.float32) * 255.0
     y = (y - mean_arr) / std_arr
