@@ -105,6 +105,7 @@ class Settings(BaseModel):
     TPU_BATCH_BUCKETS: str = "1,8,32,128"  # padded batch buckets
     TPU_BATCH_DEADLINE_US: int = 2000    # dynamic batcher flush deadline
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
+    TPU_DEVICE_DECODE: bool = True       # JPEG decode-on-TPU fast lane
     TPU_PRECISION: str = "bf16"          # "bf16" | "fp32"
     TPU_IMAGE_SIZE: int = 224
     TPU_NUM_CLASSES: int = 1000

@@ -113,6 +113,48 @@ class InferenceEngine:
             self._step = self._make_step()
         return self._step
 
+    def _get_coeff_step(self):
+        """Fused decode-on-TPU step (JPEG coefficients in, top-k out)."""
+        if getattr(self, "_coeff_step", None) is None:
+            from ics_tpu.runtime.device_decode import (
+                make_fused_decode_infer_step,
+            )
+
+            self._coeff_step = make_fused_decode_infer_step(
+                self.model, self.folded, self.spec, dtype=self.dtype
+            )
+        return self._coeff_step
+
+    def predict_coeff_staged(self, staged: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Staged coefficient batch (see runtime.device_decode) -> top-k.
+
+        Pads to the nearest batch bucket like the pixel path."""
+        n = staged["y"].shape[0]
+        bucket = self.bucket_for(n)
+        if n < bucket:
+            pad = bucket - n
+            staged = {
+                k: np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), v.dtype)]
+                )
+                for k, v in staged.items()
+            }
+            # zero quant tables make padded rows decode to zeros; give the
+            # padded sizes a sane nonzero extent for the resize plan
+            staged["sizes"][n:] = 64
+        step = self._get_coeff_step()
+        t0 = time.perf_counter()
+        idx, scores = step(
+            staged["y"], staged["yq"], staged["cb"], staged["cq"],
+            staged["cr"], staged["rq"], staged["sizes"],
+        )
+        idx = np.asarray(idx)[:n]
+        scores = np.asarray(scores)[:n]
+        self._stats["batches"] += 1
+        self._stats["images"] += n
+        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        return idx, scores
+
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:

@@ -24,7 +24,8 @@ logger = logging.getLogger(__name__)
 
 
 class InferenceService:
-    def __init__(self, engine: InferenceEngine, deadline_us: int = 2000):
+    def __init__(self, engine: InferenceEngine, deadline_us: int = 2000,
+                 device_decode: bool = True):
         self.engine = engine
         self.batcher = DynamicBatcher(
             predict_staged=self._predict_resilient,
@@ -32,8 +33,45 @@ class InferenceService:
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
         )
+        # decode-on-TPU fast lane: 4:2:0 JPEGs skip host pixel decode; the
+        # device runs dequant+iDCT+upsample+color+preproc+forward fused
+        self.device_decode = device_decode
+        self.coeff_batcher = DynamicBatcher(
+            predict_staged=lambda staged, _: self.engine.predict_coeff_staged(
+                staged
+            ),
+            stage_batch=self._stage_coeffs,
+            max_batch=max(engine.buckets),
+            deadline_us=deadline_us,
+        )
+        self._luma_blocks = engine.canvas // 8
         self._latencies_ms: list[float] = []
         self._device_errors = 0
+        self._stats = {"device_decoded": 0, "host_decoded": 0}
+
+    def _stage_coeffs(self, coeff_list):
+        from ics_tpu.runtime.device_decode import stage_coefficient_batch
+
+        staged = stage_coefficient_batch(
+            coeff_list, luma_blocks=self._luma_blocks
+        )
+        if staged is None:  # guarded by _coeffs_eligible; defense in depth
+            raise RuntimeError("coefficient batch not stageable")
+        return staged, None
+
+    def _coeffs_eligible(self, co) -> bool:
+        if co is None or len(co.components) != 3:
+            return False
+        yc, cbc, crc = co.components
+        if (
+            yc["h_samp"] != 2 * cbc["h_samp"]
+            or yc["v_samp"] != 2 * cbc["v_samp"]
+            or cbc["h_samp"] != crc["h_samp"]
+            or cbc["v_samp"] != crc["v_samp"]
+        ):
+            return False
+        ybh, ybw = yc["coeffs"].shape[:2]
+        return ybh <= self._luma_blocks and ybw <= self._luma_blocks
 
     def _predict_resilient(self, canvas, sizes):
         """One retry with a fresh compiled step on device error — transient
@@ -57,7 +95,11 @@ class InferenceService:
             precision=settings.TPU_PRECISION,
             buckets=settings.get_batch_buckets(),
         )
-        return cls(engine, deadline_us=settings.TPU_BATCH_DEADLINE_US)
+        return cls(
+            engine,
+            deadline_us=settings.TPU_BATCH_DEADLINE_US,
+            device_decode=settings.TPU_DEVICE_DECODE,
+        )
 
     async def start(self, warm: bool = False) -> None:
         if warm:
@@ -68,13 +110,37 @@ class InferenceService:
                 None, self.engine.warmup
             )
         await self.batcher.start()
+        await self.coeff_batcher.start()
 
     async def stop(self) -> None:
         await self.batcher.stop()
+        await self.coeff_batcher.stop()
 
     async def classify_bytes(self, data: bytes) -> dict:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
+
+        if self.device_decode:
+            from ics_tpu.native import imgcodec
+
+            if imgcodec.probe(data) == "jpeg":
+                coeffs = await loop.run_in_executor(
+                    None, imgcodec.jpeg_coefficients, data
+                )
+                if self._coeffs_eligible(coeffs):
+                    self._stats["device_decoded"] += 1
+                    idx, scores = await self.coeff_batcher.submit(coeffs)
+                    dt_ms = (time.perf_counter() - t0) * 1000
+                    self._record_latency(dt_ms)
+                    return {
+                        "top_classes": [int(i) for i in idx],
+                        "scores": [float(s) for s in scores],
+                        "latency_ms": round(dt_ms, 3),
+                        "model": self.engine.model_name,
+                        "decode": "device",
+                    }
+
+        self._stats["host_decoded"] += 1
         image = await loop.run_in_executor(None, decode_image, data)
         decode_ms = (time.perf_counter() - t0) * 1000
         metrics_registry.histogram(
@@ -91,6 +157,7 @@ class InferenceService:
             "scores": [float(s) for s in scores],
             "latency_ms": round(dt_ms, 3),
             "model": self.engine.model_name,
+            "decode": "host",
         }
 
     async def classify_many(self, blobs: Sequence[bytes]) -> list[dict]:
@@ -117,8 +184,10 @@ class InferenceService:
         return {
             **self.engine.status(),
             "batcher": self.batcher.stats,
+            "coeff_batcher": self.coeff_batcher.stats,
             "latency": self.latency_percentiles(),
             "device_errors": self._device_errors,
+            **self._stats,
         }
 
 

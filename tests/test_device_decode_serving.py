@@ -1,0 +1,87 @@
+"""Serving-path tests for the decode-on-TPU fast lane."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image, ImageFilter
+
+from ics_tpu.native import imgcodec
+from ics_tpu.runtime.engine import InferenceEngine
+from ics_tpu.runtime.service import InferenceService
+
+pytestmark = pytest.mark.skipif(
+    not imgcodec.available(), reason="native imgcodec not built"
+)
+
+
+def jpeg_420(seed, h=80, w=96):
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)).filter(
+        ImageFilter.GaussianBlur(1)
+    )
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90, subsampling=2)
+    return buf.getvalue()
+
+
+def png_bytes(seed, h=60, w=70):
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+async def svc():
+    engine = InferenceEngine(
+        "mobilenetv3_small", num_classes=8, precision="fp32",
+        buckets=(1, 4), canvas=128,
+    )
+    s = InferenceService(engine, deadline_us=500, device_decode=True)
+    await s.start()
+    yield s
+    await s.stop()
+
+
+class TestDeviceDecodeLane:
+    @pytest.mark.anyio
+    async def test_jpeg_420_takes_device_lane(self, svc):
+        out = await svc.classify_bytes(jpeg_420(1))
+        assert out["decode"] == "device"
+        assert len(out["top_classes"]) == 5
+        assert svc._stats["device_decoded"] == 1
+
+    @pytest.mark.anyio
+    async def test_png_takes_host_lane(self, svc):
+        out = await svc.classify_bytes(png_bytes(2))
+        assert out["decode"] == "host"
+        assert svc._stats["host_decoded"] == 1
+
+    @pytest.mark.anyio
+    async def test_444_jpeg_falls_back_to_host(self, svc):
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(3).integers(0, 256, (60, 60, 3), np.uint8)
+        ).save(buf, "JPEG", quality=90, subsampling=0)
+        out = await svc.classify_bytes(buf.getvalue())
+        assert out["decode"] == "host"
+
+    @pytest.mark.anyio
+    async def test_oversized_jpeg_falls_back(self, svc):
+        # 300px > 128 canvas -> block canvas overflow -> host lane
+        out = await svc.classify_bytes(jpeg_420(4, h=300, w=300))
+        assert out["decode"] == "host"
+
+    @pytest.mark.anyio
+    async def test_device_and_host_lanes_agree(self, svc):
+        """Same image through both lanes -> same top-1 (decode fidelity)."""
+        blob = jpeg_420(5)
+        dev = await svc.classify_bytes(blob)
+        svc.device_decode = False
+        host = await svc.classify_bytes(blob)
+        assert dev["decode"] == "device" and host["decode"] == "host"
+        assert dev["top_classes"][0] == host["top_classes"][0]
+        np.testing.assert_allclose(
+            dev["scores"], host["scores"], rtol=5e-2, atol=5e-3
+        )

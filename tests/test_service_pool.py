@@ -26,7 +26,8 @@ class TestResilience:
             "mobilenetv3_small", num_classes=8, precision="fp32",
             buckets=(1,), canvas=64,
         )
-        svc = InferenceService(engine, deadline_us=500)
+        # host lane: the fault injection targets the pixel-path predict
+        svc = InferenceService(engine, deadline_us=500, device_decode=False)
         await svc.start()
         real = engine.predict_staged
         calls = {"n": 0}
