@@ -19,39 +19,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ics_tpu.nn.layers import (
-    BatchNorm,
-    Conv2D,
-    Dense,
-    fold_batchnorm,
-    global_avg_pool,
-    max_pool,
-)
-
-
-class _ConvBN:
-    def __init__(self, in_ch, out_ch, kernel, stride=1):
-        self.conv = Conv2D(in_ch, out_ch, kernel, stride, padding="SAME")
-        self.bn = BatchNorm(out_ch)
-
-    def init(self, key):
-        return {"conv": self.conv.init(key), "bn": self.bn.init()}
-
-    def init_state(self):
-        return {"bn": self.bn.init_state()}
-
-    def apply(self, params, state, x, training):
-        y = self.conv.apply(params["conv"], x)
-        y, bn_state = self.bn.apply(params["bn"], state["bn"], y, training)
-        return y, {"bn": bn_state}
-
-    def fold(self, params, state):
-        return {"conv": params["conv"], "bnf": fold_batchnorm(params["bn"], state["bn"])}
-
-    def apply_folded(self, folded, x):
-        y = self.conv.apply(folded["conv"], x)
-        f = folded["bnf"]
-        return y * f["scale"].astype(y.dtype) + f["bias"].astype(y.dtype)
+from ics_tpu.nn.blocks import ConvBN as _ConvBN
+from ics_tpu.nn.layers import Dense, global_avg_pool, max_pool
 
 
 class Bottleneck:

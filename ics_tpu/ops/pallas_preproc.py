@@ -1,9 +1,14 @@
 """Pallas TPU kernel: fused uint8 dequant + ImageNet normalize + bf16 cast.
 
-The fixed-size hot path (images already at model resolution, e.g. the
-dynamic batcher's bucket fast lane) skips the resize matmuls entirely; this
-kernel reads the uint8 canvas once from HBM and writes normalized bf16 —
-one pass, VPU-bound at HBM speed, no fp32 intermediate materialized.
+Reference kernel for the fixed-size path (images already at model
+resolution): reads the uint8 canvas once from HBM and writes normalized
+bf16 — one pass, VPU-bound at HBM speed, no fp32 intermediate.
+
+NOTE: the serving pipeline currently always routes through the matmul
+resize (measured at ~1.3% of step time, so a dedicated fixed-size lane has
+not been wired in); this kernel is exercised by the test suite and stands
+ready for that lane plus as the template for further fused pointwise
+kernels.
 
 Falls back to interpret mode automatically off-TPU (tests run on CPU).
 """

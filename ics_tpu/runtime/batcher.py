@@ -82,7 +82,13 @@ class DynamicBatcher:
             first = await self._queue.get()
             batch = [first]
             try:
-                # coalesce until deadline or full batch
+                # drain whatever is already queued (requests that piled up
+                # during the previous flush) — without this, sustained load
+                # collapses to batch-of-1 because the head is always older
+                # than the deadline
+                while len(batch) < self.max_batch and not self._queue.empty():
+                    batch.append(self._queue.get_nowait())
+                # then coalesce new arrivals until deadline or full batch
                 deadline = first.enqueued_at + self.deadline_s
                 while len(batch) < self.max_batch:
                     timeout = deadline - time.perf_counter()

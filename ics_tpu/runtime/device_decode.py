@@ -56,6 +56,8 @@ def stage_coefficient_batch(
             return None
         ybh, ybw = yc["coeffs"].shape[:2]
         cbh, cbw = cbc["coeffs"].shape[:2]
+        if cbc["v_samp"] != crc["v_samp"]:
+            return None
         if ybh > luma_blocks or ybw > luma_blocks:
             return None
         if cbh > cb_blocks or cbw > cb_blocks:
@@ -63,6 +65,17 @@ def stage_coefficient_batch(
         y[i, :ybh, :ybw] = yc["coeffs"]
         cb[i, :cbh, :cbw] = cbc["coeffs"]
         cr[i, :cbh, :cbw] = crc["coeffs"]
+        # edge-replicate chroma DC into the padding blocks: the fancy
+        # upsampler reads one neighbor past the image edge, and neutral-grey
+        # padding would pull border chroma 25% toward grey (lane divergence
+        # vs the host decoder). Replicating the edge blocks' DC keeps the
+        # neighbor at the edge value.
+        if cbh < cb_blocks:
+            cb[i, cbh, :cbw, 0] = cbc["coeffs"][cbh - 1, :, 0]
+            cr[i, cbh, :cbw, 0] = crc["coeffs"][cbh - 1, :, 0]
+        if cbw < cb_blocks:
+            cb[i, :cbh, cbw, 0] = cbc["coeffs"][:, cbw - 1, 0]
+            cr[i, :cbh, cbw, 0] = crc["coeffs"][:, cbw - 1, 0]
         yq[i] = yc["quant"]
         cq[i] = cbc["quant"]
         rq[i] = crc["quant"]

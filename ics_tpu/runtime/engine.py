@@ -51,6 +51,13 @@ class InferenceEngine:
         self.num_classes = num_classes
         self.precision = precision
         self.dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        if mesh is not None and "data" in getattr(mesh, "axis_names", ()):
+            # sharded serving: every bucket must divide over the data axis
+            data_size = int(mesh.shape["data"])
+            buckets = {
+                max(((b + data_size - 1) // data_size) * data_size, data_size)
+                for b in buckets
+            }
         self.buckets = tuple(sorted(buckets))
         self.canvas = canvas
         if variables is None:

@@ -37,9 +37,7 @@ class InferenceService:
         # device runs dequant+iDCT+upsample+color+preproc+forward fused
         self.device_decode = device_decode
         self.coeff_batcher = DynamicBatcher(
-            predict_staged=lambda staged, _: self.engine.predict_coeff_staged(
-                staged
-            ),
+            predict_staged=self._predict_coeff_resilient,
             stage_batch=self._stage_coeffs,
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
@@ -86,6 +84,17 @@ class InferenceService:
             )
             self.engine._step = None  # drop the (possibly wedged) step
             return self.engine.predict_staged(canvas, sizes)
+
+    def _predict_coeff_resilient(self, staged, _):
+        try:
+            return self.engine.predict_coeff_staged(staged)
+        except Exception:
+            self._device_errors += 1
+            logger.exception(
+                "device coeff step failed; recompiling and retrying once"
+            )
+            self.engine._coeff_step = None
+            return self.engine.predict_coeff_staged(staged)
 
     @classmethod
     def from_settings(cls) -> "InferenceService":
@@ -199,9 +208,10 @@ class InferenceServicePool:
     """
 
     def __init__(self, default_model: str, deadline_us: int = 2000,
-                 **engine_kwargs):
+                 device_decode: bool = True, **engine_kwargs):
         self.default_model = default_model
         self.deadline_us = deadline_us
+        self.device_decode = device_decode
         self.engine_kwargs = engine_kwargs
         self._services: dict[str, InferenceService] = {}
         self._lock = asyncio.Lock()
@@ -211,8 +221,20 @@ class InferenceServicePool:
         async with self._lock:
             service = self._services.get(name)
             if service is None:
-                engine = InferenceEngine(model_name=name, **self.engine_kwargs)
-                service = InferenceService(engine, deadline_us=self.deadline_us)
+                # engine construction (init + fold + device_put) can take
+                # seconds/minutes cold — never block the event loop on it
+                loop = asyncio.get_running_loop()
+                engine = await loop.run_in_executor(
+                    None,
+                    lambda: InferenceEngine(
+                        model_name=name, **self.engine_kwargs
+                    ),
+                )
+                service = InferenceService(
+                    engine,
+                    deadline_us=self.deadline_us,
+                    device_decode=self.device_decode,
+                )
                 await service.start()
                 self._services[name] = service
             return service

@@ -30,8 +30,13 @@ def cross_entropy_loss(logits, labels):
 
 def make_optimizer(lr: float = 0.01, momentum: float = 0.9,
                    weight_decay: float = 1e-4):
+    # standard recipe: no weight decay on norm scales/shifts or biases
+    # (1-D params) — decaying them degrades accuracy
+    def wd_mask(params):
+        return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
     return optax.chain(
-        optax.add_decayed_weights(weight_decay),
+        optax.add_decayed_weights(weight_decay, mask=wd_mask),
         optax.sgd(lr, momentum=momentum),
     )
 

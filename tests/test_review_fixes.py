@@ -198,6 +198,40 @@ class TestBatcherResilience:
         await b.stop()
 
     @pytest.mark.anyio
+    async def test_backlog_drained_into_one_batch(self):
+        """Requests piling up during a slow flush must coalesce into the
+        next batch even though they are older than the deadline."""
+        import asyncio
+        import time as _time
+
+        from ics_tpu.runtime.batcher import DynamicBatcher
+
+        batch_sizes = []
+
+        def predict(canvas, sizes):
+            batch_sizes.append(canvas.shape[0])
+            _time.sleep(0.05)  # slow device step -> backlog builds
+            n = canvas.shape[0]
+            return np.zeros((n, 5), np.int32), np.zeros((n, 5), np.float32)
+
+        def stage(images):
+            n = len(images)
+            return (
+                np.zeros((n, 4, 4, 3), np.uint8),
+                np.full((n, 2), 4, np.int32),
+            )
+
+        b = DynamicBatcher(predict, stage, max_batch=8, deadline_us=1000)
+        await b.start()
+        img = np.zeros((4, 4, 3), np.uint8)
+        await asyncio.gather(*(b.submit(img) for _ in range(9)))
+        await b.stop()
+        # first flush grabs some small batch; the backlog must arrive as a
+        # coalesced batch, not nine singletons
+        assert max(batch_sizes) >= 4, batch_sizes
+        assert len(batch_sizes) <= 4, batch_sizes
+
+    @pytest.mark.anyio
     async def test_stop_fails_queued_futures(self):
         from ics_tpu.runtime.batcher import DynamicBatcher
 
