@@ -41,6 +41,18 @@ class TestDeviceDecode:
         assert err.mean() < 1.0, (label, err.mean())
         assert err.max() <= 6, (label, err.max())
 
+    def test_progressive_jpeg(self):
+        from ics_tpu.ops.jpeg_decode import decode_jpeg_device
+
+        buf = io.BytesIO()
+        smooth_image(4).save(buf, "JPEG", quality=90, subsampling=2,
+                             progressive=True)
+        data = buf.getvalue()
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        out = np.asarray(decode_jpeg_device(data))
+        err = np.abs(out.astype(int) - ref.astype(int))
+        assert err.mean() < 1.0 and err.max() <= 6
+
     def test_grayscale(self):
         from ics_tpu.ops.jpeg_decode import decode_jpeg_device
 

@@ -70,6 +70,21 @@ class TestMonitorEndpoints:
         assert any("rid=abc123" in rec.getMessage() for rec in caplog.records)
 
     @pytest.mark.anyio
+    async def test_docs_and_openapi(self, app):
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=app), base_url="http://t"
+        ) as client:
+            r = await client.get("/docs")
+            assert r.status_code == 200
+            assert "text/html" in r.headers["content-type"]
+            assert "/classificacoes/ambiente/{id_amb}/classificar" in r.text
+            r = await client.get("/openapi.json")
+            spec = r.json()
+            assert spec["openapi"] == "3.0.0"
+            assert "/auth/login" in spec["paths"]
+            assert len(spec["paths"]) > 40
+
+    @pytest.mark.anyio
     async def test_inferencia_routes_guarded(self, app):
         async with httpx.AsyncClient(
             transport=httpx.ASGITransport(app=app), base_url="http://t"
