@@ -10,7 +10,7 @@ from ics_tpu.web import HTTPException, JSONResponse, Request, Response, Router
 router = Router(prefix="/ambientes")
 
 
-def _ambiente_out(db, ambiente, extra_fields=True) -> dict:
+def _ambiente_out(db, ambiente, totais=None) -> dict:
     adm_row = db.fetchone(
         """
         SELECT u.nome_completo FROM usuarios_administradores a
@@ -19,7 +19,8 @@ def _ambiente_out(db, ambiente, extra_fields=True) -> dict:
         [ambiente.id_adm],
     )
     ids_conjuntos = ambiente_crud.obter_conjuntos_do_ambiente(db, ambiente.id_amb)
-    totais = ambiente_crud.obter_totais_imagens_por_ambiente(db)
+    if totais is None:
+        totais = ambiente_crud.obter_totais_imagens_por_ambiente(db)
     return {
         "id_amb": str(ambiente.id_amb),
         "titulo_amb": ambiente.titulo_amb,
@@ -134,8 +135,14 @@ async def criar_ambiente(request: Request):
 async def listar_ambientes(request: Request):
     db = request.state.db
     require_admin(request)
+    # the image-totals aggregate scans the imagens table; compute it once
+    # for the whole listing, not once per ambiente
+    totais = ambiente_crud.obter_totais_imagens_por_ambiente(db)
     return JSONResponse(
-        [_ambiente_out(db, a) for a in ambiente_crud.listar_ambientes(db)]
+        [
+            _ambiente_out(db, a, totais=totais)
+            for a in ambiente_crud.listar_ambientes(db)
+        ]
     )
 
 

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from ics_tpu.crud import auditoria_crud
 from ics_tpu.services.auth_service import require_admin
-from ics_tpu.web import JSONResponse, Request, Router
+from ics_tpu.web import HTTPException, JSONResponse, Request, Router
 
 router = Router(prefix="/auditoria")
 
@@ -16,11 +16,17 @@ async def listar_logs(request: Request):
     page = request.query_int("page", 1, lo=1)
     page_size = request.query_int("page_size", 50, lo=1, hi=200)
     id_usuario = request.query_params.get("id_usuario")
-    id_evento = request.query_params.get("id_evento")
+    id_evento_raw = request.query_params.get("id_evento")
+    id_evento = None
+    if id_evento_raw:
+        try:
+            id_evento = int(id_evento_raw)
+        except ValueError:
+            raise HTTPException(422, "Parâmetro 'id_evento' deve ser inteiro")
     rows, total = auditoria_crud.listar_logs(
         db,
         id_usu=id_usuario,
-        evento_id=int(id_evento) if id_evento else None,
+        evento_id=id_evento,
         page=page,
         page_size=page_size,
         data_inicio=request.query_params.get("data_inicio"),

@@ -295,7 +295,8 @@ async def classificar_imagem_tpu(request: Request):
 
     try:
         result = await engine.classify_bytes(files[0].data)
-    except Exception:
+    except (OSError, ValueError):
+        # decode failures only; infra errors propagate to the 500 handler
         raise HTTPException(422, "Imagem inválida ou não decodificável.")
     auditoria_crud.registrar_evento(
         db, "inferencia_tpu", usuario.id_usu,

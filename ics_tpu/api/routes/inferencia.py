@@ -85,8 +85,11 @@ async def classificar_direto(request: Request):
         raise HTTPException(422, "Envie ao menos uma imagem (campo 'files').")
     try:
         results = await service.classify_many([f.data for f in files])
-    except Exception:
-        raise HTTPException(422, "Uma ou mais imagens são inválidas.")
+    except (OSError, ValueError) as exc:
+        # decode failures (PIL UnidentifiedImageError is an OSError) are the
+        # client's fault; anything else is a server error and must surface
+        # as a 500, not be blamed on the upload
+        raise HTTPException(422, f"Uma ou mais imagens são inválidas: {exc}")
     return JSONResponse({"total": len(results), "resultados": results})
 
 

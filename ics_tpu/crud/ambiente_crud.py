@@ -221,16 +221,17 @@ def obter_totais_imagens_por_ambiente(db: Session) -> dict[str, int]:
     return {r["id_amb"]: r["total"] for r in rows}
 
 
-def _ambiente_ativo(db: Session, id_amb: str) -> Optional[Ambiente]:
-    ambiente = db.get(Ambiente, str(id_amb))
-    return ambiente if ambiente is not None else None
+def _buscar_ambiente(db: Session, id_amb: str) -> Optional[Ambiente]:
+    # active AND inactive ambientes are editable (reference parity — its
+    # update paths don't filter on ativo either)
+    return db.get(Ambiente, str(id_amb))
 
 
 def atualizar_titulo_ambiente(db: Session, id_amb: str, novo_titulo: str):
     titulo = (novo_titulo or "").strip()
     if not titulo or not (3 <= len(titulo) <= 255):
         return None
-    ambiente = _ambiente_ativo(db, id_amb)
+    ambiente = _buscar_ambiente(db, id_amb)
     if ambiente is None:
         return None
     dup = buscar_ambiente_por_titulo(db, titulo)
@@ -245,7 +246,7 @@ def atualizar_descricao_questionario(db: Session, id_amb: str, descricao: str):
     texto = (descricao or "").strip()
     if len(texto) < 3:
         return None
-    ambiente = _ambiente_ativo(db, id_amb)
+    ambiente = _buscar_ambiente(db, id_amb)
     if ambiente is None:
         return None
     ambiente.descricao_questionario = texto
@@ -258,7 +259,7 @@ def atualizar_titulo_questionario(db: Session, id_amb: str, titulo):
         titulo = titulo.strip()
         if not titulo or len(titulo) > 255:
             return None
-    ambiente = _ambiente_ativo(db, id_amb)
+    ambiente = _buscar_ambiente(db, id_amb)
     if ambiente is None:
         return None
     ambiente.titulo_questionario = titulo

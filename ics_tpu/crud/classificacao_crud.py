@@ -63,12 +63,12 @@ def _imagens_base_query(db: Session, conjuntos_ids: Sequence[str]):
     )
 
 
-_ORDER_ASC = ("imagens.id_cnj ASC", "imagens.data_proc ASC", "imagens.content_hash ASC")
-_ORDER_DESC = (
-    "imagens.id_cnj DESC",
-    "imagens.data_proc DESC",
-    "imagens.content_hash DESC",
-)
+# ORDER BY matches the keyset predicate exactly — (data_proc, content_hash)
+# is a total order (hash is unique). The reference ordered by id_cnj first
+# while filtering only on (data_proc, hash), which strands/skips images when
+# an ambiente spans conjuntos with interleaved timestamps (defect fixed).
+_ORDER_ASC = ("imagens.data_proc ASC", "imagens.content_hash ASC")
+_ORDER_DESC = ("imagens.data_proc DESC", "imagens.content_hash DESC")
 
 
 def buscar_imagens_inicial(
@@ -99,7 +99,7 @@ def buscar_imagens_inicial(
         cursor_dt = _DT().encode(progresso.ultimo_data_proc_processado)
         sql += " AND (data_proc > ? OR (data_proc = ? AND content_hash > ?))"
         params += [cursor_dt, cursor_dt, progresso.ultimo_content_hash_processado]
-    sql += " ORDER BY id_cnj, data_proc, content_hash LIMIT ?"
+    sql += " ORDER BY data_proc, content_hash LIMIT ?"
     params.append(limit + 1)
     rows = [Imagem.from_row(r) for r in db.fetchall(sql, params)]
     tem_mais = len(rows) > limit
@@ -152,9 +152,13 @@ def buscar_imagens_voltar(
         )
     )
     rows = q.order_by(*_ORDER_DESC).limit(limit + 1).all()
-    rows = list(reversed(rows))
     tem_mais = len(rows) > limit
-    return rows[:limit], tem_mais
+    # keep the `limit` rows NEAREST the reference (the DESC head), then
+    # restore ascending order — slicing after the reverse dropped the
+    # adjacent previous image and kept the probe row (reference defect)
+    rows = rows[:limit]
+    rows.reverse()
+    return rows, tem_mais
 
 
 def obter_classificacoes_imagens(

@@ -113,6 +113,8 @@ async def _observability_middleware(request: Request, call_next):
 
     from ics_tpu.utils.metrics import registry
 
+    from ics_tpu.web.exceptions import HTTPException, RequestValidationError
+
     request_id = request.headers.get("x-request-id") or uuid.uuid4().hex[:12]
     request.state.request_id = request_id
     t0 = time.perf_counter()
@@ -120,6 +122,14 @@ async def _observability_middleware(request: Request, call_next):
         response = await call_next(request)
         status = response.status_code
         return response
+    except HTTPException as exc:
+        # converted to a response ABOVE the middleware stack; record the
+        # real status here so 401/404/422 don't masquerade as 500s
+        status = exc.status_code
+        raise
+    except RequestValidationError:
+        status = 422
+        raise
     except Exception:
         status = 500
         raise
@@ -166,29 +176,29 @@ def create_app(db: Database | None = None) -> App:
     app.add_middleware(_observability_middleware)
     app.add_middleware(_db_session_middleware)
 
-    from ics_tpu.api.routes import auth as auth_routes
+    # explicit imports: a broken route module must fail startup loudly, not
+    # silently drop an API surface
+    from ics_tpu.api.routes import (
+        ambientes,
+        auditoria,
+        auth as auth_routes,
+        classificacoes,
+        images,
+        inferencia,
+        nextcloud_images,
+        opcoes,
+        test_sync,
+        usuarios,
+        usuarios_ambientes,
+        whitelist,
+    )
 
-    app.include_router(auth_routes.router)
-    for module_name in (
-        "usuarios",
-        "whitelist",
-        "ambientes",
-        "opcoes",
-        "classificacoes",
-        "usuarios_ambientes",
-        "auditoria",
-        "nextcloud_images",
-        "test_sync",
-        "images",
-        "inferencia",
+    for module in (
+        auth_routes, usuarios, whitelist, ambientes, opcoes, classificacoes,
+        usuarios_ambientes, auditoria, nextcloud_images, test_sync, images,
+        inferencia,
     ):
-        try:
-            module = __import__(
-                f"ics_tpu.api.routes.{module_name}", fromlist=["router"]
-            )
-            app.include_router(module.router)
-        except ImportError:
-            logger.debug("router %s not present yet", module_name)
+        app.include_router(module.router)
 
     @app.get("/")
     async def root(request: Request):
@@ -204,8 +214,6 @@ def create_app(db: Database | None = None) -> App:
     async def docs(request: Request):
         """Route catalogue (the reference served Swagger at /docs and its
         compose healthcheck probes it) — generated from the live router."""
-        from ics_tpu.web import PlainTextResponse
-
         rows = []
         for route in sorted(
             request.app.router.routes, key=lambda r: (r.path, min(r.methods))
@@ -228,12 +236,9 @@ def create_app(db: Database | None = None) -> App:
             + "".join(rows)
             + "</table></body></html>"
         )
-        resp = PlainTextResponse(html)
-        resp.raw_headers = [
-            (k, v) for k, v in resp.raw_headers if k != b"content-type"
-        ]
-        resp.set_header("content-type", "text/html; charset=utf-8")
-        return resp
+        from ics_tpu.web import Response
+
+        return Response(html, media_type="text/html; charset=utf-8")
 
     @app.get("/openapi.json")
     async def openapi(request: Request):
