@@ -1,0 +1,108 @@
+"""Chaos soak: the sync engine under intermittent upstream failures.
+
+The fake NextCloud flips between healthy and failing while periodic syncs
+and health checks run; the engine must degrade (counters -> unavailable ->
+offline), never crash, and fully recover.
+"""
+
+import httpx
+import pytest
+
+from ics_tpu.core.security import sha256_hex
+from ics_tpu.db.engine import Database
+from ics_tpu.db.models import Imagem
+from ics_tpu.sync.nextcloud_client import NextCloudClient
+from ics_tpu.sync.service import NextCloudSyncService
+
+from tests.fake_nextcloud import FakeState, make_fake_nextcloud, make_jpeg
+
+
+@pytest.fixture()
+def db(tmp_path):
+    d = Database(f"sqlite:///{tmp_path}/chaos.db")
+    d.create_all()
+    return d
+
+
+def make_service(state, db):
+    client = NextCloudClient(
+        base_url="http://fake.test", username="tester", password="pw",
+        user_path="/files/tester", max_retries=2, retry_delay=0.0,
+        transport=httpx.ASGITransport(app=make_fake_nextcloud(state)),
+    )
+    return NextCloudSyncService(db, client=client)
+
+
+class TestChaos:
+    @pytest.mark.anyio
+    async def test_flapping_upstream_never_crashes_and_recovers(self, db):
+        state = FakeState()
+        state.add_image("pasta", "a.jpg", make_jpeg(1))
+        service = make_service(state, db)
+        await service.sync_initial()
+
+        # 12 periodic ticks with the upstream flapping every other tick;
+        # every call must return a dict, never raise
+        for tick in range(12):
+            failing = tick % 2 == 1
+            state.fail_activity = failing
+            state.fail_webdav = failing
+            result = await service.sync_periodic()
+            assert isinstance(result, dict)
+            if tick % 3 == 2:
+                health = await service.run_health_check()
+                assert isinstance(health, dict)
+
+        # total blackout long enough to trip the circuit breaker
+        state.fail_activity = True
+        state.fail_webdav = True
+        for _ in range(4):
+            await service.sync_periodic()
+        assert service.cache.is_server_offline() is True
+
+        # recovery: server returns with NEW content; engine must resume
+        # syncing and pick it up
+        state.fail_activity = False
+        state.fail_webdav = False
+        await service.run_health_check()
+        assert service.cache.is_server_offline() is False
+        new_data = make_jpeg(99)
+        state.add_image("pasta", "novo.jpg", new_data)
+        state.record_event("file_created", "pasta/novo.jpg")
+        result = await service.sync_periodic()
+        assert "error" not in result, result
+        with db.session() as s:
+            assert s.get(Imagem, sha256_hex(new_data)) is not None
+        # mutex must be released after all of this
+        assert service.cache.is_sync_in_progress() is False
+
+    @pytest.mark.anyio
+    async def test_mid_scan_failure_leaves_consistent_state(self, db):
+        """Upstream dies between folder listing and downloads: the scan
+        reports errors, the mutex is released, and a later scan completes."""
+        state = FakeState()
+        state.add_image("p1", "a.jpg", make_jpeg(1))
+        state.add_image("p2", "b.jpg", make_jpeg(2))
+        service = make_service(state, db)
+
+        original_get = service.client.get_file
+        calls = {"n": 0}
+
+        async def flaky_get(path):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                state.fail_webdav = True  # die after the first download
+            return await original_get(path)
+
+        service.client.get_file = flaky_get
+        result = await service.sync_initial()
+        assert service.cache.is_sync_in_progress() is False
+
+        state.fail_webdav = False
+        service.client.get_file = original_get
+        result = await service.sync_periodic()
+        # force webdav rescan by clearing the watermark
+        service.cache._update(last_webdav_sync=None, activity_api_available=False)
+        result = await service.sync_periodic()
+        with db.session() as s:
+            assert s.query(Imagem).count() == 2
