@@ -72,6 +72,10 @@ class App:
 
     async def _dispatch(self, request: Request) -> Response:
         route, params = self.router.find(request.method, request.path)
+        if route is None and request.method == "HEAD":
+            # HEAD is served by the GET handler; the HTTP server suppresses
+            # the response body for HEAD requests
+            route, params = self.router.find("GET", request.path)
         if route is None:
             if request.method == "OPTIONS":
                 # CORS preflight

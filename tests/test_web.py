@@ -103,6 +103,13 @@ class TestRouting:
             assert r.status_code == 201 and r.json() == {"a": 1}
 
     @pytest.mark.anyio
+    async def test_head_served_by_get_handler(self, client):
+        async with client:
+            r = await client.head("/items/42")
+            assert r.status_code == 200
+            assert r.content == b""
+
+    @pytest.mark.anyio
     async def test_404_405(self, client):
         async with client:
             assert (await client.get("/nope")).status_code == 404
