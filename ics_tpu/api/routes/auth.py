@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from ics_tpu.core import timezone as tz
 from ics_tpu.core.config import settings
-from ics_tpu.core.validators import validar_cpf, validar_forca_senha, validar_nome
+from ics_tpu.core.validators import (
+    validar_cpf,
+    validar_email,
+    validar_forca_senha,
+    validar_nome,
+)
 from ics_tpu.crud import auditoria_crud, cadastro_permitido_crud, user_crud
 from ics_tpu.db.models import TipoUsuario
 from ics_tpu.services import auth_service
@@ -88,7 +93,7 @@ async def cadastrar_usuario(request: Request):
     cpf = dados.get("cpf") or ""
     senha = dados.get("senha") or ""
     telefone = dados.get("telefone")
-    if not email or "@" not in email:
+    if not validar_email(email):
         raise HTTPException(422, "Email inválido.")
 
     if user_crud.get_user_by_email(db, email):

@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 from ics_tpu.core.security import hash_password, verify_password
-from ics_tpu.core.validators import validar_forca_senha
+from ics_tpu.core.validators import validar_email, validar_forca_senha
 from ics_tpu.crud.user_crud import (
     get_administrador_by_usuario,
     get_convencional_by_usuario,
@@ -92,6 +92,8 @@ async def atualizar_meu_perfil(request: Request):
     if dados.get("telefone"):
         user.telefone = dados["telefone"]
     if dados.get("email"):
+        if not validar_email(dados["email"]):
+            raise HTTPException(422, "Email inválido.")
         existente = (
             db.query(Usuario).filter(Usuario.email == dados["email"]).first()
         )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from ics_tpu.core.validators import validar_email
 from ics_tpu.crud import auditoria_crud, cadastro_permitido_crud, user_crud
 from ics_tpu.db.models import CadastroPermitido, TipoUsuario, Usuario
 from ics_tpu.services.auth_service import require_admin
@@ -17,7 +18,7 @@ async def cadastrar_email_permitido(request: Request):
     dados = await request.json()
     email = (dados.get("email") or "").strip().lower()
     id_tipo = dados.get("id_tipo")
-    if not email or "@" not in email:
+    if not validar_email(email):
         raise HTTPException(422, "Email inválido.")
     if db.query(Usuario).filter(Usuario.email == email).first():
         raise HTTPException(

@@ -27,6 +27,28 @@ def validar_cpf(cpf: str) -> bool:
     return True
 
 
+# RFC 5321/5322 dot-atom syntax, matching what pydantic's EmailStr (the
+# email-validator package, reference app/schemas/auth_schema.py:47,64,92)
+# accepts with deliverability checks off: dot-atom local part, hostname-shaped
+# domain with at least one dot and an alphabetic TLD.
+_ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~\-]"
+_EMAIL_RE = re.compile(
+    rf"^{_ATEXT}+(?:\.{_ATEXT}+)*"  # local: dot-atom (no leading/trailing/double dots)
+    r"@"
+    r"(?:[A-Za-z0-9](?:[A-Za-z0-9\-]{0,61}[A-Za-z0-9])?\.)+"  # domain labels
+    r"[A-Za-z]{2,63}$"  # TLD
+)
+
+
+def validar_email(email: str) -> bool:
+    if not email or len(email) > 254:
+        return False
+    local, _, domain = email.partition("@")
+    if len(local) > 64 or len(domain) > 253:
+        return False
+    return _EMAIL_RE.match(email) is not None
+
+
 def validar_nome(nome: str) -> bool:
     return len((nome or "").strip().split()) >= 2
 

@@ -3,7 +3,8 @@
 Replaces uvicorn in the deployment story (``Dockerfile`` CMD of the
 reference). Supports: keep-alive, chunked responses (via explicit
 content-length or connection close), request bodies with Content-Length,
-concurrent connections. Deliberately HTTP/1.1-only — TLS/H2 terminate at the
+concurrent connections, chunked request bodies (RFC 7230 §4.1).
+Deliberately HTTP/1.1-only — TLS/H2 terminate at the
 reverse proxy in production, as with the reference's compose setup.
 """
 
@@ -18,6 +19,10 @@ logger = logging.getLogger(__name__)
 
 MAX_HEADER_BYTES = 64 * 1024
 MAX_BODY_BYTES = 64 * 1024 * 1024
+
+
+class _BodyTooLarge(Exception):
+    pass
 
 
 class _Connection:
@@ -77,17 +82,24 @@ class _Connection:
                 elif "keep-alive" in token:
                     keep_alive = True
         if chunked:
-            # chunked bodies are not implemented; silently ignoring them
-            # would desync the keep-alive stream (request smuggling), so
-            # refuse and close
-            await self._simple_response(501, b"chunked transfer-encoding not supported")
-            return False
-        if content_length > MAX_BODY_BYTES:
-            await self._simple_response(413, b"Payload Too Large")
-            return False
-        body = (
-            await self.reader.readexactly(content_length) if content_length else b""
-        )
+            # RFC 7230 §4.1 de-chunking: uvicorn (the reference's server,
+            # /root/reference/Dockerfile:25) accepts streamed uploads, so
+            # curl/httpx multipart streaming must work here too.
+            try:
+                body = await self._read_chunked_body()
+            except _BodyTooLarge:
+                await self._simple_response(413, b"Payload Too Large")
+                return False
+            except ValueError:
+                await self._simple_response(400, b"malformed chunked body")
+                return False
+        else:
+            if content_length > MAX_BODY_BYTES:
+                await self._simple_response(413, b"Payload Too Large")
+                return False
+            body = (
+                await self.reader.readexactly(content_length) if content_length else b""
+            )
 
         split = urlsplit(target)
         scope = {
@@ -152,6 +164,39 @@ class _Connection:
             return False
         await self.writer.drain()
         return keep_alive and not self._force_close
+
+    async def _read_chunked_body(self) -> bytes:
+        """Decode a Transfer-Encoding: chunked body, capped at MAX_BODY_BYTES.
+
+        Raises ValueError on protocol violations and _BodyTooLarge past the
+        cap (both make the caller close the connection, so the stream can
+        never desync into request smuggling).
+        """
+        parts: list[bytes] = []
+        total = 0
+        while True:
+            size_line = await self.reader.readuntil(b"\r\n")
+            if len(size_line) > 1024:
+                raise ValueError("chunk-size line too long")
+            # chunk extensions (";name=value") are allowed and ignored
+            size_token = size_line.split(b";", 1)[0].strip()
+            size = int(size_token, 16)
+            if size < 0:
+                raise ValueError("negative chunk size")
+            if size == 0:
+                # trailers: zero or more header lines, then a blank line
+                while True:
+                    trailer = await self.reader.readuntil(b"\r\n")
+                    if trailer == b"\r\n":
+                        return b"".join(parts)
+                    if len(trailer) > MAX_HEADER_BYTES:
+                        raise ValueError("trailer too long")
+            total += size
+            if total > MAX_BODY_BYTES:
+                raise _BodyTooLarge()
+            parts.append(await self.reader.readexactly(size))
+            if await self.reader.readexactly(2) != b"\r\n":
+                raise ValueError("missing CRLF after chunk data")
 
     async def _simple_response(self, status: int, text: bytes) -> None:
         payload = (

@@ -152,6 +152,13 @@ class TestCadastro:
                 "/auth/cadastro", json={**self.PAYLOAD, "senha": "fraca"}
             )
             assert r.status_code == 422
+            # RFC email syntax, like the reference's EmailStr: "a@" and
+            # dotless domains are 422 (auth_schema.py:92)
+            for bad in ("a@", "a@b", "not-an-email", "a b@c.com"):
+                r = await client.post(
+                    "/auth/cadastro", json={**self.PAYLOAD, "email": bad}
+                )
+                assert r.status_code == 422, bad
 
     @pytest.mark.anyio
     async def test_cadastro_admin_type(self, app, client):

@@ -6,7 +6,12 @@ import pytest
 from ics_tpu.core import security
 from ics_tpu.core.config import Settings
 from ics_tpu.core import timezone as tz
-from ics_tpu.core.validators import validar_cpf, validar_forca_senha, validar_nome
+from ics_tpu.core.validators import (
+    validar_cpf,
+    validar_email,
+    validar_forca_senha,
+    validar_nome,
+)
 
 
 class TestValidators:
@@ -24,6 +29,20 @@ class TestValidators:
         assert validar_nome("Maria Silva")
         assert not validar_nome("Maria")
         assert not validar_nome("  ")
+
+    def test_email(self):
+        # mirrors pydantic EmailStr / email-validator acceptance
+        # (reference app/schemas/auth_schema.py:47,64,92)
+        assert validar_email("maria@example.com")
+        assert validar_email("first.last+tag@sub.domain.co")
+        assert not validar_email("a@")          # no domain
+        assert not validar_email("a@b")         # domain needs a period
+        assert not validar_email("@b.com")      # no local part
+        assert not validar_email("a..b@c.com")  # double dot in local
+        assert not validar_email("a b@c.com")   # space
+        assert not validar_email("a@-b.com")    # label starts with hyphen
+        assert not validar_email("a@b.c0m1")    # non-alphabetic TLD
+        assert not validar_email("")
 
     def test_senha(self):
         assert validar_forca_senha("Senha123")

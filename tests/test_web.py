@@ -213,3 +213,75 @@ class TestRealServer:
         finally:
             with contextlib.suppress(Exception):
                 await server.stop()
+
+    @pytest.mark.anyio
+    async def test_chunked_request_body(self):
+        """Streamed (Transfer-Encoding: chunked) uploads must work like they
+        do under the reference's uvicorn — httpx streams an iterator body."""
+        from ics_tpu.web.server import Server
+
+        app = make_app()
+        server = Server(app, host="127.0.0.1", port=0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            async with httpx.AsyncClient(
+                base_url=f"http://127.0.0.1:{port}"
+            ) as client:
+                payload = b'{"streamed": true, "n": 42}'
+
+                async def gen():
+                    yield payload[:10]
+                    yield payload[10:]
+
+                r = await client.post(
+                    "/items/", content=gen(),
+                    headers={"content-type": "application/json"},
+                )
+                assert r.status_code == 201
+                assert r.json() == {"streamed": True, "n": 42}
+                # keep-alive stream stays in sync after a chunked request
+                r = await client.get("/items/5")
+                assert r.json() == {"id": "5"}
+        finally:
+            with contextlib.suppress(Exception):
+                await server.stop()
+
+    @pytest.mark.anyio
+    async def test_chunked_malformed_and_raw(self):
+        from ics_tpu.web.server import Server
+
+        app = make_app()
+        server = Server(app, host="127.0.0.1", port=0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            # hand-rolled chunked request with extension + trailer
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            body = b'{"a":1}'
+            writer.write(
+                b"POST /items/ HTTP/1.1\r\nhost: t\r\n"
+                b"transfer-encoding: chunked\r\n"
+                b"content-type: application/json\r\n\r\n"
+                + b"4;ext=1\r\n" + body[:4] + b"\r\n"
+                + b"3\r\n" + body[4:] + b"\r\n"
+                + b"0\r\nx-trailer: v\r\n\r\n"
+            )
+            await writer.drain()
+            status = await reader.readuntil(b"\r\n")
+            assert b"201" in status
+            writer.close()
+
+            # malformed chunk size -> 400
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(
+                b"POST /items/ HTTP/1.1\r\nhost: t\r\n"
+                b"transfer-encoding: chunked\r\n\r\nzz\r\n"
+            )
+            await writer.drain()
+            status = await reader.readuntil(b"\r\n")
+            assert b"400" in status
+            writer.close()
+        finally:
+            with contextlib.suppress(Exception):
+                await server.stop()
