@@ -63,10 +63,17 @@ def _download_url(caminho_img: str) -> str:
     return f"/nextcloud/images/{quote(caminho_img.lstrip('/'), safe='/')}"
 
 
-def _montar_resposta_imagens(db, imagens, id_con: str, tem_mais: bool) -> dict:
+def _montar_resposta_imagens(
+    db, imagens, id_con: str, tem_mais: bool, id_amb: Optional[str] = None
+) -> dict:
     if not imagens:
         return {"imagens": [], "total": 0, "tem_mais": False}
     por_imagem = classificacao_crud.obter_classificacoes_imagens(db, id_con, imagens)
+    from ics_tpu.crud.modelo_crud import sugestoes_por_imagens
+
+    sugestoes = sugestoes_por_imagens(
+        db, [img.content_hash for img in imagens], id_amb=id_amb
+    )
     out = []
     for img in imagens:
         out.append(
@@ -81,6 +88,9 @@ def _montar_resposta_imagens(db, imagens, id_con: str, tem_mais: bool) -> dict:
                     _classificacao_info(db, c)
                     for c in por_imagem.get(img.content_hash, [])
                 ],
+                # model suggestion (classify-on-sync / classificar-tpu);
+                # null until a model has seen the image
+                "sugestao_modelo": sugestoes.get(img.content_hash),
             }
         )
     return {"imagens": out, "total": len(out), "tem_mais": tem_mais}
@@ -96,7 +106,9 @@ async def inicializar_classificacao(request: Request):
     imagens, tem_mais = classificacao_crud.buscar_imagens_inicial(
         db, id_amb, id_con, limit=PAGE
     )
-    return JSONResponse(_montar_resposta_imagens(db, imagens, id_con, tem_mais))
+    return JSONResponse(
+        _montar_resposta_imagens(db, imagens, id_con, tem_mais, id_amb=id_amb)
+    )
 
 
 @router.get("/contagem")
@@ -136,7 +148,9 @@ async def _paginar(request: Request, direction: str):
             "encontrada."
         )
         raise HTTPException(404, detalhe)
-    return JSONResponse(_montar_resposta_imagens(db, imagens, id_con, tem_mais))
+    return JSONResponse(
+        _montar_resposta_imagens(db, imagens, id_con, tem_mais, id_amb=id_amb)
+    )
 
 
 @router.post("/ambiente/{id_amb}/avancar")
@@ -278,29 +292,94 @@ async def listar_historico_usuario(request: Request):
 async def classificar_imagem_tpu(request: Request):
     """Model-assisted classification: runs the TPU pipeline on an image of
     the ambiente and returns top-k classes/scores alongside the human
-    workflow (BASELINE.json north star)."""
+    workflow (BASELINE.json north star).
+
+    When the ambiente has an active trained model (``modelos_treinados``),
+    that version serves and class indices map to the ambiente's option
+    labels; the suggestion is persisted for the paging payload. Otherwise
+    the generic default model serves bare class indices."""
     db = request.state.db
     usuario = auth_service.get_current_user(request)
     id_amb = request.path_params["id_amb"]
     id_con = _obter_id_con_usuario(db, usuario)
     _require_acesso(db, id_con, id_amb)
-    engine = request.app.state.get("engine")
-    if engine is None:
+    service = request.app.state.get("engine")
+    pool = request.app.state.get("engine_pool")
+    if service is None:
         raise HTTPException(503, "Serviço de inferência TPU indisponível.")
     form = await request.form()
     files = form.getfiles("file") or form.getfiles("files")
     if not files:
         raise HTTPException(422, "Envie a imagem no campo 'file'.")
-    from ics_tpu.crud import auditoria_crud
+    from ics_tpu.crud import auditoria_crud, modelo_crud
+
+    modelo_row = modelo_crud.modelo_ativo(db, id_amb)
+    if modelo_row is not None and pool is not None:
+        service = await pool.get_trained(modelo_row)
 
     try:
-        result = await engine.classify_bytes(files[0].data)
+        result = await service.classify_bytes(files[0].data)
     except (OSError, ValueError):
         # decode failures only; infra errors propagate to the 500 handler
         raise HTTPException(422, "Imagem inválida ou não decodificável.")
+
+    from ics_tpu.core.security import sha256_hex
+
+    content_hash = sha256_hex(files[0].data)
+    opcoes_out = None
+    if modelo_row is not None:
+        inv = modelo_crud.inverse_class_map(modelo_row)
+        opcoes_out = []
+        for cls_idx, score in zip(result["top_classes"], result["scores"]):
+            id_opc = inv.get(int(cls_idx))
+            if id_opc is None:
+                continue  # padding class beyond the ambiente's options
+            opcao = db.get(Opcao, id_opc)
+            opcoes_out.append(
+                {
+                    "id_opc": id_opc,
+                    "texto_opcao": opcao.texto if opcao else None,
+                    "score": score,
+                }
+            )
+        result["opcoes"] = opcoes_out
+        result["modelo_versao"] = modelo_row.versao
+        result["id_mod"] = str(modelo_row.id_mod)
+
+    # persist the suggestion when the upload is a synced image
+    if db.get(Imagem, content_hash) is not None:
+        if modelo_row is not None and opcoes_out:
+            modelo_crud.registrar_sugestao(
+                db, content_hash,
+                modelo=modelo_row.nome_modelo,
+                classes=opcoes_out,
+                score=opcoes_out[0]["score"],
+                id_amb=id_amb,
+                id_mod=modelo_row.id_mod,
+                id_opc=opcoes_out[0]["id_opc"],
+                versao=modelo_row.versao,
+            )
+        else:
+            modelo_crud.registrar_sugestao(
+                db, content_hash,
+                modelo=result["model"],
+                classes=[
+                    {"classe": int(c), "score": s}
+                    for c, s in zip(result["top_classes"], result["scores"])
+                ],
+                score=result["scores"][0] if result["scores"] else None,
+            )
+
     auditoria_crud.registrar_evento(
         db, "inferencia_tpu", usuario.id_usu,
-        {"id_amb": id_amb, "model": result["model"]},
+        {
+            "id_amb": id_amb,
+            "model": result["model"],
+            "modelo_versao": (
+                modelo_row.versao if modelo_row is not None else None
+            ),
+            "content_hash": content_hash,
+        },
     )
     db.commit()
     return JSONResponse(result)

@@ -1,0 +1,126 @@
+"""Fine-tune management routes (net-new TPU tier; VERDICT r1 item 3).
+
+The reference has no training at all — labels are typed by humans
+(SURVEY.md §0). These admin routes close the loop: specialist labels ->
+fine-tune job -> versioned registry -> ``classificar-tpu`` serving.
+
+- ``POST /treinamento/ambiente/{id_amb}`` — start a fine-tune job
+- ``GET /treinamento/jobs`` / ``GET /treinamento/jobs/{id_job}`` — progress
+- ``GET /treinamento/modelos`` — trained-model registry listing
+- ``POST /treinamento/modelos/{id_mod}/ativar`` — promote a version
+"""
+
+from __future__ import annotations
+
+from ics_tpu.crud import auditoria_crud, modelo_crud
+from ics_tpu.db.models import Ambiente
+from ics_tpu.services.auth_service import require_admin
+from ics_tpu.web import HTTPException, JSONResponse, Request, Router
+
+router = Router(prefix="/treinamento")
+
+
+def _trainer(request: Request):
+    trainer = request.app.state.get("trainer")
+    if trainer is None:
+        raise HTTPException(
+            503,
+            "Serviço de treinamento indisponível (TPU desabilitada ou "
+            "NextCloud não configurado).",
+        )
+    return trainer
+
+
+def _modelo_out(m) -> dict:
+    return {
+        "id_mod": str(m.id_mod),
+        "id_amb": str(m.id_amb),
+        "modelo": m.nome_modelo,
+        "versao": m.versao,
+        "num_classes": m.num_classes,
+        "passo": m.passo,
+        "metricas": m.metricas,
+        "ativo": m.ativo,
+        "data_criado": m.data_criado,
+    }
+
+
+@router.post("/ambiente/{id_amb}")
+async def iniciar_treinamento(request: Request):
+    """Start a fine-tune job on the ambiente's specialist labels (admin)."""
+    db = request.state.db
+    admin = require_admin(request)
+    id_amb = request.path_params["id_amb"]
+    ambiente = db.get(Ambiente, str(id_amb))
+    if ambiente is None or not ambiente.ativo:
+        raise HTTPException(404, "Ambiente não encontrado ou inativo.")
+    trainer = _trainer(request)
+    raw = await request.body()
+    body = (await request.json()) if raw else {}
+    modelo = body.get("modelo") or "resnet50"
+    from ics_tpu.core.config import settings
+
+    try:
+        job = trainer.start(
+            id_amb=str(id_amb),
+            model_name=modelo,
+            max_steps=int(body.get("max_steps") or 100),
+            batch_size=int(body.get("batch_size") or 32),
+            lr=float(body.get("lr") or 0.01),
+            epochs=int(body.get("epochs") or 10),
+            canvas=int(body.get("canvas") or settings.TPU_CANVAS),
+            compute_dtype=settings.TPU_PRECISION,
+        )
+    except KeyError:
+        raise HTTPException(422, f"Modelo desconhecido: {modelo}.")
+    except RuntimeError as exc:
+        raise HTTPException(409, str(exc))
+    auditoria_crud.registrar_evento(
+        db, "iniciar_treinamento", admin.id_usu,
+        {"id_amb": str(id_amb), "modelo": modelo, "id_job": job.id_job},
+    )
+    db.commit()
+    return JSONResponse(job.to_dict(), 202)
+
+
+@router.get("/jobs")
+async def listar_jobs(request: Request):
+    require_admin(request)
+    return JSONResponse({"jobs": _trainer(request).list_jobs()})
+
+
+@router.get("/jobs/{id_job}")
+async def status_job(request: Request):
+    require_admin(request)
+    job = _trainer(request).get(request.path_params["id_job"])
+    if job is None:
+        raise HTTPException(404, "Job de treinamento não encontrado.")
+    return JSONResponse(job.to_dict())
+
+
+@router.get("/modelos")
+async def listar_modelos_treinados(request: Request):
+    require_admin(request)
+    db = request.state.db
+    id_amb = request.query_params.get("id_amb")
+    rows = modelo_crud.listar_modelos(db, id_amb=id_amb)
+    return JSONResponse(
+        {"modelos": [_modelo_out(m) for m in rows], "total": len(rows)}
+    )
+
+
+@router.post("/modelos/{id_mod}/ativar")
+async def ativar_modelo_treinado(request: Request):
+    """Promote a registry version to serving for its ambiente (admin)."""
+    db = request.state.db
+    admin = require_admin(request)
+    row = modelo_crud.ativar_modelo(db, request.path_params["id_mod"])
+    if row is None:
+        raise HTTPException(404, "Modelo treinado não encontrado.")
+    auditoria_crud.registrar_evento(
+        db, "ativar_modelo_treinado", admin.id_usu,
+        {"id_mod": str(row.id_mod), "id_amb": str(row.id_amb),
+         "versao": row.versao},
+    )
+    db.commit()
+    return JSONResponse(_modelo_out(row))

@@ -100,8 +100,16 @@ class Settings(BaseModel):
     # ---- TPU inference tier (net-new; BASELINE.json north star) ----
     TPU_ENABLE_INFERENCE: bool = True
     TPU_DEFAULT_MODEL: str = "resnet50"
-    TPU_MESH_SHAPE: str = "1"            # comma-separated, e.g. "8" or "2,4"
-    TPU_MESH_AXES: str = "data"          # comma-separated axis names
+    # "auto": pure-DP mesh over every visible chip (single-chip -> no mesh);
+    # explicit e.g. "8" or "4,2" with TPU_MESH_AXES — serving + training
+    # shard the batch over 'data'; 'model' is the TP axis
+    TPU_MESH_SHAPE: str = "auto"
+    TPU_MESH_AXES: str = "data,model"    # comma-separated axis names
+    # multi-host (DCN) initialization — jax.distributed.initialize() runs at
+    # inference/train startup when a coordinator address is configured
+    TPU_COORDINATOR_ADDRESS: str = ""    # "host:port" of process 0
+    TPU_NUM_PROCESSES: int = 1
+    TPU_PROCESS_ID: int = 0
     TPU_BATCH_BUCKETS: str = "1,8,32,128"  # padded batch buckets
     TPU_BATCH_DEADLINE_US: int = 2000    # dynamic batcher flush deadline
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
@@ -109,6 +117,9 @@ class Settings(BaseModel):
     TPU_PRECISION: str = "bf16"          # "bf16" | "fp32"
     TPU_IMAGE_SIZE: int = 224
     TPU_NUM_CLASSES: int = 1000
+    TPU_CANVAS: int = 512                # staging canvas side (px)
+    TPU_WEIGHTS_DIR: str = "./model_checkpoints"  # fine-tune ckpt root
+    TPU_CLASSIFY_ON_SYNC: bool = True    # suggest labels for synced images
 
     def get_cors_origins_list(self) -> list[str]:
         origins = []
@@ -118,8 +129,12 @@ class Settings(BaseModel):
                 origins.append(origin)
         return origins or ["http://localhost:5173", "http://127.0.0.1:5173"]
 
-    def get_mesh_shape(self) -> tuple[int, ...]:
-        return tuple(int(x) for x in self.TPU_MESH_SHAPE.split(",") if x.strip())
+    def get_mesh_shape(self) -> Optional[tuple[int, ...]]:
+        """Explicit mesh shape, or None for "auto" (use every visible chip)."""
+        raw = self.TPU_MESH_SHAPE.strip().lower()
+        if raw in ("", "auto"):
+            return None
+        return tuple(int(x) for x in raw.split(",") if x.strip())
 
     def get_mesh_axes(self) -> tuple[str, ...]:
         return tuple(x.strip() for x in self.TPU_MESH_AXES.split(",") if x.strip())

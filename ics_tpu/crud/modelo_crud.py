@@ -1,0 +1,184 @@
+"""Trained-model registry + model-suggestion CRUD (net-new TPU tier).
+
+No reference counterpart: the reference has no model inference at all
+(SURVEY.md §0); this registry is how fine-tuned weights become the serving
+version for an ambiente's ``classificar-tpu`` path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from ics_tpu.core import timezone as tz
+from ics_tpu.db.engine import Session
+from ics_tpu.db.models import ModeloTreinado, Opcao, SugestaoModelo
+
+
+def registrar_modelo(
+    db: Session,
+    id_amb: str,
+    nome_modelo: str,
+    num_classes: int,
+    class_map: dict,
+    dir_checkpoint: str,
+    passo: int = 0,
+    metricas: Optional[dict] = None,
+    ativar: bool = True,
+) -> ModeloTreinado:
+    """Register a fine-tune result; ``versao`` auto-increments per ambiente.
+
+    ``ativar=True`` promotes it to the serving version (one active model
+    per ambiente — the previous one is demoted in the same transaction).
+    """
+    existing = (
+        db.query(ModeloTreinado)
+        .filter(ModeloTreinado.id_amb == str(id_amb))
+        .all()
+    )
+    versao = max((m.versao for m in existing), default=0) + 1
+    if ativar:
+        for m in existing:
+            if m.ativo:
+                m.ativo = False
+    row = ModeloTreinado(
+        id_amb=str(id_amb),
+        nome_modelo=nome_modelo,
+        versao=versao,
+        num_classes=num_classes,
+        class_map={str(k): int(v) for k, v in class_map.items()},
+        dir_checkpoint=str(dir_checkpoint),
+        passo=int(passo),
+        metricas=metricas,
+        ativo=ativar,
+        data_criado=tz.utcnow(),
+    )
+    db.add(row)
+    db.flush()
+    return row
+
+
+def modelo_ativo(db: Session, id_amb: str) -> Optional[ModeloTreinado]:
+    return (
+        db.query(ModeloTreinado)
+        .filter(ModeloTreinado.id_amb == str(id_amb), ModeloTreinado.ativo == True)  # noqa: E712
+        .first()
+    )
+
+
+def get_modelo(db: Session, id_mod: str) -> Optional[ModeloTreinado]:
+    return db.get(ModeloTreinado, str(id_mod))
+
+
+def listar_modelos(db: Session, id_amb: Optional[str] = None):
+    q = db.query(ModeloTreinado)
+    if id_amb is not None:
+        q = q.filter(ModeloTreinado.id_amb == str(id_amb))
+    rows = q.all()
+    return sorted(rows, key=lambda m: (str(m.id_amb), m.versao))
+
+
+def ativar_modelo(db: Session, id_mod: str) -> Optional[ModeloTreinado]:
+    """Promote a registry version to serving (demotes its ambiente's
+    current active version)."""
+    row = db.get(ModeloTreinado, str(id_mod))
+    if row is None:
+        return None
+    for m in (
+        db.query(ModeloTreinado)
+        .filter(ModeloTreinado.id_amb == str(row.id_amb))
+        .all()
+    ):
+        m.ativo = m.id_mod == row.id_mod
+    db.flush()
+    return row
+
+
+def inverse_class_map(row: ModeloTreinado) -> dict[int, str]:
+    """class index -> id_opc."""
+    return {int(v): str(k) for k, v in (row.class_map or {}).items()}
+
+
+def registrar_sugestao(
+    db: Session,
+    id_img: str,
+    modelo: str,
+    classes: list[dict],
+    score: Optional[float] = None,
+    id_amb: Optional[str] = None,
+    id_mod: Optional[str] = None,
+    id_opc: Optional[str] = None,
+    versao: Optional[int] = None,
+) -> SugestaoModelo:
+    """Upsert the (image, ambiente-or-generic, model) suggestion: a rerun
+    with newer weights replaces the stale suggestion instead of stacking."""
+    q = db.query(SugestaoModelo).filter(
+        SugestaoModelo.id_img == str(id_img),
+        SugestaoModelo.modelo == modelo,
+    )
+    if id_amb is None:
+        q = q.filter(SugestaoModelo.id_amb == None)  # noqa: E711
+    else:
+        q = q.filter(SugestaoModelo.id_amb == str(id_amb))
+    row = q.first()
+    if row is None:
+        row = SugestaoModelo(
+            id_img=str(id_img),
+            id_amb=str(id_amb) if id_amb else None,
+            modelo=modelo,
+            data_criado=tz.utcnow(),
+        )
+        db.add(row)
+    row.id_mod = str(id_mod) if id_mod else None
+    row.id_opc = str(id_opc) if id_opc else None
+    row.versao = versao
+    row.score = float(score) if score is not None else None
+    row.classes = classes
+    row.data_criado = tz.utcnow()
+    db.flush()
+    return row
+
+
+def sugestoes_por_imagens(
+    db: Session, hashes: Sequence[str], id_amb: Optional[str] = None
+) -> dict[str, dict]:
+    """hash -> rendered suggestion for the paging payload.
+
+    Ambiente-specific suggestions win; generic-model suggestions are the
+    fallback so freshly-synced images surface something before any
+    fine-tune has run."""
+    out: dict[str, dict] = {}
+    if not hashes:
+        return out
+    rows = (
+        db.query(SugestaoModelo)
+        .filter(SugestaoModelo.id_img.in_([str(h) for h in hashes]))
+        .all()
+    )
+    opcao_texto: dict[str, str] = {}
+
+    def render(row: SugestaoModelo) -> dict:
+        texto = None
+        if row.id_opc:
+            if row.id_opc not in opcao_texto:
+                opc = db.get(Opcao, row.id_opc)
+                opcao_texto[row.id_opc] = opc.texto if opc else None
+            texto = opcao_texto[row.id_opc]
+        return {
+            "modelo": row.modelo,
+            "versao": row.versao,
+            "id_opc": str(row.id_opc) if row.id_opc else None,
+            "texto_opcao": texto,
+            "score": row.score,
+            "classes": row.classes,
+        }
+
+    generic: dict[str, SugestaoModelo] = {}
+    for row in rows:
+        if id_amb is not None and str(row.id_amb or "") == str(id_amb):
+            out[row.id_img] = render(row)
+        elif row.id_amb is None:
+            generic[row.id_img] = row
+    for h, row in generic.items():
+        if h not in out:
+            out[h] = render(row)
+    return out

@@ -14,6 +14,7 @@ from ics_tpu.db.orm import (
     Char,
     Column,
     DateTime,
+    Float,
     Index,
     Integer,
     JSONB,
@@ -242,6 +243,61 @@ class LogAuditoria(Model):
     detalhes = Column(JSONB)
 
 
+class ModeloTreinado(Model):
+    """Model-version registry (net-new TPU tier, no reference counterpart).
+
+    One row per fine-tune run on an ambiente's specialist labels; the
+    ``ativo`` row of an ambiente is the version its ``classificar-tpu``
+    serving uses (BASELINE.json fidelity clause: serving runs versioned,
+    trained weights — VERDICT r1 item 2).
+    """
+
+    __tablename__ = "modelos_treinados"
+    id_mod = Column(Uuid, primary_key=True, default=new_uuid)
+    id_amb = Column(
+        Uuid, foreign_key="ambientes.id_amb", ondelete="CASCADE",
+        nullable=False, index=True,
+    )
+    nome_modelo = Column(String(64), nullable=False)  # registry name
+    versao = Column(Integer, nullable=False)          # per-ambiente counter
+    num_classes = Column(Integer, nullable=False)
+    class_map = Column(JSONB, nullable=False)         # id_opc -> class index
+    dir_checkpoint = Column(String(512), nullable=False)
+    passo = Column(Integer, nullable=False, default=0)
+    metricas = Column(JSONB)                          # loss/accuracy history
+    ativo = Column(Boolean, nullable=False, default=False)
+    data_criado = Column(DateTime, nullable=False)
+
+
+class SugestaoModelo(Model):
+    """A model's label suggestion for an image.
+
+    Written by classify-on-sync (ingestion front) and by ``classificar-tpu``;
+    surfaced alongside human classifications in the paging payload. Rows
+    with ``id_amb`` reference a trained per-ambiente model (``id_opc`` is
+    the suggested option); generic-model rows have both as NULL and carry
+    raw class indices in ``classes``.
+    """
+
+    __tablename__ = "sugestoes_modelo"
+    __table_args__ = (
+        Index("idx_sugestao_img_amb", "id_img", "id_amb"),
+    )
+    id_sug = Column(Uuid, primary_key=True, default=new_uuid)
+    id_img = Column(
+        String(64), foreign_key="imagens.content_hash", ondelete="CASCADE",
+        nullable=False, index=True,
+    )
+    id_amb = Column(Uuid, foreign_key="ambientes.id_amb", ondelete="CASCADE")
+    id_mod = Column(Uuid, foreign_key="modelos_treinados.id_mod")
+    id_opc = Column(Uuid, foreign_key="opcoes.id_opc", ondelete="CASCADE")
+    modelo = Column(String(64), nullable=False)
+    versao = Column(Integer)
+    score = Column(Float)                             # top-1 probability
+    classes = Column(JSONB)                           # top-k details
+    data_criado = Column(DateTime, nullable=False)
+
+
 class SyncStatus(Model):
     """Singleton row (id=1) holding sync watermarks + circuit-breaker state."""
 
@@ -308,4 +364,6 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
      "Reativação de associação usuário-ambiente"),
     # net-new (TPU inference tier)
     ("inferencia_tpu", "Inferência TPU executada"),
+    ("iniciar_treinamento", "Treinamento de modelo iniciado"),
+    ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
 ]

@@ -42,6 +42,15 @@ class Integer(TypeSpec):
     sqlite_type = "INTEGER"
 
 
+class Float(TypeSpec):
+    sqlite_type = "REAL"
+
+    def decode(self, value):
+        if value is None:
+            return None
+        return float(value)
+
+
 class Boolean(TypeSpec):
     sqlite_type = "INTEGER"
 

@@ -65,6 +65,8 @@ async def lifespan(app: App):
                 num_classes=settings.TPU_NUM_CLASSES,
                 precision=settings.TPU_PRECISION,
                 buckets=settings.get_batch_buckets(),
+                canvas=settings.TPU_CANVAS,
+                mesh=service.engine.mesh,  # pool models share the mesh
             )
             pool._services[settings.TPU_DEFAULT_MODEL] = service
             # only publish once fully started — a half-started service
@@ -77,6 +79,26 @@ async def lifespan(app: App):
             app.state.engine_pool = None
             logger.warning("TPU inference disabled: %s", exc)
 
+    # fine-tune job manager (specialist labels -> versioned weights)
+    app.state.trainer = None
+    if settings.TPU_ENABLE_INFERENCE and app.state.engine is not None:
+        try:
+            from ics_tpu.train.job import (
+                TrainingJobManager,
+                nextcloud_bytes_provider,
+            )
+
+            fetch = None
+            if settings.NEXTCLOUD_BASE_URL:
+                from ics_tpu.sync.nextcloud_client import NextCloudClient
+
+                fetch = nextcloud_bytes_provider(NextCloudClient)
+            app.state.trainer = TrainingJobManager(
+                db, settings.TPU_WEIGHTS_DIR, fetch_bytes=fetch
+            )
+        except Exception as exc:  # pragma: no cover - env-dependent
+            logger.warning("training manager disabled: %s", exc)
+
     # NextCloud sync engine
     app.state.sync = None
     if settings.NEXTCLOUD_BASE_URL:
@@ -84,7 +106,12 @@ async def lifespan(app: App):
             from ics_tpu.sync.scheduler import SyncScheduler
             from ics_tpu.sync.service import NextCloudSyncService
 
-            service = NextCloudSyncService.from_settings(db)
+            on_image_bytes = None
+            if settings.TPU_CLASSIFY_ON_SYNC and app.state.engine is not None:
+                on_image_bytes = _make_classify_on_sync(app)
+            service = NextCloudSyncService.from_settings(
+                db, on_image_bytes=on_image_bytes
+            )
             scheduler = SyncScheduler(service)
             app.state.sync = scheduler
             await scheduler.start(
@@ -103,6 +130,52 @@ async def lifespan(app: App):
             await app.state.engine_pool.stop()
         elif app.state.get("engine") is not None:
             await app.state.engine.stop()
+
+
+def _make_classify_on_sync(app: App):
+    """Classify-on-sync consumer (north star: "the sync worker becomes the
+    ingestion front that streams bytes to the TPU").
+
+    Called synchronously by the sync engine (event-loop thread) with each
+    downloaded image's bytes; schedules a fire-and-forget classification and
+    persists the model suggestion for the paging payload."""
+
+    async def classify_and_store(content_hash: str, data: bytes) -> None:
+        try:
+            service = app.state.get("engine")
+            if service is None:
+                return
+            result = await service.classify_bytes(data)
+            db = app.state.db
+            from ics_tpu.crud.modelo_crud import registrar_sugestao
+
+            with db.session() as s:
+                registrar_sugestao(
+                    s, content_hash,
+                    modelo=result["model"],
+                    classes=[
+                        {"classe": int(c), "score": float(sc)}
+                        for c, sc in zip(
+                            result["top_classes"], result["scores"]
+                        )
+                    ],
+                    score=(
+                        float(result["scores"][0])
+                        if result["scores"] else None
+                    ),
+                )
+                s.commit()
+        except Exception:  # never let suggestions break the sync engine
+            logger.exception(
+                "classify-on-sync failed for %s", content_hash[:12]
+            )
+
+    def hook(content_hash: str, data: bytes) -> None:
+        asyncio.get_running_loop().create_task(
+            classify_and_store(content_hash, data)
+        )
+
+    return hook
 
 
 async def _observability_middleware(request: Request, call_next):
@@ -188,6 +261,7 @@ def create_app(db: Database | None = None) -> App:
         nextcloud_images,
         opcoes,
         test_sync,
+        treinamento,
         usuarios,
         usuarios_ambientes,
         whitelist,
@@ -196,7 +270,7 @@ def create_app(db: Database | None = None) -> App:
     for module in (
         auth_routes, usuarios, whitelist, ambientes, opcoes, classificacoes,
         usuarios_ambientes, auditoria, nextcloud_images, test_sync, images,
-        inferencia,
+        inferencia, treinamento,
     ):
         app.include_router(module.router)
 

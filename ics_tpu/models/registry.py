@@ -58,6 +58,10 @@ def _ensure_populated() -> None:
     register_model(
         "resnet101", resnet.resnet101, 224, 256, "ResNet-101 v1.5",
     )
+    register_model(
+        "resnet_tiny", resnet.resnet_tiny, 64, 64,
+        "ResNet tiny (1 block/stage @64px) — dev/CI serving-stack model",
+    )
     try:
         from ics_tpu.models import vit
 

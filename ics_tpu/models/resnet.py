@@ -215,5 +215,11 @@ def resnet50(num_classes: int = 1000) -> ResNet:
     return ResNet((3, 4, 6, 3), num_classes)
 
 
+def resnet_tiny(num_classes: int = 1000) -> ResNet:
+    """One bottleneck per stage — dev/CI model for exercising the full
+    serving stack (engine/batcher/mesh) cheaply on CPU. Not a zoo model."""
+    return ResNet(block_counts=(1, 1, 1, 1), num_classes=num_classes)
+
+
 def resnet101(num_classes: int = 1000) -> ResNet:
     return ResNet((3, 4, 23, 3), num_classes)

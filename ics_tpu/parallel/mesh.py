@@ -42,6 +42,56 @@ def make_mesh(
     return Mesh(arr, axes)
 
 
+_distributed_initialized = False
+
+
+def maybe_initialize_distributed(settings) -> bool:
+    """Multi-host (DCN) init via jax.distributed (SURVEY.md §2.3 comm row).
+
+    The reference's only "distribution" is HTTP client-server; for the TPU
+    build, multi-host pods coordinate through jax.distributed so GSPMD can
+    place collectives across DCN. No-op unless TPU_COORDINATOR_ADDRESS is
+    configured; idempotent across callers (serving + train CLI)."""
+    global _distributed_initialized
+    if _distributed_initialized or not settings.TPU_COORDINATOR_ADDRESS:
+        return _distributed_initialized
+    jax.distributed.initialize(
+        coordinator_address=settings.TPU_COORDINATOR_ADDRESS,
+        num_processes=settings.TPU_NUM_PROCESSES,
+        process_id=settings.TPU_PROCESS_ID,
+    )
+    _distributed_initialized = True
+    return True
+
+
+def mesh_from_settings(settings) -> Optional[Mesh]:
+    """Build the serving/training mesh from TPU_MESH_SHAPE / TPU_MESH_AXES.
+
+    - "auto" (default): pure-DP mesh over every visible device; None on a
+      single device (plain jit, no GSPMD overhead).
+    - explicit "4,2": exactly that shape over TPU_MESH_AXES; raises if the
+      host doesn't have enough devices — silently serving on fewer chips
+      than configured would be an invisible capacity loss.
+    """
+    maybe_initialize_distributed(settings)
+    shape = settings.get_mesh_shape()
+    devices = jax.devices()
+    if shape is None:
+        if len(devices) <= 1:
+            return None
+        return make_mesh(shape=(len(devices),), axes=("data",), devices=devices)
+    need = int(np.prod(shape))
+    if need <= 1:
+        return None
+    if need > len(devices):
+        raise RuntimeError(
+            f"TPU_MESH_SHAPE={settings.TPU_MESH_SHAPE} needs {need} devices, "
+            f"but only {len(devices)} are visible"
+        )
+    axes = settings.get_mesh_axes()[: len(shape)]
+    return make_mesh(shape=shape, axes=axes, devices=devices)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over 'data'; rest replicated."""
     spec = [None] * ndim

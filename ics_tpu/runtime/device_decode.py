@@ -106,14 +106,17 @@ def decode_batch_to_canvas(staged: dict, dtype=jnp.float32):
     return rgb.astype(dtype)
 
 
-def make_fused_decode_infer_step(model, folded, spec, dtype=jnp.bfloat16):
+def make_fused_decode_infer_step(model, folded, spec, dtype=jnp.bfloat16,
+                                 mesh=None, top_k: int = 5):
     """Returns jitted step: coefficient batch -> (top_idx, top_scores).
 
     The entire pipeline after entropy decode is ONE XLA graph on device.
+    With a mesh, every input is batch-sharded over 'data' so iDCT matmuls,
+    upsample and the forward all run data-parallel (params stay replicated
+    via the captured ``folded``'s placement).
     """
     from ics_tpu.ops.preproc import preprocess_batch
 
-    @jax.jit
     def step(y, yq, cb, cq, cr, rq, sizes):
         staged = {"y": y, "yq": yq, "cb": cb, "cq": cq, "cr": cr, "rq": rq}
         canvas = decode_batch_to_canvas(staged, dtype=jnp.float32)
@@ -123,7 +126,18 @@ def make_fused_decode_infer_step(model, folded, spec, dtype=jnp.bfloat16):
         )
         logits = model.apply_folded(folded, x).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
-        top_scores, top_idx = jax.lax.top_k(probs, 5)
+        top_scores, top_idx = jax.lax.top_k(probs, top_k)
         return top_idx, top_scores
 
-    return step
+    if mesh is not None:
+        from ics_tpu.parallel.mesh import batch_sharding
+
+        def sh(ndim):
+            return batch_sharding(mesh, ndim)
+
+        return jax.jit(
+            step,
+            in_shardings=(sh(4), sh(2), sh(4), sh(2), sh(4), sh(2), sh(2)),
+            out_shardings=(sh(2), sh(2)),
+        )
+    return jax.jit(step)

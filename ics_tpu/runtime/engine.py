@@ -91,6 +91,8 @@ class InferenceEngine:
         spec = self.spec
         dtype = self.dtype
 
+        k = min(TOP_K, self.num_classes)
+
         def step(folded, canvas_u8, sizes):
             x = preprocess_batch(
                 canvas_u8, sizes, out_size=spec.image_size,
@@ -98,7 +100,7 @@ class InferenceEngine:
             )
             logits = model.apply_folded(folded, x).astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
-            top_scores, top_idx = jax.lax.top_k(probs, TOP_K)
+            top_scores, top_idx = jax.lax.top_k(probs, k)
             return top_idx, top_scores
 
         if self.mesh is not None:
@@ -128,7 +130,8 @@ class InferenceEngine:
             )
 
             self._coeff_step = make_fused_decode_infer_step(
-                self.model, self.folded, self.spec, dtype=self.dtype
+                self.model, self.folded, self.spec, dtype=self.dtype,
+                mesh=self.mesh, top_k=min(TOP_K, self.num_classes),
             )
         return self._coeff_step
 

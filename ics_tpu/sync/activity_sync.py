@@ -44,9 +44,11 @@ def _is_image_path(path: str) -> bool:
 
 
 class ActivityAPISync:
-    def __init__(self, client: NextCloudClient, db: Database):
+    def __init__(self, client: NextCloudClient, db: Database,
+                 on_image_bytes=None):
         self.client = client
         self.db = db
+        self.on_image_bytes = on_image_bytes  # TPU ingestion hook
         self._processed_paths: set[str] = set()
         self._failed_paths: set[str] = set()
 
@@ -266,6 +268,11 @@ class ActivityAPISync:
                 imagem.data_sinc = now
                 result = "updated"
             s.commit()
+        if self.on_image_bytes is not None:
+            try:
+                self.on_image_bytes(content_hash, data)
+            except Exception:
+                logger.exception("on_image_bytes hook falhou")
         self._processed_paths.add(file_path)
         return result
 

@@ -39,15 +39,19 @@ COLLECTOR_MAX_ITERS = 120
 
 
 class NextCloudSyncService:
-    def __init__(self, db: Database, client: Optional[NextCloudClient] = None):
+    def __init__(self, db: Database, client: Optional[NextCloudClient] = None,
+                 on_image_bytes=None):
         self.db = db
         self.client = client or get_nextcloud_client()
         self.cache = SyncCache(db)
         self.event_cache = EventCache()
+        # ingestion-front hook: every downloaded image's bytes are offered
+        # to the TPU pipeline (classify-on-sync, north star)
+        self.on_image_bytes = on_image_bytes
 
     @classmethod
-    def from_settings(cls, db: Database) -> "NextCloudSyncService":
-        return cls(db)
+    def from_settings(cls, db: Database, on_image_bytes=None) -> "NextCloudSyncService":
+        return cls(db, on_image_bytes=on_image_bytes)
 
     # -- initial sync -------------------------------------------------------
     def _db_is_empty(self) -> bool:
@@ -70,7 +74,7 @@ class NextCloudSyncService:
     async def _sync_initial_empty_db(self) -> dict[str, Any]:
         started = tz.utcnow()
         self.cache.set_initial_webdav_start(started)
-        webdav = WebDAVSync(self.client, self.db)
+        webdav = WebDAVSync(self.client, self.db, on_image_bytes=self.on_image_bytes)
         scan_done = asyncio.Event()
 
         async def collector() -> None:
@@ -141,7 +145,7 @@ class NextCloudSyncService:
         events = self.event_cache.get_events()
         if not events:
             return {"events_processed": 0}
-        activity = ActivityAPISync(self.client, self.db)
+        activity = ActivityAPISync(self.client, self.db, on_image_bytes=self.on_image_bytes)
         stats = await activity.process_events(events)
         top = max((int(e.get("activity_id", 0)) for e in events), default=0)
         if top:
@@ -180,7 +184,7 @@ class NextCloudSyncService:
             # NextCloud Activity API: ``since`` is the last-seen activity ID
             # (the reference passed timestamps — broken incremental channel)
             since = status.last_activity_id or 0
-            activity = ActivityAPISync(self.client, self.db)
+            activity = ActivityAPISync(self.client, self.db, on_image_bytes=self.on_image_bytes)
             events = await activity.fetch_events_since(since)
             stats = await activity.process_events(events)
             top = max((int(e.get("activity_id", 0)) for e in events), default=0)
@@ -198,7 +202,7 @@ class NextCloudSyncService:
 
     async def _sync_via_webdav(self) -> dict[str, Any]:
         try:
-            webdav = WebDAVSync(self.client, self.db)
+            webdav = WebDAVSync(self.client, self.db, on_image_bytes=self.on_image_bytes)
             stats = await webdav.sync_all_folders()
             self.cache.record_webdav_success()
             now = tz.utcnow()

@@ -1,0 +1,77 @@
+"""Fine-tune CLI: ``python -m ics_tpu.train --ambiente <id_amb> [...]``.
+
+Operator-facing twin of ``POST /treinamento/ambiente/{id}``: trains on the
+ambiente's specialist labels, checkpoints via orbax, registers the result
+in ``modelos_treinados`` and (by default) promotes it to serving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m ics_tpu.train",
+        description="Fine-tune a model on an ambiente's specialist labels.",
+    )
+    parser.add_argument("--ambiente", required=True, help="id_amb to train on")
+    parser.add_argument("--modelo", default="resnet50")
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--canvas", type=int, default=512)
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument(
+        "--no-ativar", action="store_true",
+        help="register the version without promoting it to serving",
+    )
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from ics_tpu.core.config import settings
+    from ics_tpu.db.engine import get_database
+    from ics_tpu.sync.nextcloud_client import NextCloudClient
+    from ics_tpu.train.job import TrainingJobManager, nextcloud_bytes_provider
+
+    db = get_database()
+    if not db.wait_until_ready():
+        print("database unreachable", file=sys.stderr)
+        return 2
+    fetch = None
+    if settings.NEXTCLOUD_BASE_URL:
+        fetch = nextcloud_bytes_provider(NextCloudClient)
+    manager = TrainingJobManager(
+        db, settings.TPU_WEIGHTS_DIR, fetch_bytes=fetch
+    )
+    job = manager.start(
+        id_amb=args.ambiente,
+        model_name=args.modelo,
+        max_steps=args.steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        canvas=args.canvas,
+        compute_dtype=args.precision,
+        ativar=not args.no_ativar,
+    )
+    last_len = 0
+    while job.status in ("pendente", "executando"):
+        time.sleep(1.0)
+        for rec in job.history[last_len:]:
+            print(
+                f"step {rec['step']}: loss={rec['loss']:.4f} "
+                f"acc={rec['accuracy']:.3f}"
+            )
+        last_len = len(job.history)
+    print(json.dumps(job.to_dict(), ensure_ascii=False, default=str, indent=2))
+    return 0 if job.status == "concluido" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

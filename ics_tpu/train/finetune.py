@@ -119,7 +119,8 @@ class FineTuner:
             self.checkpoint = CheckpointManager(checkpoint_dir)
 
     def run(self, variables, batches, max_steps: Optional[int] = None,
-            checkpoint_every: int = 100, start_step: int = 0):
+            checkpoint_every: int = 100, start_step: int = 0,
+            on_step: Optional[Any] = None):
         opt_state = self.optimizer.init(variables["params"])
         if self.checkpoint is not None and self.checkpoint.latest_step() is not None:
             restored = self.checkpoint.restore(
@@ -136,10 +137,11 @@ class FineTuner:
                 variables, opt_state, canvas, sizes, labels
             )
             step_num += 1
-            history.append(
-                {"step": step_num, "loss": float(metrics["loss"]),
-                 "accuracy": float(metrics["accuracy"])}
-            )
+            record = {"step": step_num, "loss": float(metrics["loss"]),
+                      "accuracy": float(metrics["accuracy"])}
+            history.append(record)
+            if on_step is not None:
+                on_step(record)
             if self.checkpoint is not None and step_num % checkpoint_every == 0:
                 self.checkpoint.save(
                     step_num, variables, opt_state, {"step": step_num}

@@ -1,0 +1,229 @@
+"""Background fine-tune jobs: specialist labels -> trained weights ->
+model-version registry (VERDICT r1 item 3; SURVEY.md §7.1 step 7).
+
+A job trains one registry model on one ambiente's labeled examples
+(:func:`ics_tpu.train.data.labeled_examples`), checkpoints via orbax, and
+registers the result in ``modelos_treinados`` so serving
+(:meth:`InferenceServicePool.get_trained`) picks it up. Training runs in a
+worker thread — the jit-ed step releases the GIL during device work, so the
+event loop (and host CRUD latency) stays responsive.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+import uuid
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from ics_tpu.core import timezone as tz
+from ics_tpu.crud import modelo_crud
+from ics_tpu.db.engine import Database
+from ics_tpu.models.registry import get_model
+from ics_tpu.train.data import batch_iterator, labeled_examples
+from ics_tpu.train.finetune import FineTuner, make_optimizer
+
+logger = logging.getLogger(__name__)
+
+BytesProvider = Callable[[str, str], bytes]
+
+
+def nextcloud_bytes_provider(client_factory) -> BytesProvider:
+    """Blocking byte fetch for the training thread.
+
+    The sync tier's NextCloud client is async; the training thread owns a
+    private event loop and drives a private client instance on it (clients
+    must not hop threads/loops).
+    """
+    loop = asyncio.new_event_loop()
+    client = None
+
+    def fetch(content_hash: str, caminho: str) -> bytes:
+        nonlocal client
+        if client is None:
+            client = client_factory()
+        return loop.run_until_complete(client.get_file(caminho))
+
+    return fetch
+
+
+class TrainingJob:
+    def __init__(self, id_amb: str, model_name: str, params: dict):
+        self.id_job = uuid.uuid4().hex[:12]
+        self.id_amb = str(id_amb)
+        self.model_name = model_name
+        self.params = params
+        self.status = "pendente"  # pendente | executando | concluido | falhou
+        self.error: Optional[str] = None
+        self.history: list[dict] = []
+        self.id_mod: Optional[str] = None
+        self.versao: Optional[int] = None
+        self.n_examples = 0
+        self.started_at = tz.utcnow()
+        self.finished_at = None
+
+    def to_dict(self) -> dict:
+        last = self.history[-1] if self.history else None
+        return {
+            "id_job": self.id_job,
+            "id_amb": self.id_amb,
+            "modelo": self.model_name,
+            "status": self.status,
+            "erro": self.error,
+            "exemplos": self.n_examples,
+            "passos": len(self.history),
+            "ultimo_passo": last,
+            "historico": self.history[-20:],
+            "id_mod": self.id_mod,
+            "versao": self.versao,
+            "iniciado_em": self.started_at.isoformat(),
+            "finalizado_em": (
+                self.finished_at.isoformat() if self.finished_at else None
+            ),
+            **self.params,
+        }
+
+
+class TrainingJobManager:
+    """One training job at a time (the chip is shared with serving)."""
+
+    def __init__(self, db: Database, checkpoint_root: str | Path,
+                 fetch_bytes: Optional[BytesProvider] = None):
+        self.db = db
+        self.checkpoint_root = Path(checkpoint_root)
+        self.fetch_bytes = fetch_bytes
+        self.jobs: dict[str, TrainingJob] = {}
+        self._lock = threading.Lock()
+        self._running: Optional[TrainingJob] = None
+
+    def get(self, id_job: str) -> Optional[TrainingJob]:
+        return self.jobs.get(id_job)
+
+    def list_jobs(self) -> list[dict]:
+        return [j.to_dict() for j in self.jobs.values()]
+
+    def start(
+        self,
+        id_amb: str,
+        model_name: str = "resnet50",
+        max_steps: int = 100,
+        batch_size: int = 32,
+        lr: float = 0.01,
+        epochs: int = 10,
+        canvas: int = 512,
+        compute_dtype: str = "bf16",
+        fetch_bytes: Optional[BytesProvider] = None,
+        ativar: bool = True,
+        seed: int = 0,
+    ) -> TrainingJob:
+        """Launch a job thread; raises RuntimeError if one is running."""
+        get_model(model_name)  # fail fast on unknown model
+        fetch = fetch_bytes or self.fetch_bytes
+        if fetch is None:
+            raise RuntimeError(
+                "nenhuma fonte de bytes configurada (NextCloud indisponível)"
+            )
+        with self._lock:
+            if self._running is not None and self._running.status in (
+                "pendente", "executando"
+            ):
+                raise RuntimeError(
+                    f"treinamento {self._running.id_job} já em execução"
+                )
+            job = TrainingJob(
+                id_amb, model_name,
+                {"max_steps": max_steps, "batch_size": batch_size, "lr": lr},
+            )
+            self.jobs[job.id_job] = job
+            self._running = job
+        thread = threading.Thread(
+            target=self._run,
+            args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
+                  compute_dtype, ativar, seed),
+            name=f"train-{job.id_job}",
+            daemon=True,
+        )
+        thread.start()
+        job.thread = thread
+        return job
+
+    # -- job body (worker thread) -------------------------------------------
+    def _run(self, job: TrainingJob, fetch: BytesProvider, max_steps: int,
+             batch_size: int, lr: float, epochs: int, canvas: int,
+             compute_dtype: str, ativar: bool, seed: int) -> None:
+        try:
+            job.status = "executando"
+            examples, class_map = labeled_examples(self.db, job.id_amb)
+            job.n_examples = len(examples)
+            if len(examples) < 2 or len(class_map) < 2:
+                raise RuntimeError(
+                    f"dados insuficientes: {len(examples)} exemplos, "
+                    f"{len(class_map)} opções (mínimo 2/2)"
+                )
+            spec = get_model(job.model_name)
+            num_classes = len(class_map)
+            model = spec.build(num_classes=num_classes)
+            dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+            ckpt_dir = (
+                self.checkpoint_root / job.id_amb / job.model_name / job.id_job
+            )
+            tuner = FineTuner(
+                model,
+                optimizer=make_optimizer(lr=lr),
+                image_size=spec.image_size,
+                resize_short=spec.resize_short,
+                compute_dtype=dtype,
+                checkpoint_dir=str(ckpt_dir),
+            )
+            import jax
+
+            variables = model.init(jax.random.PRNGKey(seed))
+            batches = batch_iterator(
+                examples, fetch, batch_size=batch_size, canvas=canvas,
+                seed=seed, epochs=epochs,
+            )
+
+            variables, _, history = tuner.run(
+                variables, batches, max_steps=max_steps,
+                checkpoint_every=max(max_steps // 2, 1),
+                on_step=job.history.append,  # live progress for the route
+            )
+            final = history[-1] if history else {}
+            with self.db.session() as s:
+                row = modelo_crud.registrar_modelo(
+                    s,
+                    id_amb=job.id_amb,
+                    nome_modelo=job.model_name,
+                    num_classes=num_classes,
+                    class_map=class_map,
+                    dir_checkpoint=str(ckpt_dir),
+                    passo=int(final.get("step", 0)),
+                    metricas={
+                        "loss_final": final.get("loss"),
+                        "accuracy_final": final.get("accuracy"),
+                        "historico": history[-20:],
+                        "exemplos": len(examples),
+                    },
+                    ativar=ativar,
+                )
+                s.commit()
+                job.id_mod = str(row.id_mod)
+                job.versao = row.versao
+            job.status = "concluido"
+            logger.info(
+                "treinamento %s concluído: modelo %s v%s (%d passos)",
+                job.id_job, job.model_name, job.versao, len(history),
+            )
+        except Exception as exc:
+            job.status = "falhou"
+            job.error = str(exc)
+            logger.exception("treinamento %s falhou", job.id_job)
+        finally:
+            job.finished_at = tz.utcnow()
+            with self._lock:
+                if self._running is job:
+                    self._running = None

@@ -208,14 +208,22 @@ class _Connection:
 
 
 class Server:
-    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000):
+    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000,
+                 shutdown_grace_s: float = 3.0):
         self.app = app
         self.host = host
         self.port = port
+        self.shutdown_grace_s = shutdown_grace_s
         self._server: Optional[asyncio.AbstractServer] = None
+        self._connections: set[asyncio.Task] = set()
 
     async def _handle(self, reader, writer):
-        await _Connection(self.app, reader, writer).run()
+        task = asyncio.current_task()
+        self._connections.add(task)
+        try:
+            await _Connection(self.app, reader, writer).run()
+        finally:
+            self._connections.discard(task)
 
     async def start(self) -> None:
         await self.app.startup()
@@ -234,6 +242,15 @@ class Server:
     async def stop(self) -> None:
         if self._server is not None:
             self._server.close()
+            # wait_closed() on 3.12+ waits for every live keep-alive
+            # connection; give in-flight requests a grace window, then cut
+            # idle connections so shutdown is bounded
+            if self._connections:
+                await asyncio.wait(
+                    set(self._connections), timeout=self.shutdown_grace_s
+                )
+            for task in list(self._connections):
+                task.cancel()
             await self._server.wait_closed()
         await self.app.shutdown()
 

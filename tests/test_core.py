@@ -109,7 +109,7 @@ class TestSettings:
         assert s.JWT_ALGORITHM == "HS256"
         assert s.NEXTCLOUD_SYNC_BATCH_SIZE == 50
         assert s.get_batch_buckets() == (1, 8, 32, 128)
-        assert s.get_mesh_shape() == (1,)
+        assert s.get_mesh_shape() is None  # "auto" -> all devices
 
     def test_cors_filtering(self):
         s = Settings(CORS_ORIGINS="http://a.com, ftp://bad, https://b.com ,")

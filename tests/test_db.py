@@ -32,8 +32,9 @@ def _now():
 
 class TestSchema:
     def test_all_16_tables_plus_registry(self, db):
-        # TipoUsuario..SyncStatus — 16 tables, parity with reference models.py
-        assert len(MODEL_REGISTRY) == 16
+        # TipoUsuario..SyncStatus — 16 reference-parity tables plus the
+        # net-new TPU tier (modelos_treinados, sugestoes_modelo)
+        assert len(MODEL_REGISTRY) == 18
         with db.session() as s:
             names = {
                 r["name"]
@@ -176,6 +177,7 @@ class TestMigrations:
         assert applied == [
             "0001_initial_schema",
             "0002_activity_id_watermark",
+            "0003_model_registry",
         ]
         with db.session() as s:
             assert "usuarios" in {

@@ -1,9 +1,13 @@
 """Multi-chip serving: engine DP-sharded over an 8-device virtual mesh."""
 
+import io
+
+import httpx
 import numpy as np
 import pytest
+from PIL import Image
 
-from ics_tpu.parallel.mesh import make_mesh
+from ics_tpu.parallel.mesh import make_mesh, mesh_from_settings
 from ics_tpu.runtime.engine import InferenceEngine
 
 
@@ -36,3 +40,116 @@ class TestMeshServing:
         idx_1, scores_1 = single.predict_staged(canvas, sizes)
         np.testing.assert_array_equal(idx_s, idx_1)
         np.testing.assert_allclose(scores_s, scores_1, rtol=1e-4, atol=1e-5)
+
+
+def _jpeg_bytes(rng, side=48) -> bytes:
+    im = Image.fromarray(rng.integers(0, 256, (side, side, 3), np.uint8), "RGB")
+    buf = io.BytesIO()
+    im.save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+class TestMeshFromSettings:
+    def test_auto_uses_all_devices(self):
+        from ics_tpu.core.config import reload_settings
+
+        s = reload_settings(TPU_MESH_SHAPE="auto")
+        mesh = mesh_from_settings(s)
+        assert mesh is not None
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 8}
+
+    def test_explicit_shape(self):
+        from ics_tpu.core.config import reload_settings
+
+        s = reload_settings(TPU_MESH_SHAPE="4,2", TPU_MESH_AXES="data,model")
+        mesh = mesh_from_settings(s)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "model": 2,
+        }
+
+    def test_too_many_devices_is_loud(self):
+        from ics_tpu.core.config import reload_settings
+
+        s = reload_settings(TPU_MESH_SHAPE="16")
+        with pytest.raises(RuntimeError, match="needs 16 devices"):
+            mesh_from_settings(s)
+
+    def test_shape_one_means_no_mesh(self):
+        from ics_tpu.core.config import reload_settings
+
+        s = reload_settings(TPU_MESH_SHAPE="1")
+        assert mesh_from_settings(s) is None
+
+
+class TestAppMultichipServing:
+    """VERDICT r1 item 1 'done' condition: the APP boots with
+    TPU_MESH_SHAPE=4,2 on 8 virtual devices and serves classify requests
+    through the batcher -> sharded engine path."""
+
+    @pytest.mark.anyio
+    async def test_app_serves_sharded(self, tmp_path, monkeypatch):
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.db.engine import Database
+        from ics_tpu.main import create_app
+
+        reload_settings(
+            TPU_ENABLE_INFERENCE="true",
+            TPU_MESH_SHAPE="4,2",
+            TPU_MESH_AXES="data,model",
+            TPU_DEFAULT_MODEL="resnet_tiny",
+            TPU_NUM_CLASSES="16",
+            TPU_PRECISION="fp32",
+            TPU_CANVAS="64",
+            TPU_BATCH_BUCKETS="8",
+            TPU_BATCH_DEADLINE_US="20000",
+            TPU_WARMUP_ON_STARTUP="false",
+            TPU_DEVICE_DECODE="false",
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/mc.db")
+            app = create_app(db=db)
+            await app.startup()
+            try:
+                service = app.state.engine
+                assert service is not None, "inference service did not start"
+                mesh = service.engine.mesh
+                assert mesh is not None
+                assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+                    "data": 4, "model": 2,
+                }
+                transport = httpx.ASGITransport(app=app)
+                async with httpx.AsyncClient(
+                    transport=transport, base_url="http://t"
+                ) as client:
+                    r = await client.post(
+                        "/auth/login",
+                        data={
+                            "username": "admin@seudominio.com",
+                            "password": "senha_super_secreta",
+                        },
+                    )
+                    assert r.status_code == 200, r.text
+                    token = r.json()["access_token"]
+                    rng = np.random.default_rng(0)
+                    files = [
+                        ("files", (f"i{i}.jpg", _jpeg_bytes(rng), "image/jpeg"))
+                        for i in range(8)
+                    ]
+                    r = await client.post(
+                        "/inferencia/classificar",
+                        files=files,
+                        headers={"Authorization": f"Bearer {token}"},
+                    )
+                    assert r.status_code == 200, r.text
+                    body = r.json()
+                    assert body["total"] == 8
+                    for res in body["resultados"]:
+                        assert len(res["top_classes"]) == 5
+                        assert all(np.isfinite(res["scores"]))
+                # requests actually coalesced through the batcher
+                assert service.batcher.stats["flushes"] >= 1
+                assert service.engine._stats["images"] >= 8
+            finally:
+                await app.shutdown()
+        finally:
+            reload_settings()

@@ -50,9 +50,11 @@ class TestMultipartByteExactness:
         assert sha256_hex(form.files[0][1].data) == sha256_hex(payload)
 
 
-class TestChunkedRefused:
+class TestChunkedDecoded:
     @pytest.mark.anyio
-    async def test_chunked_te_gets_501(self):
+    async def test_chunked_te_decoded(self):
+        """Round 1 refused chunked bodies with 501; round 2 de-chunks them
+        (reference parity: uvicorn accepts streamed uploads)."""
         from ics_tpu.web import App, JSONResponse, Router
         from ics_tpu.web.server import Server
 
@@ -69,15 +71,26 @@ class TestChunkedRefused:
         port = server._server.sockets[0].getsockname()[1]
         try:
             reader, writer = await asyncio.open_connection("127.0.0.1", port)
-            writer.write(
-                b"POST /echo HTTP/1.1\r\nhost: x\r\n"
-                b"transfer-encoding: chunked\r\n\r\n"
-                b"5\r\nhello\r\n0\r\n\r\n"
-            )
-            await writer.drain()
-            line = await reader.readline()
-            assert b"501" in line
-            writer.close()
+            try:
+                writer.write(
+                    b"POST /echo HTTP/1.1\r\nhost: x\r\n"
+                    b"transfer-encoding: chunked\r\n\r\n"
+                    b"5\r\nhello\r\n0\r\n\r\n"
+                )
+                await writer.drain()
+                line = await reader.readline()
+                assert b"200" in line
+                raw = await reader.readuntil(b"\r\n\r\n")
+                length = int(
+                    [h for h in raw.lower().split(b"\r\n")
+                     if h.startswith(b"content-length")][0].split(b":")[1]
+                )
+                body = await reader.readexactly(length)
+                assert b'"n": 5' in body or b'"n":5' in body
+            finally:
+                # close BEFORE stop(): wait_closed() waits for live
+                # keep-alive connections on 3.12+
+                writer.close()
         finally:
             await server.stop()
 

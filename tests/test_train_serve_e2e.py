@@ -1,0 +1,222 @@
+"""End-to-end train-then-serve loop (VERDICT r1 items 2+3+10 'done' tests).
+
+Hermetic: seed specialist labels -> POST /treinamento (tiny model, 3 steps)
+-> model registered + promoted -> classificar-tpu serves THAT ambiente's
+option labels with a weights version -> suggestion persisted and surfaced
+in the paging payload.
+"""
+
+import asyncio
+
+import httpx
+import numpy as np
+import pytest
+
+from ics_tpu.core import timezone as tz
+from ics_tpu.core.security import hash_password, sha256_hex
+from ics_tpu.db.engine import Database
+from ics_tpu.db.models import (
+    Ambiente,
+    AmbienteConjuntoImagens,
+    Classificacao,
+    ConjuntoImagens,
+    Imagem,
+    Opcao,
+    UsuarioAmbiente,
+    UsuarioConvencional,
+    Usuario,
+)
+from tests.fake_nextcloud import make_jpeg
+
+ADMIN = {"username": "admin@seudominio.com", "password": "senha_super_secreta"}
+
+
+@pytest.fixture()
+async def app(tmp_path):
+    from ics_tpu.core.config import reload_settings
+    from ics_tpu.main import create_app
+
+    reload_settings(
+        TPU_ENABLE_INFERENCE="true",
+        TPU_MESH_SHAPE="1",
+        TPU_DEFAULT_MODEL="resnet_tiny",
+        TPU_NUM_CLASSES="16",
+        TPU_PRECISION="fp32",
+        TPU_CANVAS="64",
+        TPU_BATCH_BUCKETS="4",
+        TPU_BATCH_DEADLINE_US="20000",
+        TPU_WARMUP_ON_STARTUP="false",
+        TPU_DEVICE_DECODE="false",
+        TPU_WEIGHTS_DIR=str(tmp_path / "weights"),
+    )
+    try:
+        db = Database(f"sqlite:///{tmp_path}/e2e.db")
+        a = create_app(db=db)
+        await a.startup()
+        blobs = _seed(db, a)
+        # hermetic byte source for the trainer (no NextCloud in tests)
+        assert a.state.trainer is not None
+        a.state.trainer.fetch_bytes = lambda h, path: blobs[h]
+        a.state.blobs = blobs
+        yield a
+        await a.shutdown()
+    finally:
+        reload_settings()
+
+
+def _seed(db: Database, a) -> dict[str, bytes]:
+    """Specialist + ambiente with 2 options + 8 labeled images."""
+    now = tz.utcnow()
+    blobs: dict[str, bytes] = {}
+    with db.session() as s:
+        esp = Usuario(
+            nome_completo="Especialista Um", email="esp@x.com",
+            senha_hash=hash_password("SenhaBoa1"), data_criado=now, id_tipo=1,
+        )
+        s.add(esp)
+        s.flush()
+        con = UsuarioConvencional(cpf="2" * 11, id_usu=esp.id_usu)
+        s.add(con)
+        s.flush()
+        adm_row = s.fetchone(
+            "SELECT id_adm FROM usuarios_administradores LIMIT 1"
+        )
+        cnj = ConjuntoImagens(
+            nome_conj="f", caminho_conj="/f", file_id="1",
+            imagens_sincronizadas=True, data_proc=now, data_sinc=now,
+        )
+        s.add(cnj)
+        s.flush()
+        amb = Ambiente(
+            titulo_amb="Treino", descricao_questionario="d",
+            data_criado=now, id_adm=adm_row["id_adm"],
+        )
+        s.add(amb)
+        s.flush()
+        s.add(AmbienteConjuntoImagens(
+            id_amb=amb.id_amb, id_cnj=cnj.id_cnj, data_associado=now,
+        ))
+        s.add(UsuarioAmbiente(
+            id_con=con.id_con, id_amb=amb.id_amb, data_associado=now,
+        ))
+        op1 = Opcao(texto="gato", id_amb=amb.id_amb)
+        op2 = Opcao(texto="cão", id_amb=amb.id_amb)
+        s.add_all([op1, op2])
+        s.flush()
+        unlabeled = []
+        for i in range(10):
+            data = make_jpeg(i, size=(60, 60))
+            h = sha256_hex(data)
+            blobs[h] = data
+            s.add(Imagem(
+                content_hash=h, nome_img=f"{i}.jpg", caminho_img=f"f/{i}.jpg",
+                data_proc=now, data_sinc=now, id_cnj=cnj.id_cnj,
+            ))
+            if i < 8:  # last 2 stay unclassified (paging returns those)
+                s.add(Classificacao(
+                    id_con=con.id_con, id_img=h,
+                    id_opc=op1.id_opc if i % 2 == 0 else op2.id_opc,
+                    data_criado=now, ativo=True,
+                ))
+            else:
+                unlabeled.append(h)
+        s.commit()
+        a.state.unlabeled = unlabeled
+        a.state.id_amb = str(amb.id_amb)
+        a.state.opcoes = {str(op1.id_opc): "gato", str(op2.id_opc): "cão"}
+    return blobs
+
+
+async def _login(client, username, password) -> dict:
+    r = await client.post(
+        "/auth/login", data={"username": username, "password": password}
+    )
+    assert r.status_code == 200, r.text
+    return {"Authorization": f"Bearer {r.json()['access_token']}"}
+
+
+@pytest.mark.anyio
+async def test_train_register_serve_suggest(app):
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        # 1. start a fine-tune job (tiny model, 3 steps)
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 3, "batch_size": 4,
+                  "epochs": 50, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+
+        # a second job while one runs is a 409
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}", json={}, headers=admin
+        )
+        assert r.status_code == 409
+
+        # 2. poll until done (training thread; CPU tiny model)
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            assert r.status_code == 200
+            job = r.json()
+            if job["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert job["status"] == "concluido", job
+        assert job["passos"] == 3
+        assert job["versao"] == 1
+        assert all(np.isfinite(h["loss"]) for h in job["historico"])
+
+        # 3. registry lists the promoted version
+        r = await c.get(
+            f"/treinamento/modelos?id_amb={id_amb}", headers=admin
+        )
+        assert r.status_code == 200
+        modelos = r.json()["modelos"]
+        assert len(modelos) == 1 and modelos[0]["ativo"]
+        assert modelos[0]["num_classes"] == 2
+        assert modelos[0]["metricas"]["exemplos"] == 8
+
+        # 4. specialist classifies via TPU: response carries the ambiente's
+        #    option labels + the weights version
+        esp = await _login(c, "esp@x.com", "SenhaBoa1")
+        some_hash = app.state.unlabeled[0]
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/classificar-tpu",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 200, r.text
+        body = r.json()
+        assert body["modelo_versao"] == 1
+        assert body["model"] == "resnet_tiny"
+        textos = {o["texto_opcao"] for o in body["opcoes"]}
+        assert textos <= {"gato", "cão"} and textos
+        ids = {o["id_opc"] for o in body["opcoes"]}
+        assert ids <= set(app.state.opcoes)
+
+        # 5. suggestion persisted and surfaced in the paging payload
+        r = await c.get(
+            f"/classificacoes/ambiente/{id_amb}/inicializar", headers=esp
+        )
+        assert r.status_code == 200, r.text
+        sugestoes = [
+            img["sugestao_modelo"]
+            for img in r.json()["imagens"]
+            if img["sugestao_modelo"] is not None
+        ]
+        assert sugestoes, "suggestion did not surface in the paging payload"
+        assert sugestoes[0]["versao"] == 1
+        assert sugestoes[0]["texto_opcao"] in {"gato", "cão"}
+
+        # 6. audit trail records the training + versioned inference
+        c.cookies.clear()  # cookie-first auth: drop the specialist cookie
+        r = await c.get("/auditoria/logs?page_size=100", headers=admin)
+        assert r.status_code == 200
+        eventos = {log["nome_evento"] for log in r.json()["logs"]}
+        assert "iniciar_treinamento" in eventos
+        assert "inferencia_tpu" in eventos
