@@ -112,6 +112,9 @@ class Settings(BaseModel):
     TPU_PROCESS_ID: int = 0
     TPU_BATCH_BUCKETS: str = "1,8,32,128"  # padded batch buckets
     TPU_BATCH_DEADLINE_US: int = 2000    # dynamic batcher flush deadline
+    # adaptive coalescing cap: with requests still in host decode, the
+    # flusher may hold the batch open up to this long (see batcher.py)
+    TPU_BATCH_MAX_DEADLINE_US: int = 50000
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
     TPU_DEVICE_DECODE: bool = True       # JPEG decode-on-TPU fast lane
     TPU_PRECISION: str = "bf16"          # "bf16" | "fp32"

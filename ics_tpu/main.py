@@ -61,6 +61,7 @@ async def lifespan(app: App):
             pool = InferenceServicePool(
                 default_model=settings.TPU_DEFAULT_MODEL,
                 deadline_us=settings.TPU_BATCH_DEADLINE_US,
+                max_deadline_us=settings.TPU_BATCH_MAX_DEADLINE_US,
                 device_decode=settings.TPU_DEVICE_DECODE,
                 num_classes=settings.TPU_NUM_CLASSES,
                 precision=settings.TPU_PRECISION,

@@ -38,15 +38,32 @@ class DynamicBatcher:
         stage_batch: Callable,
         max_batch: int = 128,
         deadline_us: int = 2000,
+        max_deadline_us: int = 50_000,
     ):
         self.predict_staged = predict_staged
         self.stage_batch = stage_batch
         self.max_batch = max_batch
         self.deadline_s = deadline_us / 1e6
+        # adaptive extension cap: with ANNOUNCED requests still in their
+        # host-decode phase, the flusher may wait up to this long for them.
+        # Under closed-loop load the fixed deadline alone collapses to
+        # batch-of-1 (docs/benchmarks.md r1 measurement): arrivals are
+        # staggered by serialized host decode, so each flush catches one.
+        self.max_deadline_s = max(max_deadline_us, deadline_us) / 1e6
         self._queue: asyncio.Queue[_Pending] = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
+        self._incoming = 0  # announced (decoding) but not yet submitted
         self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0}
+
+    def announce(self) -> None:
+        """A request exists but hasn't reached submit() yet (host decode in
+        flight). The flusher extends its coalescing window while any are
+        outstanding — that's the load signal fixed deadlines lack."""
+        self._incoming += 1
+
+    def retract(self) -> None:
+        self._incoming = max(0, self._incoming - 1)
 
     async def start(self) -> None:
         if self._task is None:
@@ -70,11 +87,18 @@ class DynamicBatcher:
                     RuntimeError("batcher stopped before request was served")
                 )
 
-    async def submit(self, image: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    async def submit(
+        self, image: np.ndarray, announced: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
         loop = asyncio.get_running_loop()
         pending = _Pending(image=image, future=loop.create_future())
         self.stats["queued"] += 1
         await self._queue.put(pending)
+        if announced:
+            # retract AFTER the put: the item is visible to the flusher
+            # before the incoming count drops, so no window where neither
+            # signal holds the batch open
+            self.retract()
         return await pending.future
 
     async def _flusher(self) -> None:
@@ -88,16 +112,29 @@ class DynamicBatcher:
                 # than the deadline
                 while len(batch) < self.max_batch and not self._queue.empty():
                     batch.append(self._queue.get_nowait())
-                # then coalesce new arrivals until deadline or full batch
+                # then coalesce new arrivals until deadline or full batch;
+                # while ANNOUNCED requests are still decoding, the window
+                # extends (bounded by max_deadline) so staggered closed-loop
+                # arrivals coalesce instead of flushing one-by-one
                 deadline = first.enqueued_at + self.deadline_s
+                hard_deadline = first.enqueued_at + self.max_deadline_s
                 while len(batch) < self.max_batch:
-                    timeout = deadline - time.perf_counter()
+                    now = time.perf_counter()
+                    limit = hard_deadline if self._incoming > 0 else deadline
+                    timeout = limit - now
                     if timeout <= 0:
                         break
                     try:
-                        nxt = await asyncio.wait_for(self._queue.get(), timeout)
+                        nxt = await asyncio.wait_for(
+                            self._queue.get(),
+                            # short poll while extended, so the window
+                            # re-shrinks as soon as _incoming drains
+                            min(timeout, 0.002) if self._incoming else timeout,
+                        )
                         batch.append(nxt)
                     except asyncio.TimeoutError:
+                        if self._incoming > 0 and limit - time.perf_counter() > 0:
+                            continue
                         break
                 await self._flush(batch)
             except asyncio.CancelledError:

@@ -25,13 +25,14 @@ logger = logging.getLogger(__name__)
 
 class InferenceService:
     def __init__(self, engine: InferenceEngine, deadline_us: int = 2000,
-                 device_decode: bool = True):
+                 device_decode: bool = True, max_deadline_us: int = 50_000):
         self.engine = engine
         self.batcher = DynamicBatcher(
             predict_staged=self._predict_resilient,
             stage_batch=lambda imgs: stage_batch(imgs, canvas=engine.canvas),
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
+            max_deadline_us=max_deadline_us,
         )
         # decode-on-TPU fast lane: 4:2:0 JPEGs skip host pixel decode; the
         # device runs dequant+iDCT+upsample+color+preproc+forward fused
@@ -41,6 +42,7 @@ class InferenceService:
             stage_batch=self._stage_coeffs,
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
+            max_deadline_us=max_deadline_us,
         )
         self._luma_blocks = engine.canvas // 8
         self._latencies_ms: list[float] = []
@@ -125,6 +127,7 @@ class InferenceService:
             engine,
             deadline_us=settings.TPU_BATCH_DEADLINE_US,
             device_decode=settings.TPU_DEVICE_DECODE,
+            max_deadline_us=settings.TPU_BATCH_MAX_DEADLINE_US,
         )
 
     async def start(self, warm: bool = False) -> None:
@@ -145,35 +148,56 @@ class InferenceService:
     async def classify_bytes(self, data: bytes) -> dict:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
+        # announce to both lanes: the request exists but is still decoding,
+        # so the flusher holds its batch open (adaptive coalescing) instead
+        # of flushing batch-of-1 under staggered closed-loop arrivals
+        self.batcher.announce()
+        self.coeff_batcher.announce()
+        pixel_announced = coeff_announced = True
+        try:
+            if self.device_decode:
+                from ics_tpu.native import imgcodec
 
-        if self.device_decode:
-            from ics_tpu.native import imgcodec
+                if imgcodec.probe(data) == "jpeg":
+                    coeffs = await loop.run_in_executor(
+                        None, imgcodec.jpeg_coefficients, data
+                    )
+                    if self._coeffs_eligible(coeffs):
+                        self._stats["device_decoded"] += 1
+                        self.batcher.retract()
+                        pixel_announced = False
+                        idx, scores = await self.coeff_batcher.submit(
+                            coeffs, announced=True
+                        )
+                        coeff_announced = False
+                        dt_ms = (time.perf_counter() - t0) * 1000
+                        self._record_latency(dt_ms)
+                        return {
+                            "top_classes": [int(i) for i in idx],
+                            "scores": [float(s) for s in scores],
+                            "latency_ms": round(dt_ms, 3),
+                            "model": self.engine.model_name,
+                            "decode": "device",
+                        }
 
-            if imgcodec.probe(data) == "jpeg":
-                coeffs = await loop.run_in_executor(
-                    None, imgcodec.jpeg_coefficients, data
-                )
-                if self._coeffs_eligible(coeffs):
-                    self._stats["device_decoded"] += 1
-                    idx, scores = await self.coeff_batcher.submit(coeffs)
-                    dt_ms = (time.perf_counter() - t0) * 1000
-                    self._record_latency(dt_ms)
-                    return {
-                        "top_classes": [int(i) for i in idx],
-                        "scores": [float(s) for s in scores],
-                        "latency_ms": round(dt_ms, 3),
-                        "model": self.engine.model_name,
-                        "decode": "device",
-                    }
-
-        self._stats["host_decoded"] += 1
-        image = await loop.run_in_executor(None, decode_image, data)
-        decode_ms = (time.perf_counter() - t0) * 1000
-        metrics_registry.histogram(
-            "decode_ms", "host decode latency (ms)",
-            buckets=(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50),
-        ).observe(decode_ms)
-        idx, scores = await self.batcher.submit(image)
+            self.coeff_batcher.retract()
+            coeff_announced = False
+            self._stats["host_decoded"] += 1
+            image = await loop.run_in_executor(None, decode_image, data)
+            decode_ms = (time.perf_counter() - t0) * 1000
+            metrics_registry.histogram(
+                "decode_ms", "host decode latency (ms)",
+                buckets=(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50),
+            ).observe(decode_ms)
+            idx, scores = await self.batcher.submit(image, announced=True)
+            pixel_announced = False
+        finally:
+            # error paths must not leave the flusher waiting for a request
+            # that will never arrive
+            if pixel_announced:
+                self.batcher.retract()
+            if coeff_announced:
+                self.coeff_batcher.retract()
         dt_ms = (time.perf_counter() - t0) * 1000
         # e2e percentiles come from _latencies_ms (single source of truth,
         # exposed via latency_percentiles() and the /monitor gauges)
@@ -225,9 +249,11 @@ class InferenceServicePool:
     """
 
     def __init__(self, default_model: str, deadline_us: int = 2000,
-                 device_decode: bool = True, **engine_kwargs):
+                 device_decode: bool = True, max_deadline_us: int = 50_000,
+                 **engine_kwargs):
         self.default_model = default_model
         self.deadline_us = deadline_us
+        self.max_deadline_us = max_deadline_us
         self.device_decode = device_decode
         self.engine_kwargs = engine_kwargs
         self._services: dict[str, InferenceService] = {}
@@ -251,6 +277,7 @@ class InferenceServicePool:
                     engine,
                     deadline_us=self.deadline_us,
                     device_decode=self.device_decode,
+                    max_deadline_us=self.max_deadline_us,
                 )
                 await service.start()
                 self._services[name] = service
@@ -290,6 +317,7 @@ class InferenceServicePool:
                     engine,
                     deadline_us=self.deadline_us,
                     device_decode=self.device_decode,
+                    max_deadline_us=self.max_deadline_us,
                 )
                 await service.start()
                 stale = [
