@@ -1,9 +1,10 @@
 """Database engine + unit-of-work session.
 
-Dialect today: sqlite3 (stdlib). The DSN surface accepts postgres URLs for
-forward-compat (``postgresql://`` requires psycopg2, which this image lacks;
-a clear error is raised).  Reference counterpart: ``app/db/database.py``
-(engine, ``SessionLocal``, ``get_db``, ``wait_for_database``).
+Dialects: sqlite3 (stdlib; dev/test) and PostgreSQL (production parity with
+the reference's Postgres-15 compose deployment, ``docker-compose.yml:5-21``)
+via the built-in wire-protocol client :mod:`ics_tpu.db.pg_wire` — this image
+has no psycopg. Reference counterpart: ``app/db/database.py`` (engine,
+``SessionLocal``, ``get_db``, ``wait_for_database``).
 
 Session features used by the CRUD layer:
 - identity map + dirty tracking (attribute diffs -> UPDATE on flush)
@@ -30,6 +31,51 @@ class IntegrityError(Exception):
     pass
 
 
+class _PGCursor:
+    """Cursor-shaped result holder matching the sqlite3 call sites."""
+
+    def __init__(self, columns: list[str], rows: list[list[Any]]):
+        self._rows = [dict(zip(columns, r)) for r in rows]
+
+    def fetchall(self) -> list[dict]:
+        return self._rows
+
+    def fetchone(self) -> Optional[dict]:
+        return self._rows[0] if self._rows else None
+
+
+class _PGAdapter:
+    """Adapts a PGConnection to the sqlite3.Connection surface Session uses.
+
+    Placeholders translate ``?`` -> ``$N``; a transaction opens lazily on the
+    first statement and closes on commit/rollback (postgres autocommits
+    otherwise, which would break the unit-of-work contract)."""
+
+    def __init__(self, conn):
+        self._conn = conn
+
+    def execute(self, sql: str, params: Sequence[Any] = ()) -> _PGCursor:
+        from ics_tpu.db import pg_wire
+
+        if not self._conn._in_tx:
+            self._conn.execute("BEGIN")
+        cols, rows, _ = self._conn.execute(
+            pg_wire.translate_placeholders(sql), params
+        )
+        return _PGCursor(cols, rows)
+
+    def commit(self) -> None:
+        if self._conn._in_tx:
+            self._conn.execute("COMMIT")
+
+    def rollback(self) -> None:
+        if self._conn._in_tx:
+            self._conn.execute("ROLLBACK")
+
+    def close(self) -> None:
+        self._conn.close()
+
+
 class Database:
     """Connection factory bound to a DSN."""
 
@@ -38,6 +84,7 @@ class Database:
         self._lock = threading.Lock()
         self._memory_conn: Optional[sqlite3.Connection] = None
         if url.startswith("sqlite"):
+            self.dialect = "sqlite"
             # sqlite:///:memory: | sqlite:////abs/path.db | sqlite:///rel.db
             path = url.split("///", 1)[-1] if "///" in url else url.split("//")[-1]
             self.path = path or ":memory:"
@@ -45,10 +92,11 @@ class Database:
             if self.is_memory:
                 self._memory_conn = self._new_conn(":memory:")
         elif url.startswith(("postgresql", "postgres")):
-            raise RuntimeError(
-                "postgres dialect requires psycopg2 (not installed in this "
-                "image); use a sqlite:// DSN"
-            )
+            self.dialect = "postgres"
+            from ics_tpu.db import pg_wire
+
+            self._pg_kwargs = pg_wire.parse_dsn(url)
+            self.is_memory = False
         else:
             raise ValueError(f"unsupported DATABASE_URL: {url}")
 
@@ -64,7 +112,11 @@ class Database:
                 pass
         return conn
 
-    def connect(self) -> sqlite3.Connection:
+    def connect(self):
+        if self.dialect == "postgres":
+            from ics_tpu.db.pg_wire import PGConnection
+
+            return _PGAdapter(PGConnection(**self._pg_kwargs))
         if self._memory_conn is not None:
             return self._memory_conn
         return self._new_conn(self.path)
@@ -79,14 +131,22 @@ class Database:
 
     def drop_all(self) -> None:
         with self.session() as s:
-            rows = s.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' "
-                "AND name NOT LIKE 'sqlite_%'"
-            ).fetchall()
-            s.execute("PRAGMA foreign_keys = OFF")
-            for row in rows:
-                s.execute(f"DROP TABLE IF EXISTS {row['name']}")
-            s.execute("PRAGMA foreign_keys = ON")
+            if self.dialect == "postgres":
+                rows = s.execute(
+                    "SELECT tablename AS name FROM pg_tables "
+                    "WHERE schemaname = 'public'"
+                ).fetchall()
+                for row in rows:
+                    s.execute(f'DROP TABLE IF EXISTS "{row["name"]}" CASCADE')
+            else:
+                rows = s.execute(
+                    "SELECT name FROM sqlite_master WHERE type='table' "
+                    "AND name NOT LIKE 'sqlite_%'"
+                ).fetchall()
+                s.execute("PRAGMA foreign_keys = OFF")
+                for row in rows:
+                    s.execute(f"DROP TABLE IF EXISTS {row['name']}")
+                s.execute("PRAGMA foreign_keys = ON")
             s.commit()
 
     # -- sessions -----------------------------------------------------------
@@ -190,6 +250,7 @@ class Query:
 class Session:
     def __init__(self, db: Database):
         self.db = db
+        self.dialect = db.dialect
         self.conn = db.connect()
         self._identity: dict[tuple, Model] = {}
         self._snapshots: dict[tuple, dict[str, Any]] = {}
@@ -198,10 +259,14 @@ class Session:
         self._shared = db._memory_conn is not None
 
     # -- raw ------------------------------------------------------------
-    def execute(self, sql: str, params: Sequence[Any] = ()) -> sqlite3.Cursor:
+    def execute(self, sql: str, params: Sequence[Any] = ()):
+        from ics_tpu.db.pg_wire import PGIntegrityError
+
         try:
             return self.conn.execute(sql, tuple(params))
         except sqlite3.IntegrityError as exc:
+            raise IntegrityError(str(exc)) from exc
+        except PGIntegrityError as exc:
             raise IntegrityError(str(exc)) from exc
 
     def fetchall(self, sql: str, params: Sequence[Any] = ()) -> list[dict]:
@@ -297,7 +362,7 @@ class Session:
         self._pending.clear()
         try:
             self.conn.rollback()
-        except sqlite3.ProgrammingError:
+        except Exception:
             pass
         # drop cached state: it may not match the database any more
         self._identity.clear()

@@ -12,10 +12,19 @@ down_revision = "0001_initial_schema"
 
 
 def upgrade(session) -> None:
-    cols = {
-        r["name"]
-        for r in session.fetchall("PRAGMA table_info(sync_status)")
-    }
+    if getattr(session, "dialect", "sqlite") == "postgres":
+        cols = {
+            r["column_name"]
+            for r in session.fetchall(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = 'sync_status'"
+            )
+        }
+    else:
+        cols = {
+            r["name"]
+            for r in session.fetchall("PRAGMA table_info(sync_status)")
+        }
     if "last_activity_id" not in cols:
         session.execute(
             "ALTER TABLE sync_status ADD COLUMN last_activity_id INTEGER"

@@ -98,7 +98,9 @@ class Bottleneck:
 
 
 class ResNet:
-    def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3):
+    def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3,
+                 use_s2d_stem: bool = False):
+        self.use_s2d_stem = use_s2d_stem
         self.stem = _ConvBN(in_ch, 64, 7, 2)
         self.stages: list[list[Bottleneck]] = []
         ch = 64
@@ -168,12 +170,11 @@ class ResNet:
         x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
         return x.reshape(b, h // 2, w // 2, 4 * c)
 
-    def fold(self, variables) -> dict:
+    def fold(self, variables, pallas_chains: bool | None = None) -> dict:
         params, state = variables["params"], variables["state"]
         stem_folded = self.stem.fold(params["stem"], state["stem"])
         folded = {
             "stem": stem_folded,
-            "stem_s2d_w": self._stem_s2d_kernel(stem_folded["conv"]["w"]),
             "stages": [
                 [blk.fold(p, s) for blk, p, s in zip(blocks, bp, bs)]
                 for blocks, bp, bs in zip(
@@ -182,6 +183,32 @@ class ResNet:
             ],
             "head": params["head"],
         }
+        if pallas_chains is None:
+            pallas_chains = jax.default_backend() == "tpu"
+        if pallas_chains:
+            # fused stride-1 bottleneck chains (ops/pallas_bottleneck):
+            # stages 1-2 are HBM-bandwidth-bound (profile r2) — keeping
+            # mid-block activations in VMEM cuts their traffic ~5x. Stages
+            # 3-4 are compute-bound; the halo recompute would cost more
+            # than the saved bandwidth, so they stay on XLA convs.
+            from ics_tpu.ops.pallas_bottleneck import pack_chain_weights
+
+            chains = {}
+            for si in (0, 1):
+                if si < len(self.stages) and len(self.stages[si]) > 1:
+                    chains[str(si)] = pack_chain_weights(
+                        folded["stages"][si][1:]
+                    )
+            if chains:
+                folded["chains"] = chains
+        if self.use_s2d_stem:
+            # opt-in: bit-exact but MEASURED SLOWER than the plain 7x7 at
+            # b128 on v5e (1.86ms vs 0.96ms, scripts/profile_micro.log) —
+            # XLA's implicit-gemm conv handles C=3 better than the manual
+            # pad+space-to-depth reshuffle here
+            folded["stem_s2d_w"] = self._stem_s2d_kernel(
+                stem_folded["conv"]["w"]
+            )
         return folded
 
     def _stem_folded(self, folded, x):
@@ -202,11 +229,21 @@ class ResNet:
         return self.stem.apply_folded(folded["stem"], x)
 
     def apply_folded(self, folded, x):
+        from ics_tpu.ops.pallas_bottleneck import fused_bottleneck_chain
+
         y = jax.nn.relu(self._stem_folded(folded, x))
         y = max_pool(y, 3, 2, "SAME")
-        for blocks, bfolded in zip(self.stages, folded["stages"]):
-            for blk, f in zip(blocks, bfolded):
-                y = blk.apply_folded(f, y)
+        chains = folded.get("chains", {})
+        for si, (blocks, bfolded) in enumerate(
+            zip(self.stages, folded["stages"])
+        ):
+            chain = chains.get(str(si))
+            if chain is not None:
+                y = blocks[0].apply_folded(bfolded[0], y)
+                y = fused_bottleneck_chain(y, chain)
+            else:
+                for blk, f in zip(blocks, bfolded):
+                    y = blk.apply_folded(f, y)
         y = global_avg_pool(y)
         return self.head.apply(folded["head"], y)
 
