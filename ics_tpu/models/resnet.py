@@ -183,14 +183,15 @@ class ResNet:
             ],
             "head": params["head"],
         }
-        if pallas_chains is None:
-            pallas_chains = jax.default_backend() == "tpu"
         if pallas_chains:
-            # fused stride-1 bottleneck chains (ops/pallas_bottleneck):
-            # stages 1-2 are HBM-bandwidth-bound (profile r2) — keeping
-            # mid-block activations in VMEM cuts their traffic ~5x. Stages
-            # 3-4 are compute-bound; the halo recompute would cost more
-            # than the saved bandwidth, so they stay on XLA convs.
+            # OPT-IN fused stride-1 bottleneck chains (ops/pallas_bottleneck)
+            # — measured SLOWER than XLA convs on v5e b128 (stage1 blocks
+            # 1-2: 6.3ms fused vs 2.5ms XLA): the theoretical ~5x HBM-traffic
+            # cut is consumed by MXU inefficiency at Cm=64 (N=64 half-width;
+            # Mosaic can't concat shifted views into one deep-K matmul) and
+            # XLA's conv pipeline already runs stage1 at the HBM roof.
+            # Kept for experimentation; negative result documented in
+            # docs/benchmarks.md.
             from ics_tpu.ops.pallas_bottleneck import pack_chain_weights
 
             chains = {}
@@ -232,6 +233,10 @@ class ResNet:
         from ics_tpu.ops.pallas_bottleneck import fused_bottleneck_chain
 
         y = jax.nn.relu(self._stem_folded(folded, x))
+        # NOTE: a Pallas replacement for this reduce_window was tried
+        # (r2): wrong results AND 7x slower compiled — Mosaic relayouts
+        # dominate at C=64 with sublane-splitting reshapes. XLA's
+        # reduce_window (1.2ms/b128, ~210GB/s) stays.
         y = max_pool(y, 3, 2, "SAME")
         chains = folded.get("chains", {})
         for si, (blocks, bfolded) in enumerate(

@@ -31,6 +31,17 @@ class _Pending:
     enqueued_at: float = field(default_factory=time.perf_counter)
 
 
+class IncomingCounter:
+    """Announced-but-not-yet-submitted request count. Shareable across the
+    batchers of one service so every lane's flusher sees service-wide load
+    (a request in host decode may land on any lane)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self):
+        self.value = 0
+
+
 class DynamicBatcher:
     def __init__(
         self,
@@ -39,6 +50,7 @@ class DynamicBatcher:
         max_batch: int = 128,
         deadline_us: int = 2000,
         max_deadline_us: int = 50_000,
+        incoming: Optional[IncomingCounter] = None,
     ):
         self.predict_staged = predict_staged
         self.stage_batch = stage_batch
@@ -53,17 +65,21 @@ class DynamicBatcher:
         self._queue: asyncio.Queue[_Pending] = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
-        self._incoming = 0  # announced (decoding) but not yet submitted
+        self._incoming_counter = incoming or IncomingCounter()
         self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0}
+
+    @property
+    def _incoming(self) -> int:
+        return self._incoming_counter.value
 
     def announce(self) -> None:
         """A request exists but hasn't reached submit() yet (host decode in
         flight). The flusher extends its coalescing window while any are
         outstanding — that's the load signal fixed deadlines lack."""
-        self._incoming += 1
+        self._incoming_counter.value += 1
 
     def retract(self) -> None:
-        self._incoming = max(0, self._incoming - 1)
+        self._incoming_counter.value = max(0, self._incoming_counter.value - 1)
 
     async def start(self) -> None:
         if self._task is None:

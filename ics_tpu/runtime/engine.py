@@ -122,20 +122,28 @@ class InferenceEngine:
             self._step = self._make_step()
         return self._step
 
-    def _get_coeff_step(self):
-        """Fused decode-on-TPU step (JPEG coefficients in, top-k out)."""
-        if getattr(self, "_coeff_step", None) is None:
+    def _get_coeff_step(self, mode: str = "420"):
+        """Fused decode-on-TPU step (JPEG coefficients in, top-k out).
+
+        One jitted callable per sampling mode; jax.jit's shape cache covers
+        the (batch bucket, luma bucket) variants within a mode."""
+        if getattr(self, "_coeff_steps", None) is None:
+            self._coeff_steps: dict = {}
+        if mode not in self._coeff_steps:
             from ics_tpu.runtime.device_decode import (
                 make_fused_decode_infer_step,
             )
 
-            self._coeff_step = make_fused_decode_infer_step(
+            self._coeff_steps[mode] = make_fused_decode_infer_step(
                 self.model, self.folded, self.spec, dtype=self.dtype,
                 mesh=self.mesh, top_k=min(TOP_K, self.num_classes),
+                mode=mode,
             )
-        return self._coeff_step
+        return self._coeff_steps[mode]
 
-    def predict_coeff_staged(self, staged: dict) -> tuple[np.ndarray, np.ndarray]:
+    def predict_coeff_staged(
+        self, staged: dict, mode: str = "420"
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Staged coefficient batch (see runtime.device_decode) -> top-k.
 
         Pads to the nearest batch bucket like the pixel path."""
@@ -152,7 +160,7 @@ class InferenceEngine:
             # zero quant tables make padded rows decode to zeros; give the
             # padded sizes a sane nonzero extent for the resize plan
             staged["sizes"][n:] = 64
-        step = self._get_coeff_step()
+        step = self._get_coeff_step(mode)
         t0 = time.perf_counter()
         idx, scores = step(
             staged["y"], staged["yq"], staged["cb"], staged["cq"],

@@ -26,52 +26,66 @@ logger = logging.getLogger(__name__)
 class InferenceService:
     def __init__(self, engine: InferenceEngine, deadline_us: int = 2000,
                  device_decode: bool = True, max_deadline_us: int = 50_000):
+        from ics_tpu.runtime.batcher import IncomingCounter
+
         self.engine = engine
+        self._deadline_us = deadline_us
+        self._max_deadline_us = max_deadline_us
+        # one service-wide load signal: any lane's flusher holds its batch
+        # open while requests are still in host entropy/pixel decode
+        self._incoming = IncomingCounter()
         self.batcher = DynamicBatcher(
             predict_staged=self._predict_resilient,
             stage_batch=lambda imgs: stage_batch(imgs, canvas=engine.canvas),
             max_batch=max(engine.buckets),
             deadline_us=deadline_us,
             max_deadline_us=max_deadline_us,
+            incoming=self._incoming,
         )
-        # decode-on-TPU fast lane: 4:2:0 JPEGs skip host pixel decode; the
-        # device runs dequant+iDCT+upsample+color+preproc+forward fused
+        # decode-on-TPU fast lanes: JPEGs skip host pixel decode; the device
+        # runs dequant+iDCT+upsample+color+preproc+forward fused. One lane
+        # (batcher + compiled step) per (sampling mode, luma bucket),
+        # created lazily on first use: 4:2:0/4:2:2/4:4:4/gray x <=512/<=1024
+        # px (VERDICT r1 item 5 broadened the r1 4:2:0 <=512 single lane).
         self.device_decode = device_decode
-        self.coeff_batcher = DynamicBatcher(
-            predict_staged=self._predict_coeff_resilient,
-            stage_batch=self._stage_coeffs,
-            max_batch=max(engine.buckets),
-            deadline_us=deadline_us,
-            max_deadline_us=max_deadline_us,
-        )
-        self._luma_blocks = engine.canvas // 8
+        self.coeff_batchers: dict[tuple[str, int], DynamicBatcher] = {}
         self._latencies_ms: list[float] = []
         self._device_errors = 0
         self._stats = {"device_decoded": 0, "host_decoded": 0}
+        self._started = False
 
-    def _stage_coeffs(self, coeff_list):
+    def _make_coeff_lane(self, mode: str, luma_blocks: int) -> DynamicBatcher:
         from ics_tpu.runtime.device_decode import stage_coefficient_batch
 
-        staged = stage_coefficient_batch(
-            coeff_list, luma_blocks=self._luma_blocks
-        )
-        if staged is None:  # guarded by _coeffs_eligible; defense in depth
-            raise RuntimeError("coefficient batch not stageable")
-        return staged, None
+        def stage(coeff_list):
+            staged = stage_coefficient_batch(
+                coeff_list, luma_blocks=luma_blocks, mode=mode
+            )
+            if staged is None:  # routed by classify_coefficients upstream
+                raise RuntimeError("coefficient batch not stageable")
+            return staged, None
 
-    def _coeffs_eligible(self, co) -> bool:
-        if co is None or len(co.components) != 3:
-            return False
-        yc, cbc, crc = co.components
-        if (
-            yc["h_samp"] != 2 * cbc["h_samp"]
-            or yc["v_samp"] != 2 * cbc["v_samp"]
-            or cbc["h_samp"] != crc["h_samp"]
-            or cbc["v_samp"] != crc["v_samp"]
-        ):
-            return False
-        ybh, ybw = yc["coeffs"].shape[:2]
-        return ybh <= self._luma_blocks and ybw <= self._luma_blocks
+        def predict(staged, _):
+            return self._predict_coeff_resilient(staged, mode)
+
+        return DynamicBatcher(
+            predict_staged=predict,
+            stage_batch=stage,
+            max_batch=max(self.engine.buckets),
+            deadline_us=self._deadline_us,
+            max_deadline_us=self._max_deadline_us,
+            incoming=self._incoming,
+        )
+
+    async def _get_coeff_lane(self, mode: str, luma_blocks: int) -> DynamicBatcher:
+        key = (mode, luma_blocks)
+        lane = self.coeff_batchers.get(key)
+        if lane is None:
+            lane = self._make_coeff_lane(mode, luma_blocks)
+            if self._started:
+                await lane.start()
+            self.coeff_batchers[key] = lane
+        return lane
 
     def _predict_resilient(self, canvas, sizes):
         """One retry with a fresh compiled step on device error — transient
@@ -87,16 +101,16 @@ class InferenceService:
             self.engine._step = None  # drop the (possibly wedged) step
             return self.engine.predict_staged(canvas, sizes)
 
-    def _predict_coeff_resilient(self, staged, _):
+    def _predict_coeff_resilient(self, staged, mode: str):
         try:
-            return self.engine.predict_coeff_staged(staged)
+            return self.engine.predict_coeff_staged(staged, mode=mode)
         except Exception:
             self._device_errors += 1
             logger.exception(
                 "device coeff step failed; recompiling and retrying once"
             )
-            self.engine._coeff_step = None
-            return self.engine.predict_coeff_staged(staged)
+            getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
+            return self.engine.predict_coeff_staged(staged, mode=mode)
 
     @classmethod
     def from_settings(cls, **engine_overrides) -> "InferenceService":
@@ -139,37 +153,47 @@ class InferenceService:
                 None, self.engine.warmup
             )
         await self.batcher.start()
-        await self.coeff_batcher.start()
+        for lane in self.coeff_batchers.values():
+            await lane.start()
+        self._started = True
 
     async def stop(self) -> None:
+        self._started = False
         await self.batcher.stop()
-        await self.coeff_batcher.stop()
+        for lane in self.coeff_batchers.values():
+            await lane.stop()
 
     async def classify_bytes(self, data: bytes) -> dict:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
-        # announce to both lanes: the request exists but is still decoding,
-        # so the flusher holds its batch open (adaptive coalescing) instead
-        # of flushing batch-of-1 under staggered closed-loop arrivals
+        # announce on the shared counter: the request exists but is still
+        # decoding, so every lane's flusher holds its batch open (adaptive
+        # coalescing) instead of flushing batch-of-1 under staggered
+        # closed-loop arrivals
         self.batcher.announce()
-        self.coeff_batcher.announce()
-        pixel_announced = coeff_announced = True
+        announced = True
         try:
             if self.device_decode:
                 from ics_tpu.native import imgcodec
+                from ics_tpu.runtime.device_decode import (
+                    classify_coefficients,
+                )
 
                 if imgcodec.probe(data) == "jpeg":
                     coeffs = await loop.run_in_executor(
                         None, imgcodec.jpeg_coefficients, data
                     )
-                    if self._coeffs_eligible(coeffs):
+                    lane_key = classify_coefficients(coeffs)
+                    if lane_key is not None:
+                        mode, luma_blocks = lane_key
+                        lane = await self._get_coeff_lane(mode, luma_blocks)
                         self._stats["device_decoded"] += 1
-                        self.batcher.retract()
-                        pixel_announced = False
-                        idx, scores = await self.coeff_batcher.submit(
+                        key = f"device_decoded_{mode}_{luma_blocks * 8}px"
+                        self._stats[key] = self._stats.get(key, 0) + 1
+                        idx, scores = await lane.submit(
                             coeffs, announced=True
                         )
-                        coeff_announced = False
+                        announced = False
                         dt_ms = (time.perf_counter() - t0) * 1000
                         self._record_latency(dt_ms)
                         return {
@@ -177,11 +201,9 @@ class InferenceService:
                             "scores": [float(s) for s in scores],
                             "latency_ms": round(dt_ms, 3),
                             "model": self.engine.model_name,
-                            "decode": "device",
+                            "decode": f"device:{mode}",
                         }
 
-            self.coeff_batcher.retract()
-            coeff_announced = False
             self._stats["host_decoded"] += 1
             image = await loop.run_in_executor(None, decode_image, data)
             decode_ms = (time.perf_counter() - t0) * 1000
@@ -190,14 +212,12 @@ class InferenceService:
                 buckets=(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50),
             ).observe(decode_ms)
             idx, scores = await self.batcher.submit(image, announced=True)
-            pixel_announced = False
+            announced = False
         finally:
             # error paths must not leave the flusher waiting for a request
             # that will never arrive
-            if pixel_announced:
+            if announced:
                 self.batcher.retract()
-            if coeff_announced:
-                self.coeff_batcher.retract()
         dt_ms = (time.perf_counter() - t0) * 1000
         # e2e percentiles come from _latencies_ms (single source of truth,
         # exposed via latency_percentiles() and the /monitor gauges)
@@ -234,7 +254,10 @@ class InferenceService:
         return {
             **self.engine.status(),
             "batcher": self.batcher.stats,
-            "coeff_batcher": self.coeff_batcher.stats,
+            "coeff_lanes": {
+                f"{mode}_{lb * 8}px": lane.stats
+                for (mode, lb), lane in self.coeff_batchers.items()
+            },
             "latency": self.latency_percentiles(),
             "device_errors": self._device_errors,
             **self._stats,

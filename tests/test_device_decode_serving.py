@@ -48,9 +48,10 @@ class TestDeviceDecodeLane:
     @pytest.mark.anyio
     async def test_jpeg_420_takes_device_lane(self, svc):
         out = await svc.classify_bytes(jpeg_420(1))
-        assert out["decode"] == "device"
+        assert out["decode"] == "device:420"
         assert len(out["top_classes"]) == 5
         assert svc._stats["device_decoded"] == 1
+        assert svc._stats["device_decoded_420_512px"] == 1
 
     @pytest.mark.anyio
     async def test_png_takes_host_lane(self, svc):
@@ -59,19 +60,51 @@ class TestDeviceDecodeLane:
         assert svc._stats["host_decoded"] == 1
 
     @pytest.mark.anyio
-    async def test_444_jpeg_falls_back_to_host(self, svc):
+    async def test_444_and_422_take_device_lanes(self, svc):
+        # r1 served only 4:2:0; the broadened lanes cover 4:4:4/4:2:2/gray
+        for subsampling, mode in ((0, "444"), (1, "422")):
+            buf = io.BytesIO()
+            Image.fromarray(
+                np.random.default_rng(3).integers(0, 256, (60, 64, 3), np.uint8)
+            ).save(buf, "JPEG", quality=90, subsampling=subsampling)
+            out = await svc.classify_bytes(buf.getvalue())
+            assert out["decode"] == f"device:{mode}"
+
+    @pytest.mark.anyio
+    async def test_grayscale_takes_device_lane(self, svc):
         buf = io.BytesIO()
         Image.fromarray(
-            np.random.default_rng(3).integers(0, 256, (60, 60, 3), np.uint8)
-        ).save(buf, "JPEG", quality=90, subsampling=0)
+            np.random.default_rng(6).integers(0, 256, (60, 64), np.uint8), "L"
+        ).save(buf, "JPEG", quality=90)
         out = await svc.classify_bytes(buf.getvalue())
+        assert out["decode"] == "device:gray"
+
+    @pytest.mark.anyio
+    async def test_large_jpeg_takes_wide_lane(self, svc):
+        # 600px > 512px bucket -> 1024px luma bucket, still on device
+        out = await svc.classify_bytes(jpeg_420(4, h=600, w=600))
+        assert out["decode"] == "device:420"
+        assert svc._stats["device_decoded_420_1024px"] == 1
+
+    @pytest.mark.anyio
+    async def test_giant_jpeg_falls_back(self, svc):
+        # >1024px exceeds every luma bucket -> host lane
+        out = await svc.classify_bytes(jpeg_420(4, h=1100, w=80))
         assert out["decode"] == "host"
 
     @pytest.mark.anyio
-    async def test_oversized_jpeg_falls_back(self, svc):
-        # 300px > 128 canvas -> block canvas overflow -> host lane
-        out = await svc.classify_bytes(jpeg_420(4, h=300, w=300))
-        assert out["decode"] == "host"
+    async def test_gray_lane_agrees_with_host(self, svc):
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(8).integers(0, 256, (60, 64), np.uint8), "L"
+        ).filter(ImageFilter.GaussianBlur(1)).save(buf, "JPEG", quality=92)
+        blob = buf.getvalue()
+        dev = await svc.classify_bytes(blob)
+        svc.device_decode = False
+        host = await svc.classify_bytes(blob)
+        svc.device_decode = True
+        assert dev["decode"] == "device:gray" and host["decode"] == "host"
+        assert dev["top_classes"][0] == host["top_classes"][0]
 
     @pytest.mark.anyio
     async def test_device_and_host_lanes_agree(self, svc):
@@ -80,7 +113,7 @@ class TestDeviceDecodeLane:
         dev = await svc.classify_bytes(blob)
         svc.device_decode = False
         host = await svc.classify_bytes(blob)
-        assert dev["decode"] == "device" and host["decode"] == "host"
+        assert dev["decode"] == "device:420" and host["decode"] == "host"
         assert dev["top_classes"][0] == host["top_classes"][0]
         np.testing.assert_allclose(
             dev["scores"], host["scores"], rtol=5e-2, atol=5e-3

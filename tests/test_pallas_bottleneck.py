@@ -1,0 +1,61 @@
+"""Fused bottleneck-chain kernel (opt-in experiment; see docs/benchmarks.md
+round-2 notes — numerics exact, measured slower than XLA convs on v5e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_tpu.models.resnet import Bottleneck
+from ics_tpu.ops.pallas_bottleneck import (
+    fused_bottleneck_chain,
+    pack_chain_weights,
+)
+
+
+def _chain(n_blocks=2, c=256, cm=64, seed=0):
+    key = jax.random.PRNGKey(seed)
+    blocks = [Bottleneck(c, cm, 1) for _ in range(n_blocks)]
+    folded = [
+        jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32),
+            blk.fold(blk.init(jax.random.fold_in(key, i)), blk.init_state()),
+        )
+        for i, blk in enumerate(blocks)
+    ]
+    return blocks, folded
+
+
+@pytest.mark.parametrize("tile_rows", [4, 8])
+def test_chain_matches_xla_blocks(tile_rows):
+    blocks, folded = _chain()
+    x = jax.random.normal(
+        jax.random.PRNGKey(9), (2, 8, 8, 256), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = x
+    for blk, f in zip(blocks, folded):
+        ref = blk.apply_folded(
+            jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), f), ref
+        )
+    out = fused_bottleneck_chain(
+        x, pack_chain_weights(folded), tile_rows=tile_rows, interpret=True
+    )
+    diff = np.abs(np.asarray(ref, np.float32) - np.asarray(out, np.float32))
+    assert diff.max() < 0.1, diff.max()  # bf16 accumulation-order noise
+
+
+def test_pack_rejects_projection_blocks():
+    blk = Bottleneck(64, 64, 1)  # 64 -> 256: has a downsample projection
+    folded = blk.fold(blk.init(jax.random.PRNGKey(0)), blk.init_state())
+    with pytest.raises(AssertionError):
+        pack_chain_weights([folded])
+
+
+def test_fold_optin_packs_chains():
+    from ics_tpu.models.resnet import ResNet
+
+    model = ResNet(block_counts=(2, 2, 1, 1), num_classes=8)
+    variables = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(variables, pallas_chains=True)
+    assert "chains" in folded and "0" in folded["chains"]
+    assert "chains" not in model.fold(variables)  # default: off (slower)
