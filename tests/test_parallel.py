@@ -29,6 +29,43 @@ class TestMesh:
         assert xs.addressable_shards[0].data.shape == (2, 4, 4, 3)
 
 
+class TestDistributedInit:
+    def test_noop_without_coordinator(self):
+        from ics_tpu.core.config import Settings
+        from ics_tpu.parallel import mesh as mesh_mod
+
+        s = Settings(TPU_COORDINATOR_ADDRESS="")
+        assert mesh_mod.maybe_initialize_distributed(s) is False
+
+    def test_initializes_with_coordinator(self, monkeypatch):
+        import jax
+
+        from ics_tpu.core.config import Settings
+        from ics_tpu.parallel import mesh as mesh_mod
+
+        calls = {}
+
+        def fake_init(coordinator_address, num_processes, process_id):
+            calls.update(
+                addr=coordinator_address, n=num_processes, pid=process_id
+            )
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+        s = Settings(
+            TPU_COORDINATOR_ADDRESS="10.0.0.1:8476",
+            TPU_NUM_PROCESSES=4,
+            TPU_PROCESS_ID=2,
+        )
+        assert mesh_mod.maybe_initialize_distributed(s) is True
+        assert calls == {"addr": "10.0.0.1:8476", "n": 4, "pid": 2}
+        # idempotent: second call doesn't re-init
+        calls.clear()
+        assert mesh_mod.maybe_initialize_distributed(s) is True
+        assert calls == {}
+        monkeypatch.setattr(mesh_mod, "_distributed_initialized", False)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__
