@@ -70,6 +70,10 @@ async def iniciar_treinamento(request: Request):
             epochs=int(body.get("epochs") or 10),
             canvas=int(body.get("canvas") or settings.TPU_CANVAS),
             compute_dtype=settings.TPU_PRECISION,
+            eval_fraction=float(
+                body.get("eval_fraction")
+                if body.get("eval_fraction") is not None else 0.2
+            ),
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

@@ -59,6 +59,22 @@ def labeled_examples(db: Database, id_amb: str) -> tuple[list[dict], dict[str, i
     return examples, class_map
 
 
+def split_examples(
+    examples: list[dict], eval_fraction: float = 0.2, seed: int = 0
+) -> tuple[list[dict], list[dict]]:
+    """Deterministic train/eval split (shuffled by seed, stratification-free
+    — ambiente label sets are small). eval_fraction=0 -> everything trains.
+    """
+    if eval_fraction <= 0 or len(examples) < 5:
+        return list(examples), []
+    order = np.random.default_rng(seed).permutation(len(examples))
+    n_eval = max(1, int(len(examples) * eval_fraction))
+    eval_idx = set(order[:n_eval].tolist())
+    train = [ex for i, ex in enumerate(examples) if i not in eval_idx]
+    held = [ex for i, ex in enumerate(examples) if i in eval_idx]
+    return train, held
+
+
 def batch_iterator(
     examples: list[dict],
     fetch_bytes: BytesProvider,

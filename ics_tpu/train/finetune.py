@@ -153,6 +153,50 @@ class FineTuner:
         return variables, opt_state, history
 
 
+def make_preproc_eval_step(model, image_size: int = 224,
+                           resize_short: int = 256,
+                           compute_dtype=jnp.bfloat16):
+    """Fused eval step: uint8 canvas -> preproc -> forward (training=False)
+    -> (n_correct, n) for accuracy over held-out labels."""
+    from ics_tpu.ops.preproc import preprocess_batch
+
+    @jax.jit
+    def step(variables, canvas_u8, sizes, labels, valid):
+        images = preprocess_batch(
+            canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
+            dtype=compute_dtype,
+        )
+        logits, _ = model.apply(variables, images, training=False)
+        correct = (jnp.argmax(logits, axis=-1) == labels) & valid
+        return jnp.sum(correct.astype(jnp.int32)), jnp.sum(
+            valid.astype(jnp.int32)
+        )
+
+    return step
+
+
+def evaluate(model, variables, batches, image_size: int = 224,
+             resize_short: int = 256, compute_dtype=jnp.bfloat16,
+             n_examples: Optional[int] = None):
+    """Accuracy over an eval batch iterator (padded tail rows are masked
+    via ``n_examples``, the true example count)."""
+    step = make_preproc_eval_step(model, image_size, resize_short,
+                                  compute_dtype)
+    correct = total = 0
+    remaining = n_examples
+    for canvas, sizes, labels in batches:
+        b = labels.shape[0]
+        if remaining is None:
+            valid = jnp.ones((b,), bool)
+        else:
+            valid = jnp.arange(b) < min(remaining, b)
+            remaining -= int(valid.sum())
+        c, t = step(variables, canvas, sizes, labels, valid)
+        correct += int(c)
+        total += int(t)
+    return (correct / total) if total else None, total
+
+
 def make_sharded_train_step(model, optimizer, mesh: Mesh,
                             compute_dtype=jnp.bfloat16):
     """DP over 'data' (batch) + TP of the classifier head over 'model'.

@@ -24,8 +24,8 @@ from ics_tpu.core import timezone as tz
 from ics_tpu.crud import modelo_crud
 from ics_tpu.db.engine import Database
 from ics_tpu.models.registry import get_model
-from ics_tpu.train.data import batch_iterator, labeled_examples
-from ics_tpu.train.finetune import FineTuner, make_optimizer
+from ics_tpu.train.data import batch_iterator, labeled_examples, split_examples
+from ics_tpu.train.finetune import FineTuner, evaluate, make_optimizer
 
 logger = logging.getLogger(__name__)
 
@@ -62,6 +62,7 @@ class TrainingJob:
         self.history: list[dict] = []
         self.id_mod: Optional[str] = None
         self.versao: Optional[int] = None
+        self.eval_accuracy: Optional[float] = None
         self.n_examples = 0
         self.started_at = tz.utcnow()
         self.finished_at = None
@@ -80,6 +81,7 @@ class TrainingJob:
             "historico": self.history[-20:],
             "id_mod": self.id_mod,
             "versao": self.versao,
+            "eval_accuracy": self.eval_accuracy,
             "iniciado_em": self.started_at.isoformat(),
             "finalizado_em": (
                 self.finished_at.isoformat() if self.finished_at else None
@@ -119,6 +121,7 @@ class TrainingJobManager:
         fetch_bytes: Optional[BytesProvider] = None,
         ativar: bool = True,
         seed: int = 0,
+        eval_fraction: float = 0.2,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -143,7 +146,7 @@ class TrainingJobManager:
         thread = threading.Thread(
             target=self._run,
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
-                  compute_dtype, ativar, seed),
+                  compute_dtype, ativar, seed, eval_fraction),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -154,7 +157,8 @@ class TrainingJobManager:
     # -- job body (worker thread) -------------------------------------------
     def _run(self, job: TrainingJob, fetch: BytesProvider, max_steps: int,
              batch_size: int, lr: float, epochs: int, canvas: int,
-             compute_dtype: str, ativar: bool, seed: int) -> None:
+             compute_dtype: str, ativar: bool, seed: int,
+             eval_fraction: float = 0.2) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -182,8 +186,12 @@ class TrainingJobManager:
             import jax
 
             variables = model.init(jax.random.PRNGKey(seed))
+            train_examples, eval_examples = split_examples(
+                examples, eval_fraction=eval_fraction, seed=seed
+            )
+            job.n_examples = len(train_examples)
             batches = batch_iterator(
-                examples, fetch, batch_size=batch_size, canvas=canvas,
+                train_examples, fetch, batch_size=batch_size, canvas=canvas,
                 seed=seed, epochs=epochs,
             )
 
@@ -193,6 +201,20 @@ class TrainingJobManager:
                 on_step=job.history.append,  # live progress for the route
             )
             final = history[-1] if history else {}
+            eval_accuracy = None
+            if eval_examples:
+                eval_accuracy, _ = evaluate(
+                    model, variables,
+                    batch_iterator(
+                        eval_examples, fetch, batch_size=batch_size,
+                        canvas=canvas, shuffle=False, epochs=1,
+                    ),
+                    image_size=spec.image_size,
+                    resize_short=spec.resize_short,
+                    compute_dtype=dtype,
+                    n_examples=len(eval_examples),
+                )
+                job.eval_accuracy = eval_accuracy
             with self.db.session() as s:
                 row = modelo_crud.registrar_modelo(
                     s,
@@ -205,6 +227,9 @@ class TrainingJobManager:
                     metricas={
                         "loss_final": final.get("loss"),
                         "accuracy_final": final.get("accuracy"),
+                        "eval_accuracy": eval_accuracy,
+                        "exemplos_treino": len(train_examples),
+                        "exemplos_eval": len(eval_examples),
                         "historico": history[-20:],
                         "exemplos": len(examples),
                     },

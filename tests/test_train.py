@@ -106,6 +106,29 @@ class TestDataset:
         assert tuple(sizes[0]) == (60, 80)
 
 
+class TestSplit:
+    def test_split_deterministic_and_disjoint(self, labeled_db):
+        from ics_tpu.train.data import split_examples
+
+        db, amb_id, blobs = labeled_db
+        examples, _ = labeled_examples(db, amb_id)
+        train, held = split_examples(examples, eval_fraction=0.25, seed=3)
+        train2, held2 = split_examples(examples, eval_fraction=0.25, seed=3)
+        assert train == train2 and held == held2
+        assert len(held) == 2 and len(train) == 6
+        keys = {e["content_hash"] for e in train} & {
+            e["content_hash"] for e in held
+        }
+        assert not keys  # disjoint
+
+    def test_split_disabled_below_threshold(self):
+        from ics_tpu.train.data import split_examples
+
+        tiny = [{"content_hash": str(i), "label": 0} for i in range(4)]
+        train, held = split_examples(tiny, eval_fraction=0.5)
+        assert train == tiny and held == []
+
+
 class TestFineTune:
     def test_finetune_with_checkpoint_resume(self, labeled_db, tmp_path):
         db, amb_id, blobs = labeled_db

@@ -180,6 +180,11 @@ async def test_train_register_serve_suggest(app):
         assert len(modelos) == 1 and modelos[0]["ativo"]
         assert modelos[0]["num_classes"] == 2
         assert modelos[0]["metricas"]["exemplos"] == 8
+        # held-out eval ran (8 labels -> 7 train / 1 eval at 0.2)
+        acc = modelos[0]["metricas"]["eval_accuracy"]
+        assert acc is not None and 0.0 <= acc <= 1.0
+        assert modelos[0]["metricas"]["exemplos_eval"] == 1
+        assert job["eval_accuracy"] == acc
 
         # 4. specialist classifies via TPU: response carries the ambiente's
         #    option labels + the weights version
