@@ -113,6 +113,69 @@ async def listar_modelos_treinados(request: Request):
     )
 
 
+@router.get("/modelos/{id_mod}/exportar")
+async def exportar_modelo(request: Request):
+    """Download a registry version as a portable .tar.gz (admin). Class
+    indices travel with the OPTION TEXTS so another deployment can rebind
+    them to its own option ids on import."""
+    db = request.state.db
+    require_admin(request)
+    row = modelo_crud.get_modelo(db, request.path_params["id_mod"])
+    if row is None:
+        raise HTTPException(404, "Modelo treinado não encontrado.")
+    from ics_tpu.train.export import pack_model
+    from ics_tpu.web import Response
+
+    data = pack_model(db, row)
+    return Response(
+        data,
+        media_type="application/gzip",
+        headers={
+            "content-disposition": (
+                f'attachment; filename="modelo_{row.nome_modelo}'
+                f'_v{row.versao}.tar.gz"'
+            )
+        },
+    )
+
+
+@router.post("/ambiente/{id_amb}/importar")
+async def importar_modelo(request: Request):
+    """Import an exported model package into this ambiente (admin).
+
+    Classes rebind by option text; 422 when the target ambiente lacks one
+    of the exported options. ``?ativar=false`` registers without promoting.
+    """
+    db = request.state.db
+    admin = require_admin(request)
+    id_amb = request.path_params["id_amb"]
+    ambiente = db.get(Ambiente, str(id_amb))
+    if ambiente is None or not ambiente.ativo:
+        raise HTTPException(404, "Ambiente não encontrado ou inativo.")
+    form = await request.form()
+    files = form.getfiles("file") or form.getfiles("files")
+    if not files:
+        raise HTTPException(422, "Envie o pacote no campo 'file'.")
+    ativar = (request.query_params.get("ativar") or "true").lower() != "false"
+    from ics_tpu.core.config import settings
+    from ics_tpu.train.export import ImportError_, unpack_model
+
+    try:
+        row = unpack_model(
+            db, files[0].data, id_amb, settings.TPU_WEIGHTS_DIR,
+            ativar=ativar,
+        )
+    except ImportError_ as exc:
+        raise HTTPException(422, f"Importação falhou: {exc}")
+    auditoria_crud.registrar_evento(
+        db, "importar_modelo_treinado", admin.id_usu,
+        {"id_mod": str(row.id_mod), "id_amb": str(id_amb),
+         "versao": row.versao, "ativado": ativar},
+    )
+    db.commit()
+    return JSONResponse(_modelo_out(row), 201)
+
+
 @router.post("/modelos/{id_mod}/ativar")
 async def ativar_modelo_treinado(request: Request):
     """Promote a registry version to serving for its ambiente (admin)."""

@@ -366,4 +366,5 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     ("inferencia_tpu", "Inferência TPU executada"),
     ("iniciar_treinamento", "Treinamento de modelo iniciado"),
     ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
+    ("importar_modelo_treinado", "Importação de modelo treinado"),
 ]

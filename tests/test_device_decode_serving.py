@@ -71,6 +71,17 @@ class TestDeviceDecodeLane:
             assert out["decode"] == f"device:{mode}"
 
     @pytest.mark.anyio
+    async def test_progressive_jpeg_takes_device_lane(self, svc):
+        # libjpeg's coefficient read handles progressive scans; the device
+        # back end is scan-agnostic (it sees final coefficients)
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(7).integers(0, 256, (60, 64, 3), np.uint8)
+        ).save(buf, "JPEG", quality=90, progressive=True, subsampling=2)
+        out = await svc.classify_bytes(buf.getvalue())
+        assert out["decode"] == "device:420"
+
+    @pytest.mark.anyio
     async def test_grayscale_takes_device_lane(self, svc):
         buf = io.BytesIO()
         Image.fromarray(

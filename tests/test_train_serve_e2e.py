@@ -225,3 +225,79 @@ async def test_train_register_serve_suggest(app):
         eventos = {log["nome_evento"] for log in r.json()["logs"]}
         assert "iniciar_treinamento" in eventos
         assert "inferencia_tpu" in eventos
+
+        # 7. export the version, import it into a SECOND ambiente with the
+        #    same option texts, and serve from the imported weights there
+        id_mod = modelos[0]["id_mod"]
+        r = await c.get(
+            f"/treinamento/modelos/{id_mod}/exportar", headers=admin
+        )
+        assert r.status_code == 200
+        assert r.headers["content-type"] == "application/gzip"
+        pacote = r.content
+        assert len(pacote) > 1000
+
+        id_amb2 = _seed_second_ambiente(app)
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb2}/importar",
+            files={"file": ("m.tar.gz", pacote, "application/gzip")},
+            headers=admin,
+        )
+        assert r.status_code == 201, r.text
+        imported = r.json()
+        assert imported["ativo"] and imported["versao"] == 1
+        assert imported["metricas"]["importado"] is True
+
+        esp2 = await _login(c, "esp@x.com", "SenhaBoa1")
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb2}/classificar-tpu",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp2,
+        )
+        assert r.status_code == 200, r.text
+        body2 = r.json()
+        assert body2["id_mod"] == imported["id_mod"]
+        # rebinding by option text: suggested ids belong to ambiente 2 but
+        # the ranking matches ambiente 1's (same weights, same image)
+        assert {o["texto_opcao"] for o in body2["opcoes"]} == textos
+        assert [o["texto_opcao"] for o in body2["opcoes"]] == [
+            o["texto_opcao"] for o in body["opcoes"]
+        ]
+        assert {o["id_opc"] for o in body2["opcoes"]}.isdisjoint(
+            set(app.state.opcoes)
+        )
+
+        # importing into an ambiente missing an option text is a 422
+        id_amb3 = _seed_second_ambiente(app, textos=("gato", "peixe"))
+        c.cookies.clear()
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb3}/importar",
+            files={"file": ("m.tar.gz", pacote, "application/gzip")},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "cão" in r.json()["detail"]
+
+
+def _seed_second_ambiente(app, textos=("gato", "cão")) -> str:
+    db = app.state.db
+    now = tz.utcnow()
+    with db.session() as s:
+        adm = s.fetchone("SELECT id_adm FROM usuarios_administradores LIMIT 1")
+        con = s.fetchone("SELECT id_con FROM usuarios_convencionais LIMIT 1")
+        cnj = s.fetchone("SELECT id_cnj FROM conjuntos_imagens LIMIT 1")
+        amb = Ambiente(
+            titulo_amb=f"Importado-{textos[1]}", descricao_questionario="d",
+            data_criado=now, id_adm=adm["id_adm"],
+        )
+        s.add(amb)
+        s.flush()
+        s.add(AmbienteConjuntoImagens(
+            id_amb=amb.id_amb, id_cnj=cnj["id_cnj"], data_associado=now,
+        ))
+        s.add(UsuarioAmbiente(
+            id_con=con["id_con"], id_amb=amb.id_amb, data_associado=now,
+        ))
+        s.add_all([Opcao(texto=t, id_amb=amb.id_amb) for t in textos])
+        s.commit()
+        return str(amb.id_amb)
