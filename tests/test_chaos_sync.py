@@ -24,13 +24,14 @@ def db(tmp_path):
     return d
 
 
-def make_service(state, db):
+def make_service(state, db, on_image_bytes=None):
     client = NextCloudClient(
         base_url="http://fake.test", username="tester", password="pw",
         user_path="/files/tester", max_retries=2, retry_delay=0.0,
         transport=httpx.ASGITransport(app=make_fake_nextcloud(state)),
     )
-    return NextCloudSyncService(db, client=client)
+    return NextCloudSyncService(db, client=client,
+                                on_image_bytes=on_image_bytes)
 
 
 class TestChaos:
@@ -106,3 +107,90 @@ class TestChaos:
         result = await service.sync_periodic()
         with db.session() as s:
             assert s.query(Imagem).count() == 2
+
+
+class TestClassifyOnSyncChaos:
+    """Soak the r2 classify-on-sync wiring: flapping upstream + a flaky
+    device step. The sync engine and the suggestion pipeline must both
+    degrade gracefully and converge once things heal.
+
+    Scale the soak with ICS_SOAK_TICKS (default 6 keeps CI fast)."""
+
+    @pytest.mark.anyio
+    async def test_suggestions_converge_under_chaos(self, db, monkeypatch):
+        import asyncio
+        import os
+
+        from ics_tpu.db.models import SugestaoModelo
+        from ics_tpu.runtime.engine import InferenceEngine
+        from ics_tpu.runtime.service import InferenceService
+
+        ticks = int(os.environ.get("ICS_SOAK_TICKS", "6"))
+        state = FakeState()
+        state.add_folder("plantas")
+        for i in range(4):
+            state.add_image("plantas", f"{i}.jpg", make_jpeg(i))
+
+        engine = InferenceEngine(
+            "resnet_tiny", num_classes=8, precision="fp32",
+            buckets=(1, 4), canvas=64,
+        )
+        svc = InferenceService(engine, deadline_us=500, device_decode=False)
+        await svc.start()
+
+        # flaky device: the first step and every 3rd after raise; the
+        # resilient wrapper must recompile-and-retry so callers never see
+        # the fault
+        real_predict = engine.predict_staged
+        calls = {"n": 0}
+
+        def flaky(canvas, sizes):
+            calls["n"] += 1
+            if calls["n"] % 3 == 1:
+                raise RuntimeError("injected device fault")
+            return real_predict(canvas, sizes)
+
+        monkeypatch.setattr(engine, "predict_staged", flaky)
+
+        stored: set[str] = set()
+
+        def hook(content_hash: str, data: bytes) -> None:
+            async def classify_and_store():
+                try:
+                    await svc.classify_bytes(data)
+                    with db.session() as s:
+                        from ics_tpu.crud.modelo_crud import registrar_sugestao
+
+                        registrar_sugestao(
+                            s, content_hash, modelo="resnet_tiny",
+                            classes=[{"classe": 0, "score": 1.0}], score=1.0,
+                        )
+                        s.commit()
+                    stored.add(content_hash)
+                except Exception:
+                    pass  # the app hook logs; chaos must not crash sync
+
+            asyncio.get_running_loop().create_task(classify_and_store())
+
+        sync = make_service(state, db, on_image_bytes=hook)
+        for tick in range(ticks):
+            state.fail_webdav = tick % 3 == 1   # flap the upstream
+            state.fail_activity = tick % 3 == 1
+            try:
+                await sync.sync_periodic()
+            except Exception as exc:  # pragma: no cover
+                pytest.fail(f"sync crashed under chaos: {exc}")
+            await asyncio.sleep(0.05)
+        # heal and run a full reconciliation + drain classification tasks
+        state.fail_webdav = state.fail_activity = False
+        await sync._sync_via_webdav()
+        for _ in range(100):
+            await asyncio.sleep(0.05)
+            with db.session() as s:
+                if s.query(SugestaoModelo).count() >= 4:
+                    break
+        await svc.stop()
+        with db.session() as s:
+            assert s.query(Imagem).count() == 4
+            assert s.query(SugestaoModelo).count() == 4
+        assert svc._device_errors >= 1  # faults were injected AND absorbed
