@@ -59,24 +59,36 @@ async def iniciar_treinamento(request: Request):
     body = (await request.json()) if raw else {}
     modelo = body.get("modelo") or "resnet50"
     from ics_tpu.core.config import settings
+    from ics_tpu.train.job import TrainingUnavailable
 
+    try:
+        max_steps = int(body.get("max_steps") or 100)
+        batch_size = int(body.get("batch_size") or 32)
+        lr = float(body.get("lr") or 0.01)
+        epochs = int(body.get("epochs") or 10)
+        canvas = int(body.get("canvas") or settings.TPU_CANVAS)
+        eval_fraction = float(
+            body.get("eval_fraction")
+            if body.get("eval_fraction") is not None else 0.2
+        )
+    except (TypeError, ValueError) as exc:
+        raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     try:
         job = trainer.start(
             id_amb=str(id_amb),
             model_name=modelo,
-            max_steps=int(body.get("max_steps") or 100),
-            batch_size=int(body.get("batch_size") or 32),
-            lr=float(body.get("lr") or 0.01),
-            epochs=int(body.get("epochs") or 10),
-            canvas=int(body.get("canvas") or settings.TPU_CANVAS),
+            max_steps=max_steps,
+            batch_size=batch_size,
+            lr=lr,
+            epochs=epochs,
+            canvas=canvas,
             compute_dtype=settings.TPU_PRECISION,
-            eval_fraction=float(
-                body.get("eval_fraction")
-                if body.get("eval_fraction") is not None else 0.2
-            ),
+            eval_fraction=eval_fraction,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")
+    except TrainingUnavailable as exc:
+        raise HTTPException(503, str(exc))
     except RuntimeError as exc:
         raise HTTPException(409, str(exc))
     auditoria_crud.registrar_evento(

@@ -49,10 +49,13 @@ class _PGAdapter:
 
     Placeholders translate ``?`` -> ``$N``; a transaction opens lazily on the
     first statement and closes on commit/rollback (postgres autocommits
-    otherwise, which would break the unit-of-work contract)."""
+    otherwise, which would break the unit-of-work contract). ``close()``
+    returns a healthy idle connection to the Database's pool — per-request
+    sessions must not pay TCP connect + SCRAM PBKDF2 each time."""
 
-    def __init__(self, conn):
+    def __init__(self, conn, db: "Database" = None):
         self._conn = conn
+        self._db = db
 
     def execute(self, sql: str, params: Sequence[Any] = ()) -> _PGCursor:
         from ics_tpu.db import pg_wire
@@ -73,7 +76,13 @@ class _PGAdapter:
             self._conn.execute("ROLLBACK")
 
     def close(self) -> None:
-        self._conn.close()
+        conn, self._conn = self._conn, None
+        if conn is None:
+            return
+        if self._db is not None and not conn.broken and not conn._in_tx:
+            self._db._release_pg(conn)
+        else:
+            conn.close()
 
 
 class Database:
@@ -96,6 +105,8 @@ class Database:
             from ics_tpu.db import pg_wire
 
             self._pg_kwargs = pg_wire.parse_dsn(url)
+            self._pg_pool: list = []
+            self._pg_pool_max = 8
             self.is_memory = False
         else:
             raise ValueError(f"unsupported DATABASE_URL: {url}")
@@ -116,10 +127,21 @@ class Database:
         if self.dialect == "postgres":
             from ics_tpu.db.pg_wire import PGConnection
 
-            return _PGAdapter(PGConnection(**self._pg_kwargs))
+            with self._lock:
+                conn = self._pg_pool.pop() if self._pg_pool else None
+            if conn is None:
+                conn = PGConnection(**self._pg_kwargs)
+            return _PGAdapter(conn, db=self)
         if self._memory_conn is not None:
             return self._memory_conn
         return self._new_conn(self.path)
+
+    def _release_pg(self, conn) -> None:
+        with self._lock:
+            if len(self._pg_pool) < self._pg_pool_max:
+                self._pg_pool.append(conn)
+                return
+        conn.close()
 
     # -- schema -------------------------------------------------------------
     def create_all(self) -> None:

@@ -112,9 +112,13 @@ class PGConnection:
         self.user = user
         self.password = password
         self._sock = socket.create_connection((host, port), connect_timeout)
-        self._sock.settimeout(60.0)
+        # no statement timeout (psycopg parity — long DDL/migrations must
+        # not be cut mid-message, which would desync the protocol stream);
+        # deployments bound statements server-side via statement_timeout
+        self._sock.settimeout(None)
         self._buf = b""
         self._in_tx = False
+        self.broken = False  # protocol/socket fault -> do not reuse
         self._startup(database)
 
     # -- framing --------------------------------------------------------------
@@ -217,6 +221,17 @@ class PGConnection:
         self, sql: str, params: Iterable[Any] = ()
     ) -> tuple[list[str], list[list[Any]], str]:
         """Extended-protocol execute. Returns (columns, rows, command_tag)."""
+        try:
+            return self._execute(sql, params)
+        except (OSError, ConnectionError):
+            # a socket fault mid-exchange desyncs the stream — poison the
+            # connection so the pool discards it
+            self.broken = True
+            raise
+
+    def _execute(
+        self, sql: str, params: Iterable[Any] = ()
+    ) -> tuple[list[str], list[list[Any]], str]:
         params = list(params)
         parse = self._cstr("") + self._cstr(sql) + struct.pack("!H", 0)
         self._send(b"P", parse)

@@ -196,10 +196,13 @@ class InferenceService:
                         self._stats["device_decoded"] += 1
                         key = f"device_decoded_{mode}_{luma_blocks * 8}px"
                         self._stats[key] = self._stats.get(key, 0) + 1
+                        # submit() consumes the announcement right after the
+                        # enqueue — a later flush failure must NOT retract
+                        # again (it would collapse other requests' windows)
+                        announced = False
                         idx, scores = await lane.submit(
                             coeffs, announced=True
                         )
-                        announced = False
                         dt_ms = (time.perf_counter() - t0) * 1000
                         self._record_latency(dt_ms)
                         return {
@@ -217,8 +220,8 @@ class InferenceService:
                 "decode_ms", "host decode latency (ms)",
                 buckets=(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10, 25, 50),
             ).observe(decode_ms)
+            announced = False  # consumed by submit() (see note above)
             idx, scores = await self.batcher.submit(image, announced=True)
-            announced = False
         finally:
             # error paths must not leave the flusher waiting for a request
             # that will never arrive
@@ -270,6 +273,22 @@ class InferenceService:
         }
 
 
+async def _drain_and_stop(service: InferenceService,
+                          grace_s: float = 30.0) -> None:
+    """Stop an evicted service once its in-flight work drains (bounded):
+    stopping immediately would fail futures that requests are awaiting."""
+    deadline = asyncio.get_running_loop().time() + grace_s
+    batchers = [service.batcher, *service.coeff_batchers.values()]
+    while asyncio.get_running_loop().time() < deadline:
+        if all(b._queue.empty() for b in batchers) and service._incoming.value == 0:
+            break
+        await asyncio.sleep(0.25)
+    # let a flush already handed to the executor resolve its futures —
+    # stop() cancels the flusher task, which would fail them mid-flight
+    await asyncio.sleep(1.0)
+    await service.stop()
+
+
 class InferenceServicePool:
     """Lazily-created per-model services sharing one event loop.
 
@@ -290,6 +309,9 @@ class InferenceServicePool:
 
     async def get(self, model_name: Optional[str] = None) -> InferenceService:
         name = model_name or self.default_model
+        service = self._services.get(name)  # lock-free fast path
+        if service is not None:
+            return service
         async with self._lock:
             service = self._services.get(name)
             if service is None:
@@ -316,10 +338,15 @@ class InferenceServicePool:
         """Serving engine for a registry version (``modelos_treinados`` row):
         orbax weights restored into the model, class count from the row.
 
-        Keyed by (ambiente, id_mod) so promoting a new version swaps engines;
-        stale versions of the same ambiente are stopped and evicted.
-        """
-        key = f"trained:{modelo_row.id_amb}:{modelo_row.id_mod}"
+        Keyed by (ambiente, versao, id_mod) so promoting a new version swaps
+        engines. OLDER versions of the same ambiente are evicted and
+        drain-stopped in the background (in-flight requests on the old
+        engine complete; a racing request holding a just-demoted row can
+        never evict a NEWER version)."""
+        key = f"trained:{modelo_row.id_amb}:{modelo_row.versao}:{modelo_row.id_mod}"
+        service = self._services.get(key)  # lock-free fast path
+        if service is not None:
+            return service
         async with self._lock:
             service = self._services.get(key)
             if service is None:
@@ -349,12 +376,14 @@ class InferenceServicePool:
                     max_deadline_us=self.max_deadline_us,
                 )
                 await service.start()
-                stale = [
-                    k for k in self._services
-                    if k.startswith(f"trained:{modelo_row.id_amb}:") and k != key
-                ]
-                for k in stale:
-                    await self._services.pop(k).stop()
+                prefix = f"trained:{modelo_row.id_amb}:"
+                for k in list(self._services):
+                    if not k.startswith(prefix) or k == key:
+                        continue
+                    if int(k.split(":")[2]) < modelo_row.versao:
+                        asyncio.ensure_future(
+                            _drain_and_stop(self._services.pop(k))
+                        )
                 self._services[key] = service
             return service
 

@@ -83,12 +83,16 @@ def batch_iterator(
     shuffle: bool = True,
     seed: int = 0,
     epochs: Optional[int] = 1,
-) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    with_counts: bool = False,
+) -> Iterator[tuple]:
     """Yields (canvas_u8 [B,C,C,3], sizes [B,2], labels [B]) batches.
 
     Incomplete final batches are padded by repeating examples (static XLA
     shapes); decode happens on host, resize/normalize on device inside the
-    train step.
+    train step. ``with_counts=True`` appends the count of REAL (non-padded,
+    successfully decoded) rows per batch — padding can also come from
+    fetch/decode failures, so consumers that score per-example (eval) must
+    not infer it from the dataset size.
     """
     if not examples:
         return
@@ -115,9 +119,11 @@ def batch_iterator(
                     )
             if not images:
                 continue
+            n_real = len(images)
             while len(images) < batch_size:
                 images.append(images[-1])
                 labels.append(labels[-1])
             canvas_batch, sizes = stage_batch(images, canvas=canvas)
-            yield canvas_batch, sizes, np.asarray(labels, np.int32)
+            out = (canvas_batch, sizes, np.asarray(labels, np.int32))
+            yield (out + (n_real,)) if with_counts else out
         epoch += 1

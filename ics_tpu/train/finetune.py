@@ -176,21 +176,15 @@ def make_preproc_eval_step(model, image_size: int = 224,
 
 
 def evaluate(model, variables, batches, image_size: int = 224,
-             resize_short: int = 256, compute_dtype=jnp.bfloat16,
-             n_examples: Optional[int] = None):
-    """Accuracy over an eval batch iterator (padded tail rows are masked
-    via ``n_examples``, the true example count)."""
+             resize_short: int = 256, compute_dtype=jnp.bfloat16):
+    """Accuracy over an eval iterator yielding (canvas, sizes, labels,
+    n_real) — i.e. ``batch_iterator(..., with_counts=True)``. Padded rows
+    (tail repeats AND fetch/decode failures) are masked per batch."""
     step = make_preproc_eval_step(model, image_size, resize_short,
                                   compute_dtype)
     correct = total = 0
-    remaining = n_examples
-    for canvas, sizes, labels in batches:
-        b = labels.shape[0]
-        if remaining is None:
-            valid = jnp.ones((b,), bool)
-        else:
-            valid = jnp.arange(b) < min(remaining, b)
-            remaining -= int(valid.sum())
+    for canvas, sizes, labels, n_real in batches:
+        valid = jnp.arange(labels.shape[0]) < n_real
         c, t = step(variables, canvas, sizes, labels, valid)
         correct += int(c)
         total += int(t)

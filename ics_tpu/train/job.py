@@ -32,6 +32,11 @@ logger = logging.getLogger(__name__)
 BytesProvider = Callable[[str, str], bytes]
 
 
+class TrainingUnavailable(RuntimeError):
+    """No image-byte source configured — a deployment condition (503),
+    not a transient job conflict (409)."""
+
+
 def nextcloud_bytes_provider(client_factory) -> BytesProvider:
     """Blocking byte fetch for the training thread.
 
@@ -127,7 +132,7 @@ class TrainingJobManager:
         get_model(model_name)  # fail fast on unknown model
         fetch = fetch_bytes or self.fetch_bytes
         if fetch is None:
-            raise RuntimeError(
+            raise TrainingUnavailable(
                 "nenhuma fonte de bytes configurada (NextCloud indisponível)"
             )
         with self._lock:
@@ -208,11 +213,11 @@ class TrainingJobManager:
                     batch_iterator(
                         eval_examples, fetch, batch_size=batch_size,
                         canvas=canvas, shuffle=False, epochs=1,
+                        with_counts=True,
                     ),
                     image_size=spec.image_size,
                     resize_short=spec.resize_short,
                     compute_dtype=dtype,
-                    n_examples=len(eval_examples),
                 )
                 job.eval_accuracy = eval_accuracy
             with self.db.session() as s:

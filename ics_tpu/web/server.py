@@ -49,7 +49,12 @@ class _Connection:
                 pass
 
     async def _one_request(self) -> bool:
-        raw = await self.reader.readuntil(b"\r\n\r\n")
+        try:
+            raw = await self.reader.readuntil(b"\r\n\r\n")
+        except asyncio.LimitOverrunError:
+            # header block exceeded the stream buffer before the blank line
+            await self._simple_response(431, b"Request Header Fields Too Large")
+            return False
         if len(raw) > MAX_HEADER_BYTES:
             await self._simple_response(431, b"Request Header Fields Too Large")
             return False
@@ -90,7 +95,9 @@ class _Connection:
             except _BodyTooLarge:
                 await self._simple_response(413, b"Payload Too Large")
                 return False
-            except ValueError:
+            except (ValueError, asyncio.LimitOverrunError):
+                # LimitOverrunError: a chunk-size/trailer line exceeding the
+                # stream buffer — same malformed-framing class as ValueError
                 await self._simple_response(400, b"malformed chunked body")
                 return False
         else:
@@ -184,13 +191,18 @@ class _Connection:
             if size < 0:
                 raise ValueError("negative chunk size")
             if size == 0:
-                # trailers: zero or more header lines, then a blank line
+                # trailers: zero or more header lines, then a blank line.
+                # TOTAL trailer size is capped like the header block — an
+                # unbounded drip-feed of trailer lines must not pin the
+                # connection open forever
+                trailer_bytes = 0
                 while True:
                     trailer = await self.reader.readuntil(b"\r\n")
                     if trailer == b"\r\n":
                         return b"".join(parts)
-                    if len(trailer) > MAX_HEADER_BYTES:
-                        raise ValueError("trailer too long")
+                    trailer_bytes += len(trailer)
+                    if trailer_bytes > MAX_HEADER_BYTES:
+                        raise ValueError("trailer block too large")
             total += size
             if total > MAX_BODY_BYTES:
                 raise _BodyTooLarge()

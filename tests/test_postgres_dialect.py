@@ -64,6 +64,13 @@ class TestWireProtocol:
             rows = s.fetchall("SELECT k, v FROM kv ORDER BY k")
             assert rows == [{"k": "a", "v": 7}, {"k": "b", "v": None}]
 
+    def test_connection_pooling_reuses_handshake(self, pg, db):
+        # per-request sessions must not pay TCP + SCRAM each time
+        for _ in range(5):
+            with db.session() as s:
+                s.fetchone("SELECT 1 AS n")
+        assert pg.auth_attempts == 1
+
     def test_integrity_error_mapped(self, db):
         with db.session() as s:
             s.execute("CREATE TABLE u (k TEXT PRIMARY KEY)")
