@@ -154,10 +154,15 @@ class InferenceService:
         if warm:
             # pre-compile every batch bucket so first requests don't pay
             # cold-compile latency (cold compile can be minutes on a
-            # remote-compile tunnel)
-            await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.warmup
-            )
+            # remote-compile tunnel); the 4:2:0 decode lane is warmed too —
+            # it's the dominant wild JPEG shape
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self.engine.warmup)
+            if self.device_decode:
+                try:
+                    await loop.run_in_executor(None, self.engine.warmup_coeff)
+                except Exception:  # lane warms lazily on first use instead
+                    logger.exception("decode-lane warmup failed")
         await self.batcher.start()
         for lane in self.coeff_batchers.values():
             await lane.start()
