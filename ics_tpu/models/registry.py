@@ -87,5 +87,9 @@ def _ensure_populated() -> None:
             "efficientnet_b4", efficientnet.efficientnet_b4, 380, 412,
             "EfficientNet-B4 — mixed-resolution bucketing (BASELINE cfg 4)",
         )
+        register_model(
+            "efficientnet_b0", efficientnet.efficientnet_b0, 224, 256,
+            "EfficientNet-B0 — light variant",
+        )
     except ImportError:
         pass
