@@ -123,6 +123,13 @@ class Settings(BaseModel):
     TPU_CANVAS: int = 512                # staging canvas side (px)
     TPU_WEIGHTS_DIR: str = "./model_checkpoints"  # fine-tune ckpt root
     TPU_CLASSIFY_ON_SYNC: bool = True    # suggest labels for synced images
+    # replica-level serving + request hedging (SURVEY §5 failure detection):
+    # partition the visible chips into N independent engine replicas; a
+    # request whose replica hasn't answered within TPU_HEDGE_MS is duplicated
+    # onto the next replica and the first result wins. Replicas also bound
+    # the blast radius of a wedged device / inline cold compile.
+    TPU_SERVING_REPLICAS: int = 1        # 1 = single engine (no hedging)
+    TPU_HEDGE_MS: float = 250.0          # straggler hedge timer (ms)
 
     def get_cors_origins_list(self) -> list[str]:
         origins = []

@@ -56,7 +56,15 @@ async def lifespan(app: App):
                 InferenceServicePool,
             )
 
-            service = InferenceService.from_settings()
+            if settings.TPU_SERVING_REPLICAS > 1:
+                # replica-level serving + request hedging (SURVEY §5):
+                # devices partition into independent engines; stragglers
+                # are duplicated onto the next replica, first result wins
+                from ics_tpu.runtime.hedging import HedgedInferenceService
+
+                service = HedgedInferenceService.from_settings()
+            else:
+                service = InferenceService.from_settings()
             await service.start(warm=settings.TPU_WARMUP_ON_STARTUP)
             pool = InferenceServicePool(
                 default_model=settings.TPU_DEFAULT_MODEL,

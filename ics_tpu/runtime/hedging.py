@@ -1,0 +1,196 @@
+"""Replica-level serving with request hedging.
+
+SURVEY.md §5 lists request hedging under failure detection; the reference
+has no equivalent (its single uvicorn process serves no model at all), so
+the TPU-first shape is chosen here: instead of one engine GSPMD-sharding
+every batch over all chips, the visible devices are partitioned into
+``TPU_SERVING_REPLICAS`` independent replicas (each its own
+``InferenceEngine`` + ``InferenceService``, pinned to a disjoint device
+group via a per-replica mesh). Requests round-robin across replicas; a
+request whose replica hasn't answered within ``TPU_HEDGE_MS`` is duplicated
+onto the next replica and the FIRST result wins (the loser's flush still
+completes; its result is discarded).
+
+Why replicas instead of hedging inside one sharded step: a GSPMD step is a
+single program — if it stalls (wedged chip, inline cold compile of a fresh
+bucket/lane, preemption) every request in the batch stalls with it.
+Independent replicas give the tail-latency isolation hedging needs, and on
+a v5e-8 the 2x4 configuration (2 replicas x 4-chip DP mesh) keeps per-step
+collectives on ICI while halving the straggler blast radius.
+
+Failure semantics: a replica that RAISES (not merely straggles) triggers an
+immediate hedge; the request only fails if the hedge fails too.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Optional
+
+import numpy as np
+
+from ics_tpu.core.config import settings as global_settings
+
+logger = logging.getLogger(__name__)
+
+
+def partition_devices(devices, replicas: int) -> list[list]:
+    """Split ``devices`` into ``replicas`` equal contiguous groups.
+
+    Contiguous grouping keeps each replica's chips ICI-adjacent on real
+    topologies (jax.devices() orders by coords). Loud on non-divisible
+    counts — silently unbalanced replicas would skew hedging latency.
+    """
+    n = len(devices)
+    if replicas < 2:
+        raise ValueError("replica partitioning needs TPU_SERVING_REPLICAS >= 2")
+    if n < replicas or n % replicas:
+        raise RuntimeError(
+            f"TPU_SERVING_REPLICAS={replicas} cannot partition {n} visible "
+            f"device(s) into equal groups"
+        )
+    per = n // replicas
+    return [list(devices[i * per:(i + 1) * per]) for i in range(replicas)]
+
+
+class HedgedInferenceService:
+    """Drop-in for :class:`InferenceService` over N independent replicas.
+
+    Mirrors the surface the app uses: ``classify_bytes`` / ``classify_many``
+    / ``start`` / ``stop`` / ``status`` / ``latency_percentiles`` and the
+    ``.engine`` attribute (primary replica's engine — the pool shares its
+    mesh and the warmup route reaches it there).
+    """
+
+    def __init__(self, replicas, hedge_ms: float = 250.0):
+        if len(replicas) < 2:
+            raise ValueError("HedgedInferenceService needs >= 2 replicas")
+        self.replicas = list(replicas)
+        self.hedge_s = max(hedge_ms, 1.0) / 1000.0
+        self._rr = 0
+        self._stats = {"hedges_fired": 0, "hedges_won": 0, "hedge_failures": 0}
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_settings(cls, settings=None, **engine_overrides):
+        """Partition jax.devices() into TPU_SERVING_REPLICAS groups and build
+        one pinned InferenceService per group.
+
+        Each replica gets a pure-DP mesh over its group — also for a
+        single-device group (a 1-device mesh pins placement; plain jit would
+        put every replica on device 0)."""
+        import jax
+
+        from ics_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
+        from ics_tpu.runtime.service import InferenceService
+
+        settings = settings or global_settings
+        maybe_initialize_distributed(settings)
+        groups = partition_devices(
+            jax.devices(), settings.TPU_SERVING_REPLICAS
+        )
+        replicas = []
+        for group in groups:
+            mesh = make_mesh(
+                shape=(len(group),), axes=("data",), devices=group
+            )
+            replicas.append(
+                InferenceService.from_settings(mesh=mesh, **engine_overrides)
+            )
+        logger.info(
+            "hedged serving: %d replicas x %d device(s), hedge after %.0f ms",
+            len(groups), len(groups[0]), settings.TPU_HEDGE_MS,
+        )
+        return cls(replicas, hedge_ms=settings.TPU_HEDGE_MS)
+
+    # -- InferenceService surface -------------------------------------------
+    @property
+    def engine(self):
+        return self.replicas[0].engine
+
+    @property
+    def device_decode(self) -> bool:
+        return self.replicas[0].device_decode
+
+    async def start(self, warm: bool = False) -> None:
+        for r in self.replicas:
+            await r.start(warm=warm)
+
+    async def stop(self) -> None:
+        for r in self.replicas:
+            await r.stop()
+
+    def _next(self) -> int:
+        i = self._rr
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return i
+
+    @staticmethod
+    def _discard(task: asyncio.Task) -> None:
+        """Detach a losing duplicate: swallow its eventual result/exception
+        so the event loop doesn't log 'exception was never retrieved'."""
+        task.add_done_callback(
+            lambda t: t.exception() if not t.cancelled() else None
+        )
+
+    async def classify_bytes(self, data: bytes) -> dict:
+        i = self._next()
+        primary = asyncio.ensure_future(self.replicas[i].classify_bytes(data))
+        try:
+            return await asyncio.wait_for(
+                asyncio.shield(primary), self.hedge_s
+            )
+        except asyncio.TimeoutError:
+            pass  # straggler -> hedge below, primary keeps running
+        except Exception:
+            primary = None  # replica failed outright -> immediate hedge
+        self._stats["hedges_fired"] += 1
+        backup = asyncio.ensure_future(
+            self.replicas[(i + 1) % len(self.replicas)].classify_bytes(data)
+        )
+        racers = {backup} | ({primary} if primary is not None else set())
+        winner_exc: Optional[BaseException] = None
+        while racers:
+            done, racers = await asyncio.wait(
+                racers, return_when=asyncio.FIRST_COMPLETED
+            )
+            for task in done:
+                if task.exception() is None:
+                    for loser in racers:
+                        self._discard(loser)
+                    if task is backup:
+                        self._stats["hedges_won"] += 1
+                    result = task.result()
+                    result["hedged"] = True
+                    return result
+                winner_exc = task.exception()
+        self._stats["hedge_failures"] += 1
+        raise winner_exc  # both replicas failed
+
+    async def classify_many(self, blobs) -> list[dict]:
+        return list(
+            await asyncio.gather(*(self.classify_bytes(b) for b in blobs))
+        )
+
+    def latency_percentiles(self) -> dict:
+        merged: list[float] = []
+        for r in self.replicas:
+            merged.extend(r._latencies_ms)
+        if not merged:
+            return {}
+        arr = np.asarray(merged)
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "n": len(arr),
+        }
+
+    def status(self) -> dict:
+        return {
+            **self.replicas[0].status(),
+            "serving_replicas": len(self.replicas),
+            "hedging": dict(self._stats),
+            "latency": self.latency_percentiles(),
+            "replicas": [r.status() for r in self.replicas],
+        }

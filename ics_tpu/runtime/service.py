@@ -127,7 +127,12 @@ class InferenceService:
         settings-driven mesh wiring."""
         from ics_tpu.parallel.mesh import mesh_from_settings
 
-        mesh = mesh_from_settings(settings)
+        if "mesh" in engine_overrides:
+            # replica-pinned mesh (runtime.hedging) — don't build (and log)
+            # the settings-wide mesh only to discard it
+            mesh = engine_overrides.pop("mesh")
+        else:
+            mesh = mesh_from_settings(settings)
         if mesh is not None:
             logger.info(
                 "serving mesh: %s",
