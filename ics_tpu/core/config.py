@@ -117,6 +117,11 @@ class Settings(BaseModel):
     TPU_BATCH_MAX_DEADLINE_US: int = 50000
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
     TPU_DEVICE_DECODE: bool = True       # JPEG decode-on-TPU fast lane
+    # restart-marker parallel entropy decode (native/jpeg_mt.cpp): >=2
+    # splits eligible JPEG scans at RSTn markers across this many threads;
+    # 0/1 = serial libjpeg. Worth cores on real serving hosts — host
+    # entropy decode is the binding ingest constraint (docs/benchmarks.md)
+    TPU_DECODE_THREADS: int = 0
     TPU_PRECISION: str = "bf16"          # "bf16" | "fp32"
     TPU_IMAGE_SIZE: int = 224
     TPU_NUM_CLASSES: int = 1000

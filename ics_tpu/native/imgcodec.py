@@ -58,6 +58,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.icstpu_jpeg_coeffs.restype = ctypes.c_int
+        lib.icstpu_jpeg_coeffs_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+        ]
+        lib.icstpu_jpeg_coeffs_mt.restype = ctypes.c_int
         _lib = lib
         return lib
     except OSError as exc:
@@ -113,17 +119,7 @@ class JpegCoefficients:
         self.components = components
 
 
-def jpeg_coefficients(data: bytes) -> Optional[JpegCoefficients]:
-    """Host Huffman decode only; everything after runs on the device."""
-    lib = _load()
-    if lib is None:
-        return None
-    out = ctypes.POINTER(ctypes.c_ubyte)()
-    out_len = ctypes.c_size_t()
-    rc = lib.icstpu_jpeg_coeffs(data, len(data), ctypes.byref(out),
-                                ctypes.byref(out_len))
-    if rc != 0:
-        return None
+def _parse_coeff_buffer(lib, out, out_len) -> JpegCoefficients:
     try:
         raw = np.ctypeslib.as_array(out, shape=(out_len.value,))
         # header layout mirrors CoeffHeader in imgcodec.cpp
@@ -152,6 +148,35 @@ def jpeg_coefficients(data: bytes) -> Optional[JpegCoefficients]:
         return JpegCoefficients(width, height, components)
     finally:
         lib.icstpu_free(out)
+
+
+def jpeg_coefficients(
+    data: bytes, threads: int = 1
+) -> Optional[JpegCoefficients]:
+    """Host Huffman decode only; everything after runs on the device.
+
+    ``threads > 1`` takes the restart-marker parallel path (jpeg_mt.cpp)
+    when the file is eligible (baseline Huffman, DRI > 0, >=2 segments);
+    anything else falls back to the serial libjpeg decoder transparently.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    out_len = ctypes.c_size_t()
+    if threads > 1:
+        rc = lib.icstpu_jpeg_coeffs_mt(
+            data, len(data), ctypes.byref(out), ctypes.byref(out_len), threads
+        )
+        if rc == 0:
+            return _parse_coeff_buffer(lib, out, out_len)
+        # rc==1: not eligible; rc<0: malformed for the strict parser —
+        # either way the serial decoder is the arbiter
+    rc = lib.icstpu_jpeg_coeffs(data, len(data), ctypes.byref(out),
+                                ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    return _parse_coeff_buffer(lib, out, out_len)
 
 
 def sha256_hex(data: bytes) -> Optional[str]:

@@ -197,7 +197,8 @@ class InferenceService:
 
                 if imgcodec.probe(data) == "jpeg":
                     coeffs = await loop.run_in_executor(
-                        None, imgcodec.jpeg_coefficients, data
+                        None, imgcodec.jpeg_coefficients, data,
+                        settings.TPU_DECODE_THREADS,
                     )
                     lane_key = classify_coefficients(coeffs)
                     if lane_key is not None:

@@ -77,3 +77,106 @@ class TestRuntimeIntegration:
 
         out = decode_image(_png(img))
         assert np.array_equal(out, img)
+
+
+class TestParallelEntropyDecode:
+    """Restart-marker parallel coefficient extraction (native/jpeg_mt.cpp)
+    must be byte-identical to the serial libjpeg path."""
+
+    @staticmethod
+    def _rst_jpeg(rng, w, h, sampling, quality=88, rows=1, gray=False):
+        if gray:
+            arr = rng.integers(0, 256, (h, w), np.uint8)
+            im = Image.fromarray(arr, "L")
+        else:
+            arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+            im = Image.fromarray(arr, "RGB")
+        buf = io.BytesIO()
+        kwargs = dict(quality=quality, restart_marker_rows=rows)
+        if not gray:
+            kwargs["subsampling"] = sampling
+        im.save(buf, "JPEG", **kwargs)
+        return buf.getvalue()
+
+    @staticmethod
+    def _assert_same(a, b):
+        assert a is not None and b is not None
+        assert (a.width, a.height) == (b.width, b.height)
+        assert len(a.components) == len(b.components)
+        for ca, cb in zip(a.components, b.components):
+            assert (ca["h_samp"], ca["v_samp"]) == (cb["h_samp"], cb["v_samp"])
+            np.testing.assert_array_equal(ca["quant"], cb["quant"])
+            np.testing.assert_array_equal(ca["coeffs"], cb["coeffs"])
+
+    @pytest.mark.parametrize("sampling", [2, 1, 0])  # 4:2:0, 4:2:2, 4:4:4
+    @pytest.mark.parametrize("size", [(96, 64), (97, 61), (250, 173)])
+    def test_mt_matches_serial(self, sampling, size):
+        rng = np.random.default_rng(hash((sampling, size)) % 2**32)
+        w, h = size
+        data = self._rst_jpeg(rng, w, h, sampling)
+        serial = imgcodec.jpeg_coefficients(data, threads=1)
+        mt = imgcodec.jpeg_coefficients(data, threads=4)
+        self._assert_same(mt, serial)
+
+    def test_grayscale_non_interleaved_scan(self):
+        rng = np.random.default_rng(7)
+        data = self._rst_jpeg(rng, 97, 61, 0, gray=True)
+        self._assert_same(
+            imgcodec.jpeg_coefficients(data, threads=4),
+            imgcodec.jpeg_coefficients(data, threads=1),
+        )
+
+    def test_multiple_restart_rows(self):
+        rng = np.random.default_rng(8)
+        data = self._rst_jpeg(rng, 320, 240, 2, rows=3)
+        self._assert_same(
+            imgcodec.jpeg_coefficients(data, threads=8),
+            imgcodec.jpeg_coefficients(data, threads=1),
+        )
+
+    def test_no_restart_markers_falls_back_serial(self):
+        """rc=1 path: the MT entry point declines, the wrapper silently
+        serves the serial result."""
+        import ctypes
+
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 256, (64, 96, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=90)  # no DRI
+        data = buf.getvalue()
+        lib = imgcodec._load()
+        out = ctypes.POINTER(ctypes.c_ubyte)()
+        out_len = ctypes.c_size_t()
+        rc = lib.icstpu_jpeg_coeffs_mt(
+            data, len(data), ctypes.byref(out), ctypes.byref(out_len), 4
+        )
+        assert rc == 1
+        self._assert_same(
+            imgcodec.jpeg_coefficients(data, threads=4),
+            imgcodec.jpeg_coefficients(data, threads=1),
+        )
+
+    def test_progressive_falls_back_serial(self):
+        rng = np.random.default_rng(10)
+        arr = rng.integers(0, 256, (64, 96, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(
+            buf, "JPEG", quality=90, progressive=True, restart_marker_rows=1
+        )
+        data = buf.getvalue()
+        self._assert_same(
+            imgcodec.jpeg_coefficients(data, threads=4),
+            imgcodec.jpeg_coefficients(data, threads=1),
+        )
+
+    def test_corrupt_input_is_safe(self):
+        rng = np.random.default_rng(11)
+        data = self._rst_jpeg(rng, 96, 64, 2)
+        # truncate mid-scan and flip bytes: must not crash; serial libjpeg
+        # is the arbiter of recoverability
+        for mutilated in (data[: len(data) // 2], data[:200],
+                          data[:300] + b"\xff\xd5" + data[300:]):
+            mt = imgcodec.jpeg_coefficients(mutilated, threads=4)
+            serial = imgcodec.jpeg_coefficients(mutilated, threads=1)
+            if serial is None:
+                assert mt is None
