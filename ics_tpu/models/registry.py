@@ -69,6 +69,26 @@ def _ensure_populated() -> None:
             "vit_b16", vit.vit_b16, 384, 384,
             "ViT-B/16 @384px — Pallas blockwise attention (BASELINE cfg 3)",
         )
+        register_model(
+            "vit_l16", vit.vit_l16, 384, 384,
+            "ViT-L/16 @384px — large variant, same Pallas attention",
+        )
+    except ImportError:
+        pass
+    register_model(
+        "resnet152", resnet.resnet152, 224, 256, "ResNet-152 v1.5",
+    )
+    try:
+        from ics_tpu.models import convnext
+
+        register_model(
+            "convnext_tiny", convnext.convnext_tiny, 224, 256,
+            "ConvNeXt-Tiny — modern conv family (LN, 7x7 dw + MXU pointwise)",
+        )
+        register_model(
+            "convnext_small", convnext.convnext_small, 224, 256,
+            "ConvNeXt-Small",
+        )
     except ImportError:
         pass
     try:

@@ -265,3 +265,7 @@ def resnet_tiny(num_classes: int = 1000) -> ResNet:
 
 def resnet101(num_classes: int = 1000) -> ResNet:
     return ResNet((3, 4, 23, 3), num_classes)
+
+
+def resnet152(num_classes: int = 1000) -> ResNet:
+    return ResNet((3, 8, 36, 3), num_classes)

@@ -133,3 +133,8 @@ class ViT:
 
 def vit_b16(num_classes: int = 1000, image_size: int = 384) -> ViT:
     return ViT(image_size=image_size, num_classes=num_classes)
+
+
+def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
+    return ViT(image_size=image_size, dim=1024, depth=24, num_heads=16,
+               num_classes=num_classes)

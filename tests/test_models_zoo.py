@@ -147,3 +147,77 @@ class TestRegistryComplete:
             "resnet50", "vit_b16", "mobilenetv3_small", "efficientnet_b4"
         ):
             assert name in models, models
+
+
+class TestConvNeXt:
+    def test_forward_and_fold(self):
+        from ics_tpu.models.convnext import ConvNeXt
+
+        # tiny config for CPU: 1 block/stage, narrow dims
+        model = ConvNeXt(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+                         num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (2, 10)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        folded = model.fold(variables)
+        logits_f = model.apply_folded(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_f), rtol=1e-3, atol=1e-3
+        )
+
+    def test_gradients_flow(self):
+        from ics_tpu.models.convnext import ConvNeXt
+
+        model = ConvNeXt(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                         num_classes=4)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 0.1
+        labels = jnp.array([0, 3])
+
+        def loss_fn(params):
+            logits, _ = model.apply({"params": params, "state": {}}, x,
+                                    training=True)
+            onehot = jax.nn.one_hot(labels, 4)
+            return -jnp.mean(
+                jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1)
+            )
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        # depthwise + layer-scale params receive gradient
+        g_dw = grads["stages"][0][0]["dwconv"]["w"]
+        g_gamma = grads["stages"][0][0]["gamma"]
+        assert float(jnp.abs(g_dw).sum()) > 0
+        assert float(jnp.abs(g_gamma).sum()) > 0
+
+    def test_tiny_param_count(self):
+        from ics_tpu.models.convnext import convnext_tiny
+
+        model = convnext_tiny(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        # torchvision convnext_tiny: 28.59M
+        assert 27_000_000 < n < 30_000_000, n
+
+
+class TestLargeVariantsRegistered:
+    def test_registry_has_round3_additions(self):
+        from ics_tpu.models.registry import list_models
+
+        models = list_models()
+        for name in ("convnext_tiny", "convnext_small", "vit_l16",
+                     "resnet152"):
+            assert name in models, models
+
+    def test_vit_l16_shape(self):
+        from ics_tpu.models.vit import ViT
+
+        # scaled-down L-geometry smoke (dim/head ratio of the real L/16)
+        model = ViT(image_size=32, patch_size=8, dim=128, depth=2,
+                    num_heads=2, num_classes=10)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        logits = model.apply_folded(model.fold(variables), x)
+        assert logits.shape == (1, 10)
