@@ -116,6 +116,11 @@ class Settings(BaseModel):
     # flusher may hold the batch open up to this long (see batcher.py)
     TPU_BATCH_MAX_DEADLINE_US: int = 50000
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
+    # persistent XLA compilation cache shared by the app, the train CLI and
+    # bench.py: restarts reload compiled steps from disk instead of paying
+    # the cold compile again (minutes per bucket over a remote-compile
+    # tunnel). Empty string disables.
+    TPU_COMPILATION_CACHE_DIR: str = "/tmp/ics_tpu_xla_cache"
     TPU_DEVICE_DECODE: bool = True       # JPEG decode-on-TPU fast lane
     # restart-marker parallel entropy decode (native/jpeg_mt.cpp): >=2
     # splits eligible JPEG scans at RSTn markers across this many threads;

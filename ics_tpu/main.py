@@ -51,10 +51,13 @@ async def lifespan(app: App):
     app.state.engine_pool = None
     if settings.TPU_ENABLE_INFERENCE:
         try:
+            from ics_tpu.runtime.compile_cache import enable_persistent_cache
             from ics_tpu.runtime.service import (
                 InferenceService,
                 InferenceServicePool,
             )
+
+            enable_persistent_cache()
 
             if settings.TPU_SERVING_REPLICAS > 1:
                 # replica-level serving + request hedging (SURVEY §5):

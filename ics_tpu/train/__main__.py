@@ -37,8 +37,10 @@ def main(argv=None) -> int:
     from ics_tpu.core.config import settings
     from ics_tpu.db.engine import get_database
     from ics_tpu.sync.nextcloud_client import NextCloudClient
+    from ics_tpu.runtime.compile_cache import enable_persistent_cache
     from ics_tpu.train.job import TrainingJobManager, nextcloud_bytes_provider
 
+    enable_persistent_cache()
     db = get_database()
     if not db.wait_until_ready():
         print("database unreachable", file=sys.stderr)
