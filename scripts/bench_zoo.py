@@ -1,0 +1,46 @@
+"""Zoo throughput on one chip: the round-2 model additions.
+
+Same harness as bench.py (on-device ``lax.fori_loop``, cross-step data
+dependency — tunnel-immune). Appends JSON lines to scripts/bench_zoo.log.
+
+Run: ``python scripts/bench_zoo.py [model ...]``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+CONFIGS = {
+    # model: (batch, canvas, iters)
+    "resnet101": (128, 256, 20),
+    "resnet152": (128, 256, 20),
+    "convnext_small": (128, 256, 20),
+    "vit_l16": (32, 512, 10),
+}
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ics_tpu_xla_cache")
+
+    from ics_tpu.runtime.benchmark import bench_engine
+    from ics_tpu.runtime.engine import InferenceEngine
+
+    names = sys.argv[1:] or list(CONFIGS)
+    with open("scripts/bench_zoo.log", "a") as log:
+        for name in names:
+            batch, canvas, iters = CONFIGS[name]
+            engine = InferenceEngine(
+                name, precision="bf16", buckets=(batch,), canvas=canvas
+            )
+            result = bench_engine(engine, batch=batch, canvas=canvas,
+                                  iters=iters)
+            line = json.dumps(result)
+            print(line, flush=True)
+            log.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
