@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import signal
 from typing import Optional
 from urllib.parse import unquote, urlsplit
 
@@ -243,12 +244,37 @@ class Server:
         logger.info("ics_tpu serving on http://%s:%s", self.host, self.port)
 
     async def serve_forever(self) -> None:
+        """Serve until SIGTERM/SIGINT, then drain gracefully.
+
+        The reference relies on uvicorn's signal handling for this; here
+        ``docker-compose down`` (SIGTERM) must reach ``stop()`` so in-flight
+        requests get the grace window and the lifespan teardown runs (sync
+        mutex release, batcher stop, checkpoint close)."""
         await self.start()
         assert self._server is not None
+        stop_requested = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        hooked: list = []
+        for signame in ("SIGTERM", "SIGINT"):
+            sig = getattr(signal, signame, None)
+            if sig is None:
+                continue
+            try:
+                loop.add_signal_handler(sig, stop_requested.set)
+                hooked.append(sig)
+            except (NotImplementedError, RuntimeError):
+                pass  # non-main thread / platform without signal support
         try:
-            async with self._server:
-                await self._server.serve_forever()
+            if hooked:
+                await stop_requested.wait()
+                logger.info("shutdown signal received; draining")
+                await self.stop()
+            else:
+                async with self._server:
+                    await self._server.serve_forever()
         finally:
+            for sig in hooked:
+                loop.remove_signal_handler(sig)
             await self.app.shutdown()
 
     async def stop(self) -> None:
