@@ -71,6 +71,7 @@ async def iniciar_treinamento(request: Request):
             body.get("eval_fraction")
             if body.get("eval_fraction") is not None else 0.2
         )
+        remat = bool(body.get("remat", False))
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     try:
@@ -84,6 +85,7 @@ async def iniciar_treinamento(request: Request):
             canvas=canvas,
             compute_dtype=settings.TPU_PRECISION,
             eval_fraction=eval_fraction,
+            remat=remat,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

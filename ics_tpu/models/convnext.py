@@ -100,7 +100,13 @@ class ConvNeXt:
                 y = self.down_ln[i - 1].apply(d["ln"], y)
                 y = self.down_conv[i - 1].apply(d["conv"], y)
             for blk, bp in zip(self.stages[i], params["stages"][i]):
-                y = blk.apply(bp, y)
+                if getattr(self, "remat", False):
+                    # per-block remat (see FineTuner(remat=True))
+                    y = jax.checkpoint(
+                        lambda bp_, y_, blk=blk: blk.apply(bp_, y_)
+                    )(bp, y)
+                else:
+                    y = blk.apply(bp, y)
         y = jnp.mean(y, axis=(1, 2))                      # global avg pool
         y = self.final_ln.apply(params["final_ln"], y)
         return self.head.apply(params["head"], y)

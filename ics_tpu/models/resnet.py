@@ -138,7 +138,16 @@ class ResNet:
         ):
             new_bstates = []
             for blk, p, s in zip(blocks, bparams, bstates):
-                y, ns = blk.apply(p, s, y, training)
+                if getattr(self, "remat", False):
+                    # per-block remat: trade recompute for activation HBM
+                    # (fine-tune memory lever; see FineTuner(remat=True))
+                    y, ns = jax.checkpoint(
+                        lambda p_, s_, y_, blk=blk: blk.apply(
+                            p_, s_, y_, training
+                        )
+                    )(p, s, y)
+                else:
+                    y, ns = blk.apply(p, s, y, training)
                 new_bstates.append(ns)
             new_stages.append(new_bstates)
         y = global_avg_pool(y)

@@ -114,7 +114,17 @@ class ViT:
         y = jnp.concatenate([cls, y], axis=1)
         y = y + params["pos_embed"].astype(y.dtype)
         for blk, bp in zip(self.blocks, params["blocks"]):
-            y = blk.apply(bp, y, use_flash)
+            if getattr(self, "remat", False):
+                # per-block rematerialization: backward recomputes the
+                # block instead of storing its internals — activation
+                # memory drops from O(depth x block internals) to
+                # O(depth x boundary), the standard TPU trade of FLOPs
+                # for HBM (SURVEY design note; enable via FineTuner)
+                y = jax.checkpoint(
+                    lambda bp_, y_, blk=blk: blk.apply(bp_, y_, use_flash)
+                )(bp, y)
+            else:
+                y = blk.apply(bp, y, use_flash)
         y = self.ln.apply(params["ln"], y)
         return self.head.apply(params["head"], y[:, 0])
 

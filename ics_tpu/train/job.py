@@ -127,6 +127,7 @@ class TrainingJobManager:
         ativar: bool = True,
         seed: int = 0,
         eval_fraction: float = 0.2,
+        remat: bool = False,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -151,7 +152,7 @@ class TrainingJobManager:
         thread = threading.Thread(
             target=self._run,
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
-                  compute_dtype, ativar, seed, eval_fraction),
+                  compute_dtype, ativar, seed, eval_fraction, remat),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -163,7 +164,7 @@ class TrainingJobManager:
     def _run(self, job: TrainingJob, fetch: BytesProvider, max_steps: int,
              batch_size: int, lr: float, epochs: int, canvas: int,
              compute_dtype: str, ativar: bool, seed: int,
-             eval_fraction: float = 0.2) -> None:
+             eval_fraction: float = 0.2, remat: bool = False) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -187,6 +188,7 @@ class TrainingJobManager:
                 resize_short=spec.resize_short,
                 compute_dtype=dtype,
                 checkpoint_dir=str(ckpt_dir),
+                remat=remat,
             )
             import jax
 
