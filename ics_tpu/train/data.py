@@ -9,7 +9,9 @@ are mapped to contiguous class indices per ambiente.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Iterator, Optional
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -127,3 +129,54 @@ def batch_iterator(
             out = (canvas_batch, sizes, np.asarray(labels, np.int32))
             yield (out + (n_real,)) if with_counts else out
         epoch += 1
+
+
+def prefetch(batches: Iterable, depth: int = 2) -> Iterator:
+    """Overlap host-side batch production with device compute.
+
+    ``batch_iterator`` fetches + decodes synchronously, so without this the
+    accelerator idles during every batch's host work and the host idles
+    during every device step. A producer thread keeps up to ``depth``
+    staged batches ready (decode is PIL/libjpeg C code — it releases the
+    GIL, so the producer genuinely runs during the consumer's step).
+
+    Exceptions in the producer propagate to the consumer at the point of
+    ``next()``. Closing/abandoning the iterator (generator ``close`` /
+    early ``break``) signals the producer to stop instead of blocking
+    forever on a full queue.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            for item in batches:
+                if not _put(item):
+                    return
+            _put(_END)
+        except BaseException as exc:  # re-raised consumer-side
+            _put(exc)
+
+    thread = threading.Thread(target=produce, name="train-prefetch",
+                              daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

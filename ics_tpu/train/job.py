@@ -24,7 +24,12 @@ from ics_tpu.core import timezone as tz
 from ics_tpu.crud import modelo_crud
 from ics_tpu.db.engine import Database
 from ics_tpu.models.registry import get_model
-from ics_tpu.train.data import batch_iterator, labeled_examples, split_examples
+from ics_tpu.train.data import (
+    batch_iterator,
+    labeled_examples,
+    prefetch,
+    split_examples,
+)
 from ics_tpu.train.finetune import FineTuner, evaluate, make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -197,9 +202,13 @@ class TrainingJobManager:
                 examples, eval_fraction=eval_fraction, seed=seed
             )
             job.n_examples = len(train_examples)
-            batches = batch_iterator(
-                train_examples, fetch, batch_size=batch_size, canvas=canvas,
-                seed=seed, epochs=epochs,
+            # prefetch: decode the next batch on host while the device runs
+            # the current step (train/data.py::prefetch)
+            batches = prefetch(
+                batch_iterator(
+                    train_examples, fetch, batch_size=batch_size,
+                    canvas=canvas, seed=seed, epochs=epochs,
+                )
             )
 
             variables, _, history = tuner.run(
