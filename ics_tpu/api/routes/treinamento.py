@@ -71,9 +71,12 @@ async def iniciar_treinamento(request: Request):
             body.get("eval_fraction")
             if body.get("eval_fraction") is not None else 0.2
         )
-        remat = bool(body.get("remat", False))
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
+    remat = body.get("remat", False)
+    if not isinstance(remat, bool):
+        # bool("false") is True — reject instead of silently enabling
+        raise HTTPException(422, "Parâmetro inválido: remat deve ser booleano")
     try:
         job = trainer.start(
             id_amb=str(id_amb),

@@ -16,7 +16,12 @@ import numpy as np
 
 
 def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
-                 warmup: bool = True) -> dict:
+                 warmup: bool = True,
+                 compiler_options: Optional[dict] = None) -> dict:
+    """``compiler_options`` compiles the chained step AOT with the given
+    XLA options (the only flag channel that reaches the TPU compiler over
+    a remote-compile tunnel — XLA_FLAGS is parsed locally and aborts on
+    TPU flags; see scripts/bench_vmem_sweep.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,11 +57,18 @@ def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
     sz = jax.device_put(np.full((batch, 2), min(canvas, 512), np.int32))
 
     t0 = time.perf_counter()
-    _ = float(chained(engine.folded, cv, sz, 2 if warmup else 0))
+    if compiler_options:
+        compiled = chained.lower(
+            engine.folded, cv, sz, np.int32(0)
+        ).compile(compiler_options=compiler_options)
+        step = lambda n: compiled(engine.folded, cv, sz, np.int32(n))
+    else:
+        step = lambda n: chained(engine.folded, cv, sz, np.int32(n))
+    _ = float(step(2 if warmup else 0))
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    carry = chained(engine.folded, cv, sz, iters)
+    carry = step(iters)
     _ = float(carry)  # D2H forces completion of the whole chain
     dt = time.perf_counter() - t0
 

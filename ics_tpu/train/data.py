@@ -141,9 +141,11 @@ def prefetch(batches: Iterable, depth: int = 2) -> Iterator:
     GIL, so the producer genuinely runs during the consumer's step).
 
     Exceptions in the producer propagate to the consumer at the point of
-    ``next()``. Closing/abandoning the iterator (generator ``close`` /
-    early ``break``) signals the producer to stop instead of blocking
-    forever on a full queue.
+    ``next()``. Closing the iterator (generator ``close`` / early
+    ``break``) signals the producer to stop AND joins it — after
+    ``close()`` returns, no fetch/decode is in flight (required by
+    single-threaded bytes providers like ``nextcloud_bytes_provider``,
+    whose private event loop must not be entered from two threads).
     """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     _END = object()
@@ -180,3 +182,6 @@ def prefetch(batches: Iterable, depth: int = 2) -> Iterator:
             yield item
     finally:
         stop.set()
+        # bounded: the producer exits at its next _put() (it finishes at
+        # most the in-flight batch's fetches first)
+        thread.join()

@@ -106,12 +106,15 @@ class FineTuner:
 
     def __init__(self, model, optimizer=None, image_size: int = 224,
                  resize_short: int = 256, compute_dtype=jnp.bfloat16,
-                 checkpoint_dir: Optional[str] = None, remat: bool = False):
+                 checkpoint_dir: Optional[str] = None,
+                 remat: Optional[bool] = None):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
-        # at ~1/3 extra forward FLOPs (jax.checkpoint; SURVEY design note)
-        model.remat = bool(remat)
+        # at ~1/3 extra forward FLOPs (jax.checkpoint; SURVEY design note).
+        # None (default) leaves a caller-set model.remat untouched.
+        if remat is not None:
+            model.remat = bool(remat)
         self.optimizer = optimizer or make_optimizer()
         self.step_fn = make_preproc_train_step(
             model, self.optimizer, image_size, resize_short, compute_dtype

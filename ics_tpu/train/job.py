@@ -211,11 +211,19 @@ class TrainingJobManager:
                 )
             )
 
-            variables, _, history = tuner.run(
-                variables, batches, max_steps=max_steps,
-                checkpoint_every=max(max_steps // 2, 1),
-                on_step=job.history.append,  # live progress for the route
-            )
+            try:
+                variables, _, history = tuner.run(
+                    variables, batches, max_steps=max_steps,
+                    checkpoint_every=max(max_steps // 2, 1),
+                    on_step=job.history.append,  # live progress
+                )
+            finally:
+                # stop the producer BEFORE eval: the NextCloud bytes
+                # provider is single-threaded (private event loop) — a
+                # still-running prefetch thread would race evaluate()'s
+                # fetches on the same loop (and waste depth+1 batches of
+                # downloads)
+                batches.close()
             final = history[-1] if history else {}
             eval_accuracy = None
             if eval_examples:

@@ -229,6 +229,7 @@ class Server:
         self.shutdown_grace_s = shutdown_grace_s
         self._server: Optional[asyncio.AbstractServer] = None
         self._connections: set[asyncio.Task] = set()
+        self._stop_requested: Optional[asyncio.Event] = None
 
     async def _handle(self, reader, writer):
         task = asyncio.current_task()
@@ -252,7 +253,9 @@ class Server:
         mutex release, batcher stop, checkpoint close)."""
         await self.start()
         assert self._server is not None
-        stop_requested = asyncio.Event()
+        # also set by a programmatic stop() so serve_forever() returns
+        # without a signal (embedding callers, tests)
+        self._stop_requested = asyncio.Event()
         loop = asyncio.get_running_loop()
         hooked: list = []
         for signame in ("SIGTERM", "SIGINT"):
@@ -260,14 +263,14 @@ class Server:
             if sig is None:
                 continue
             try:
-                loop.add_signal_handler(sig, stop_requested.set)
+                loop.add_signal_handler(sig, self._stop_requested.set)
                 hooked.append(sig)
             except (NotImplementedError, RuntimeError):
                 pass  # non-main thread / platform without signal support
         try:
             if hooked:
-                await stop_requested.wait()
-                logger.info("shutdown signal received; draining")
+                await self._stop_requested.wait()
+                logger.info("shutdown requested; draining")
                 await self.stop()
             else:
                 async with self._server:
@@ -278,6 +281,9 @@ class Server:
             await self.app.shutdown()
 
     async def stop(self) -> None:
+        stop_event = getattr(self, "_stop_requested", None)
+        if stop_event is not None:
+            stop_event.set()  # unpark serve_forever()'s signal branch
         if self._server is not None:
             self._server.close()
             # wait_closed() on 3.12+ waits for every live keep-alive

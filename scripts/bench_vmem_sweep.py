@@ -3,22 +3,17 @@
 XLA_FLAGS cannot reach the TPU compiler in this environment (compilation
 rides a remote-compile tunnel; the local parser rejects TPU flags with
 "Unknown flag in XLA_FLAGS"). ``.lower().compile(compiler_options=...)``
-IS forwarded, so the fusion-depth lever is testable per-executable.
+IS forwarded — the lever lives in runtime/benchmark.py::bench_engine.
 
-Same measurement semantics as bench.py (on-device fori_loop, cross-step
-data dependency). Appends JSON lines to scripts/bench_vmem_sweep.log.
+Result (docs/benchmarks.md): 32/64/96 MiB all measured SLOWER than the
+default — the knob is closed. Kept as the 5-minute re-test.
+
+Appends JSON lines to scripts/bench_vmem_sweep.log.
 """
 
 from __future__ import annotations
 
 import json
-import time
-
-import numpy as np
-
-BATCH = 128
-CANVAS = 256
-ITERS = 30
 
 VARIANTS = {
     "default": None,
@@ -28,70 +23,31 @@ VARIANTS = {
 }
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ics_tpu_xla_cache")
-
-    from ics_tpu.ops.preproc import preprocess_batch
+def run_variants(variants: dict, log_path: str, batch: int = 128,
+                 canvas: int = 256, iters: int = 30) -> None:
+    from ics_tpu.runtime.benchmark import bench_engine
+    from ics_tpu.runtime.compile_cache import enable_persistent_cache
     from ics_tpu.runtime.engine import InferenceEngine
 
+    enable_persistent_cache()
     engine = InferenceEngine(
-        "resnet50", precision="bf16", buckets=(BATCH,), canvas=CANVAS
+        "resnet50", precision="bf16", buckets=(batch,), canvas=canvas
     )
-    spec, model, dtype = engine.spec, engine.model, engine.dtype
-
-    def one_step(folded, canvas_u8, sizes):
-        x = preprocess_batch(
-            canvas_u8, sizes, out_size=spec.image_size,
-            resize_short=spec.resize_short, dtype=dtype,
-        )
-        logits = model.apply_folded(folded, x).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        values, _ = jax.lax.top_k(probs, 5)
-        return values
-
-    def chained(folded, canvas_u8, sizes, n):
-        def body(_, carry):
-            bump = (carry > 1e30).astype(jnp.uint8)
-            values = one_step(folded, canvas_u8 + bump, sizes)
-            return values[0, 0]
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    rng = np.random.default_rng(0)
-    cv = jax.device_put(
-        rng.integers(0, 256, (BATCH, CANVAS, CANVAS, 3), np.uint8)
-    )
-    sz = jax.device_put(np.full((BATCH, 2), 224, np.int32))
-    n_arr = np.int32(ITERS)
-
-    with open("scripts/bench_vmem_sweep.log", "a") as log:
-        for name, opts in VARIANTS.items():
+    with open(log_path, "a") as log:
+        for name, opts in variants.items():
             try:
-                t0 = time.perf_counter()
-                lowered = jax.jit(chained).lower(engine.folded, cv, sz, n_arr)
-                compiled = lowered.compile(
-                    **({"compiler_options": opts} if opts else {})
-                )
-                _ = float(compiled(engine.folded, cv, sz, np.int32(2)))
-                compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                _ = float(compiled(engine.folded, cv, sz, n_arr))
-                dt = time.perf_counter() - t0
                 rec = {
                     "variant": name,
-                    "imgs_per_sec": round(BATCH * ITERS / dt, 1),
-                    "ms_per_batch": round(dt / ITERS * 1000, 3),
-                    "compile_s": round(compile_s, 1),
+                    **bench_engine(engine, batch=batch, canvas=canvas,
+                                   iters=iters, compiler_options=opts),
                 }
             except Exception as exc:
-                rec = {"variant": name, "error": f"{type(exc).__name__}: {exc}"[:300]}
+                rec = {"variant": name,
+                       "error": f"{type(exc).__name__}: {exc}"[:300]}
             line = json.dumps(rec)
             print(line, flush=True)
             log.write(line + "\n")
 
 
 if __name__ == "__main__":
-    main()
+    run_variants(VARIANTS, "scripts/bench_vmem_sweep.log")

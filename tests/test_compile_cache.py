@@ -1,8 +1,20 @@
 """Persistent XLA compilation cache wiring (runtime/compile_cache.py)."""
 
 import jax
+import pytest
 
 from ics_tpu.runtime import compile_cache
+
+
+@pytest.fixture(autouse=True)
+def restore_cache_state():
+    """These tests mutate global jax config + module state; restore both so
+    the rest of the suite doesn't compile into a pytest tmp dir."""
+    before_dir = jax.config.jax_compilation_cache_dir
+    before_enabled = compile_cache._enabled_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", before_dir)
+    compile_cache._enabled_dir = before_enabled
 
 
 def test_enable_points_jax_at_dir(tmp_path):
