@@ -132,6 +132,10 @@ class Settings(BaseModel):
     TPU_NUM_CLASSES: int = 1000
     TPU_CANVAS: int = 512                # staging canvas side (px)
     TPU_WEIGHTS_DIR: str = "./model_checkpoints"  # fine-tune ckpt root
+    # devices for background fine-tune jobs: "" = jit default (single
+    # chip), "all" = DP over every chip, "a:b" = slice of jax.devices()
+    # DISJOINT from serving's — training never touches serving's chips
+    TPU_TRAIN_DEVICES: str = ""
     TPU_CLASSIFY_ON_SYNC: bool = True    # suggest labels for synced images
     # replica-level serving + request hedging (SURVEY §5 failure detection):
     # partition the visible chips into N independent engine replicas; a

@@ -92,6 +92,47 @@ def mesh_from_settings(settings) -> Optional[Mesh]:
     return make_mesh(shape=shape, axes=axes, devices=devices)
 
 
+def train_mesh_from_settings(settings, devices=None) -> Optional[Mesh]:
+    """Dedicated-device training mesh from ``TPU_TRAIN_DEVICES``.
+
+    Serving and background fine-tune jobs share the host; without
+    isolation a training step competes with serving batches for every
+    chip. ``TPU_TRAIN_DEVICES``:
+
+    - ``""`` (default): no mesh — training uses jit's default device
+      (status quo; fine single-chip).
+    - ``"all"``: pure-DP mesh over every visible device.
+    - ``"a:b"`` (python slice over ``jax.devices()``, e.g. ``"6:8"``):
+      pure-DP mesh over that contiguous slice — chips OUTSIDE the slice
+      never see training work, so serving SLAs survive a running job.
+      A 1-device slice still builds a mesh: it PINS placement (plain jit
+      would put training on device 0 alongside serving).
+    """
+    spec = (settings.TPU_TRAIN_DEVICES or "").strip().lower()
+    if not spec:
+        return None
+    devices = list(devices) if devices is not None else jax.devices()
+    if spec == "all":
+        group = devices
+    else:
+        try:
+            start_s, _, end_s = spec.partition(":")
+            start = int(start_s) if start_s else 0
+            end = int(end_s) if end_s else len(devices)
+        except ValueError:
+            raise ValueError(
+                f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r}: expected "
+                "'', 'all' or a 'start:end' slice"
+            )
+        group = devices[start:end]
+    if not group:
+        raise RuntimeError(
+            f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r} selects no "
+            f"device (have {len(devices)})"
+        )
+    return make_mesh(shape=(len(group),), axes=("data",), devices=group)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over 'data'; rest replicated."""
     spec = [None] * ndim

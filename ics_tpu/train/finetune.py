@@ -107,7 +107,7 @@ class FineTuner:
     def __init__(self, model, optimizer=None, image_size: int = 224,
                  resize_short: int = 256, compute_dtype=jnp.bfloat16,
                  checkpoint_dir: Optional[str] = None,
-                 remat: Optional[bool] = None):
+                 remat: Optional[bool] = None, mesh: Optional[Mesh] = None):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -116,9 +116,19 @@ class FineTuner:
         if remat is not None:
             model.remat = bool(remat)
         self.optimizer = optimizer or make_optimizer()
-        self.step_fn = make_preproc_train_step(
-            model, self.optimizer, image_size, resize_short, compute_dtype
-        )
+        # mesh: shard the step over a device group (DP on batch; also pins
+        # training OFF serving's chips — parallel/mesh.py
+        # ::train_mesh_from_settings). Without one, plain jit.
+        self.mesh = mesh
+        self._image_size = image_size
+        self._resize_short = resize_short
+        self._compute_dtype = compute_dtype
+        if mesh is None:
+            self.step_fn = make_preproc_train_step(
+                model, self.optimizer, image_size, resize_short, compute_dtype
+            )
+        else:
+            self.step_fn = None  # built in run() from the actual trees
         self.checkpoint = None
         if checkpoint_dir:
             from ics_tpu.train.checkpoint import CheckpointManager
@@ -137,10 +147,18 @@ class FineTuner:
             variables = restored["variables"]
             opt_state = restored["opt_state"]
             start_step = int(restored.get("metadata", {}).get("step", 0))
+        step_fn = self.step_fn
+        if self.mesh is not None:
+            jit_step, shard_variables = make_sharded_preproc_train_step(
+                self.model, self.optimizer, self.mesh, self._image_size,
+                self._resize_short, self._compute_dtype,
+            )
+            variables, opt_state, _ = shard_variables(variables, opt_state)
+            step_fn = jit_step(variables, opt_state)
         history = []
         step_num = start_step
         for canvas, sizes, labels in batches:
-            variables, opt_state, metrics = self.step_fn(
+            variables, opt_state, metrics = step_fn(
                 variables, opt_state, canvas, sizes, labels
             )
             step_num += 1
@@ -198,15 +216,14 @@ def evaluate(model, variables, batches, image_size: int = 224,
     return (correct / total) if total else None, total
 
 
-def make_sharded_train_step(model, optimizer, mesh: Mesh,
-                            compute_dtype=jnp.bfloat16):
-    """DP over 'data' (batch) + TP of the classifier head over 'model'.
+def _sharded_builders(step, mesh: Mesh, data_shardings: tuple):
+    """Shared plumbing for sharded train steps: variables get head-TP +
+    replication, optimizer state replicates, batch args shard over 'data'.
 
-    Returns ``(jitted_step, shard_variables)`` where ``shard_variables``
-    places an initialized (variables, opt_state) onto the mesh.
+    Returns ``(jit_step, shard_variables)``; ``jit_step(variables,
+    opt_state)`` derives shardings from the actual trees and returns the
+    jitted step, ``shard_variables`` places initialized trees on the mesh.
     """
-    step = make_train_step(model, optimizer, compute_dtype)
-
     rep = replicated_sharding(mesh)
 
     def _variable_shardings(variables):
@@ -217,23 +234,59 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
     def shard_variables(variables, opt_state):
         var_sh = _variable_shardings(variables)
         variables = jax.tree_util.tree_map(jax.device_put, variables, var_sh)
-        # optimizer state mirrors the param tree's sharding where shapes
-        # match; otherwise replicate (scalar counts etc.)
-        def place_opt(x):
-            return jax.device_put(x, rep)
-
-        opt_state = jax.tree_util.tree_map(place_opt, opt_state)
+        # optimizer state replicates (momentum mirrors params in shape but
+        # DP needs it identical on every device anyway; scalars included)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), opt_state
+        )
         return variables, opt_state, var_sh
 
     def jit_step(variables, opt_state):
         var_sh = _variable_shardings(variables)
         opt_sh = jax.tree_util.tree_map(lambda _: rep, opt_state)
-        data_sh = batch_sharding(mesh, 4)
-        label_sh = batch_sharding(mesh, 1)
         return jax.jit(
             step,
-            in_shardings=(var_sh, opt_sh, data_sh, label_sh),
+            in_shardings=(var_sh, opt_sh, *data_shardings),
             out_shardings=(var_sh, opt_sh, rep),
         )
 
     return jit_step, shard_variables
+
+
+def make_sharded_train_step(model, optimizer, mesh: Mesh,
+                            compute_dtype=jnp.bfloat16):
+    """DP over 'data' (batch) + TP of the classifier head over 'model'.
+
+    Returns ``(jitted_step, shard_variables)`` where ``shard_variables``
+    places an initialized (variables, opt_state) onto the mesh.
+    """
+    step = make_train_step(model, optimizer, compute_dtype)
+    return _sharded_builders(
+        step, mesh, (batch_sharding(mesh, 4), batch_sharding(mesh, 1))
+    )
+
+
+def make_sharded_preproc_train_step(model, optimizer, mesh: Mesh,
+                                    image_size: int = 224,
+                                    resize_short: int = 256,
+                                    compute_dtype=jnp.bfloat16):
+    """Sharded twin of ``make_preproc_train_step``: uint8 canvas batches
+    shard over 'data', preproc + fwd+bwd + SGD run on the mesh. This is
+    what background fine-tune jobs use when ``TPU_TRAIN_DEVICES`` pins
+    training to a dedicated device group (serving isolation)."""
+    from ics_tpu.ops.preproc import preprocess_batch
+
+    base_step = make_train_step(model, optimizer, compute_dtype)
+
+    def step(variables, opt_state, canvas_u8, sizes, labels):
+        images = preprocess_batch(
+            canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
+            dtype=compute_dtype,
+        )
+        return base_step(variables, opt_state, images, labels)
+
+    return _sharded_builders(
+        step, mesh,
+        (batch_sharding(mesh, 4), batch_sharding(mesh, 2),
+         batch_sharding(mesh, 1)),
+    )

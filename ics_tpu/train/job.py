@@ -186,6 +186,18 @@ class TrainingJobManager:
             ckpt_dir = (
                 self.checkpoint_root / job.id_amb / job.model_name / job.id_job
             )
+            from ics_tpu.core.config import settings
+            from ics_tpu.parallel.mesh import train_mesh_from_settings
+
+            train_mesh = train_mesh_from_settings(settings)
+            if train_mesh is not None:
+                n_train_dev = int(train_mesh.devices.size)
+                if batch_size % n_train_dev:
+                    raise RuntimeError(
+                        f"batch_size={batch_size} não divide pelos "
+                        f"{n_train_dev} devices de treino "
+                        f"(TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r})"
+                    )
             tuner = FineTuner(
                 model,
                 optimizer=make_optimizer(lr=lr),
@@ -194,6 +206,7 @@ class TrainingJobManager:
                 compute_dtype=dtype,
                 checkpoint_dir=str(ckpt_dir),
                 remat=remat,
+                mesh=train_mesh,
             )
             import jax
 
