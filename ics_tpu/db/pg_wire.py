@@ -60,8 +60,12 @@ def parse_dsn(url: str) -> dict[str, Any]:
 # -- SCRAM-SHA-256 (RFC 5802/7677) -------------------------------------------
 
 def _scram_client_first(user: str) -> tuple[str, str]:
+    # n= is sent EMPTY like libpq: postgres takes the username from the
+    # startup packet and ignores this field, and raw usernames containing
+    # ',' or '=' would otherwise corrupt the SCRAM message framing
+    del user
     nonce = base64.b64encode(os.urandom(18)).decode()
-    bare = f"n={user},r={nonce}"
+    bare = f"n=,r={nonce}"
     return "n,," + bare, nonce
 
 
@@ -69,6 +73,11 @@ def _scram_client_final(password: str, client_first_bare: str,
                         server_first: str) -> tuple[str, bytes]:
     attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
     r, s, i = attrs["r"], base64.b64decode(attrs["s"]), int(attrs["i"])
+    # RFC 5802: the server nonce must extend the client's — a mismatch
+    # means a replayed/forged server-first message
+    client_nonce = client_first_bare.split("r=", 1)[1]
+    if not r.startswith(client_nonce):
+        raise ConnectionError("SCRAM server nonce does not extend client nonce")
     salted = hashlib.pbkdf2_hmac("sha256", password.encode(), s, i)
     client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
     stored_key = hashlib.sha256(client_key).digest()
