@@ -71,12 +71,20 @@ async def iniciar_treinamento(request: Request):
             body.get("eval_fraction")
             if body.get("eval_fraction") is not None else 0.2
         )
+        sugestao_min_score = float(
+            body.get("sugestao_min_score")
+            if body.get("sugestao_min_score") is not None else 0.9
+        )
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
+    for flag_name in ("remat", "usar_sugestoes"):
+        if not isinstance(body.get(flag_name, False), bool):
+            # bool("false") is True — reject instead of silently enabling
+            raise HTTPException(
+                422, f"Parâmetro inválido: {flag_name} deve ser booleano"
+            )
     remat = body.get("remat", False)
-    if not isinstance(remat, bool):
-        # bool("false") is True — reject instead of silently enabling
-        raise HTTPException(422, "Parâmetro inválido: remat deve ser booleano")
+    usar_sugestoes = body.get("usar_sugestoes", False)
     try:
         job = trainer.start(
             id_amb=str(id_amb),
@@ -89,6 +97,8 @@ async def iniciar_treinamento(request: Request):
             compute_dtype=settings.TPU_PRECISION,
             eval_fraction=eval_fraction,
             remat=remat,
+            usar_sugestoes=usar_sugestoes,
+            sugestao_min_score=sugestao_min_score,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

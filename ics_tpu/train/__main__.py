@@ -32,6 +32,15 @@ def main(argv=None) -> int:
         help="register the version without promoting it to serving",
     )
     parser.add_argument(
+        "--usar-sugestoes", action="store_true",
+        help="distillation: mix in high-confidence model suggestions as "
+             "pseudo-labels for images without human labels",
+    )
+    parser.add_argument(
+        "--sugestao-min-score", type=float, default=0.9,
+        help="minimum top-1 score for a suggestion to count (default 0.9)",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="per-block rematerialization: trade ~1/3 extra forward FLOPs "
              "for much lower activation memory (deep models/large batches)",
@@ -67,6 +76,8 @@ def main(argv=None) -> int:
         compute_dtype=args.precision,
         ativar=not args.no_ativar,
         remat=args.remat,
+        usar_sugestoes=args.usar_sugestoes,
+        sugestao_min_score=args.sugestao_min_score,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

@@ -61,6 +61,51 @@ def labeled_examples(db: Database, id_amb: str) -> tuple[list[dict], dict[str, i
     return examples, class_map
 
 
+def suggested_examples(
+    db: Database,
+    id_amb: str,
+    class_map: dict[str, int],
+    min_score: float = 0.9,
+    exclude_hashes: Optional[set] = None,
+) -> list[dict]:
+    """Model-suggestion pseudo-labels for semi-supervised fine-tuning
+    (distillation): high-confidence ``sugestoes_modelo`` rows for images
+    the specialists have NOT labeled yet — human labels always win.
+
+    Latest suggestion per image wins (re-classification after a model
+    promotion supersedes older suggestions). Portable SQL (window
+    function) — runs on both the sqlite and postgres dialects.
+    """
+    exclude = exclude_hashes or set()
+    with db.session() as s:
+        rows = s.fetchall(
+            """
+            SELECT content_hash, caminho_img, id_opc FROM (
+                SELECT s.id_img AS content_hash, i.caminho_img, s.id_opc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.id_img
+                           ORDER BY s.data_criado DESC, s.score DESC
+                       ) AS rn
+                FROM sugestoes_modelo s
+                JOIN imagens i ON i.content_hash = s.id_img
+                WHERE s.id_amb = ? AND s.score >= ?
+                  AND i.existe_no_nextcloud = 1
+            ) t WHERE rn = 1
+            """,
+            [str(id_amb), float(min_score)],
+        )
+    return [
+        {
+            "content_hash": r["content_hash"],
+            "caminho_img": r["caminho_img"],
+            "label": class_map[r["id_opc"]],
+            "fonte": "sugestao",
+        }
+        for r in rows
+        if r["id_opc"] in class_map and r["content_hash"] not in exclude
+    ]
+
+
 def split_examples(
     examples: list[dict], eval_fraction: float = 0.2, seed: int = 0
 ) -> tuple[list[dict], list[dict]]:

@@ -29,6 +29,7 @@ from ics_tpu.train.data import (
     labeled_examples,
     prefetch,
     split_examples,
+    suggested_examples,
 )
 from ics_tpu.train.finetune import FineTuner, evaluate, make_optimizer
 
@@ -74,6 +75,7 @@ class TrainingJob:
         self.versao: Optional[int] = None
         self.eval_accuracy: Optional[float] = None
         self.n_examples = 0
+        self.n_sugestoes = 0  # pseudo-labels mixed in (distillation)
         self.started_at = tz.utcnow()
         self.finished_at = None
 
@@ -86,6 +88,7 @@ class TrainingJob:
             "status": self.status,
             "erro": self.error,
             "exemplos": self.n_examples,
+            "sugestoes": self.n_sugestoes,
             "passos": len(self.history),
             "ultimo_passo": last,
             "historico": self.history[-20:],
@@ -133,6 +136,8 @@ class TrainingJobManager:
         seed: int = 0,
         eval_fraction: float = 0.2,
         remat: bool = False,
+        usar_sugestoes: bool = False,
+        sugestao_min_score: float = 0.9,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -157,7 +162,8 @@ class TrainingJobManager:
         thread = threading.Thread(
             target=self._run,
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
-                  compute_dtype, ativar, seed, eval_fraction, remat),
+                  compute_dtype, ativar, seed, eval_fraction, remat,
+                  usar_sugestoes, sugestao_min_score),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -169,7 +175,9 @@ class TrainingJobManager:
     def _run(self, job: TrainingJob, fetch: BytesProvider, max_steps: int,
              batch_size: int, lr: float, epochs: int, canvas: int,
              compute_dtype: str, ativar: bool, seed: int,
-             eval_fraction: float = 0.2, remat: bool = False) -> None:
+             eval_fraction: float = 0.2, remat: bool = False,
+             usar_sugestoes: bool = False,
+             sugestao_min_score: float = 0.9) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -214,6 +222,17 @@ class TrainingJobManager:
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed
             )
+            if usar_sugestoes:
+                # distillation: high-confidence model suggestions become
+                # pseudo-labels for images the specialists haven't reached
+                # — TRAIN only; eval stays purely human-labeled
+                pseudo = suggested_examples(
+                    self.db, job.id_amb, class_map,
+                    min_score=sugestao_min_score,
+                    exclude_hashes={e["content_hash"] for e in examples},
+                )
+                train_examples = train_examples + pseudo
+                job.n_sugestoes = len(pseudo)
             job.n_examples = len(train_examples)
             # prefetch: decode the next batch on host while the device runs
             # the current step (train/data.py::prefetch)
