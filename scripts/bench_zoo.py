@@ -17,6 +17,8 @@ CONFIGS = {
     "resnet152": (128, 256, 20),
     "convnext_small": (128, 256, 20),
     "vit_l16": (32, 512, 10),
+    "efficientnet_b0": (128, 256, 20),
+    "mobilenetv3_small": (128, 256, 20),
 }
 
 
