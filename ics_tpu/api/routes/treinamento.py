@@ -129,6 +129,31 @@ async def status_job(request: Request):
     return JSONResponse(job.to_dict())
 
 
+@router.post("/jobs/{id_job}/cancelar")
+async def cancelar_job(request: Request):
+    """Cooperative cancel: the job stops between steps (status
+    ``cancelado``); nothing is registered or promoted, the last orbax
+    checkpoint stays on disk."""
+    admin = require_admin(request)
+    db = request.state.db
+    id_job = request.path_params["id_job"]
+    try:
+        job = _trainer(request).cancel(id_job)
+    except KeyError:
+        raise HTTPException(404, "Job de treinamento não encontrado.")
+    except RuntimeError as exc:
+        raise HTTPException(409, str(exc))
+    auditoria_crud.registrar_evento(
+        db, "cancelar_treinamento", admin.id_usu,
+        {"id_job": id_job, "id_amb": job.id_amb, "modelo": job.model_name},
+    )
+    return JSONResponse(
+        {"message": "Cancelamento solicitado.", "id_job": id_job,
+         "status": job.status},
+        202,
+    )
+
+
 @router.get("/modelos")
 async def listar_modelos_treinados(request: Request):
     require_admin(request)

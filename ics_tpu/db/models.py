@@ -365,6 +365,7 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     # net-new (TPU inference tier)
     ("inferencia_tpu", "Inferência TPU executada"),
     ("iniciar_treinamento", "Treinamento de modelo iniciado"),
+    ("cancelar_treinamento", "Treinamento de modelo cancelado"),
     ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
     ("importar_modelo_treinado", "Importação de modelo treinado"),
 ]

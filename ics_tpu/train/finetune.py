@@ -137,7 +137,8 @@ class FineTuner:
 
     def run(self, variables, batches, max_steps: Optional[int] = None,
             checkpoint_every: int = 100, start_step: int = 0,
-            on_step: Optional[Any] = None):
+            on_step: Optional[Any] = None,
+            should_stop: Optional[Any] = None):
         opt_state = self.optimizer.init(variables["params"])
         if self.checkpoint is not None and self.checkpoint.latest_step() is not None:
             restored = self.checkpoint.restore(
@@ -172,6 +173,10 @@ class FineTuner:
                     step_num, variables, opt_state, {"step": step_num}
                 )
             if max_steps is not None and step_num - start_step >= max_steps:
+                break
+            if should_stop is not None and should_stop():
+                # cooperative cancellation between steps; the final
+                # checkpoint below still runs, so the work is resumable
                 break
         if self.checkpoint is not None and history:
             self.checkpoint.save(step_num, variables, opt_state, {"step": step_num})

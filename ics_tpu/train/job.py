@@ -68,7 +68,9 @@ class TrainingJob:
         self.id_amb = str(id_amb)
         self.model_name = model_name
         self.params = params
-        self.status = "pendente"  # pendente | executando | concluido | falhou
+        # pendente | executando | concluido | cancelado | falhou
+        self.status = "pendente"
+        self.cancel_event = threading.Event()
         self.error: Optional[str] = None
         self.history: list[dict] = []
         self.id_mod: Optional[str] = None
@@ -117,6 +119,19 @@ class TrainingJobManager:
 
     def get(self, id_job: str) -> Optional[TrainingJob]:
         return self.jobs.get(id_job)
+
+    def cancel(self, id_job: str) -> TrainingJob:
+        """Request cooperative cancellation: the job stops between steps,
+        keeps its last checkpoint and registers/promotes NOTHING."""
+        job = self.jobs.get(id_job)
+        if job is None:
+            raise KeyError(id_job)
+        if job.status not in ("pendente", "executando"):
+            raise RuntimeError(
+                f"job {id_job} não está em execução (status={job.status})"
+            )
+        job.cancel_event.set()
+        return job
 
     def list_jobs(self) -> list[dict]:
         return [j.to_dict() for j in self.jobs.values()]
@@ -248,6 +263,7 @@ class TrainingJobManager:
                     variables, batches, max_steps=max_steps,
                     checkpoint_every=max(max_steps // 2, 1),
                     on_step=job.history.append,  # live progress
+                    should_stop=job.cancel_event.is_set,
                 )
             finally:
                 # stop the producer BEFORE eval: the NextCloud bytes
@@ -256,6 +272,15 @@ class TrainingJobManager:
                 # fetches on the same loop (and waste depth+1 batches of
                 # downloads)
                 batches.close()
+            if job.cancel_event.is_set():
+                # operator abort: nothing is registered/promoted; the last
+                # checkpoint stays on disk (resumable / inspectable)
+                job.status = "cancelado"
+                logger.info(
+                    "treinamento %s cancelado após %d passos",
+                    job.id_job, len(history),
+                )
+                return
             final = history[-1] if history else {}
             eval_accuracy = None
             if eval_examples:

@@ -1,0 +1,77 @@
+"""Cooperative cancellation of fine-tune jobs (POST /treinamento/jobs/{id}/cancelar)."""
+
+import asyncio
+
+import httpx
+import pytest
+
+from tests.test_train_serve_e2e import ADMIN, _login, app  # noqa: F401
+
+
+@pytest.mark.anyio
+async def test_cancel_running_job(app):  # noqa: F811
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        # long job: enough steps that cancellation lands mid-run
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 10_000,
+                  "batch_size": 4, "epochs": 10_000, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+
+        # unknown job -> 404
+        r = await c.post("/treinamento/jobs/nope/cancelar", headers=admin)
+        assert r.status_code == 404
+
+        # wait for it to actually run a step, then cancel
+        for _ in range(200):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            if r.json()["passos"] >= 1:
+                break
+            await asyncio.sleep(0.1)
+        r = await c.post(f"/treinamento/jobs/{id_job}/cancelar", headers=admin)
+        assert r.status_code == 202, r.text
+
+        for _ in range(300):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            status = r.json()
+            if status["status"] not in ("pendente", "executando"):
+                break
+            await asyncio.sleep(0.1)
+        assert status["status"] == "cancelado", status
+        # nothing registered/promoted
+        assert status["id_mod"] is None
+        r = await c.get(f"/treinamento/modelos?id_amb={id_amb}", headers=admin)
+        assert r.json()["total"] == 0
+
+        # cancelling a finished job -> 409
+        r = await c.post(f"/treinamento/jobs/{id_job}/cancelar", headers=admin)
+        assert r.status_code == 409
+
+        # the slot is free again: a new job starts fine
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 2, "batch_size": 4,
+                  "epochs": 50, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job2 = r.json()["id_job"]
+        for _ in range(600):
+            r = await c.get(f"/treinamento/jobs/{id_job2}", headers=admin)
+            if r.json()["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.25)
+        assert r.json()["status"] == "concluido", r.json()
+
+        # the cancel was audited
+        r = await c.get(
+            "/auditoria/logs?nome_evento=cancelar_treinamento", headers=admin
+        )
+        assert r.status_code == 200
