@@ -85,6 +85,9 @@ async def iniciar_treinamento(request: Request):
             )
     remat = body.get("remat", False)
     usar_sugestoes = body.get("usar_sugestoes", False)
+    retomar_de = body.get("retomar_de")
+    if retomar_de is not None and not isinstance(retomar_de, str):
+        raise HTTPException(422, "Parâmetro inválido: retomar_de deve ser o id de um job")
     try:
         job = trainer.start(
             id_amb=str(id_amb),
@@ -99,6 +102,7 @@ async def iniciar_treinamento(request: Request):
             remat=remat,
             usar_sugestoes=usar_sugestoes,
             sugestao_min_score=sugestao_min_score,
+            retomar_de=retomar_de,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

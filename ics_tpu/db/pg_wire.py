@@ -75,6 +75,8 @@ def _scram_client_final(password: str, client_first_bare: str,
     r, s, i = attrs["r"], base64.b64decode(attrs["s"]), int(attrs["i"])
     # RFC 5802: the server nonce must extend the client's — a mismatch
     # means a replayed/forged server-first message
+    if "r=" not in client_first_bare:
+        raise ConnectionError("SASL continue before SASL mechanisms message")
     client_nonce = client_first_bare.split("r=", 1)[1]
     if not r.startswith(client_nonce):
         raise ConnectionError("SCRAM server nonce does not extend client nonce")

@@ -115,6 +115,12 @@ def train_mesh_from_settings(settings, devices=None) -> Optional[Mesh]:
     if spec == "all":
         group = devices
     else:
+        if ":" not in spec:
+            raise ValueError(
+                f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r}: expected "
+                "'', 'all' or a 'start:end' slice (a bare number is "
+                "ambiguous — write '6:7' for device 6 only)"
+            )
         try:
             start_s, _, end_s = spec.partition(":")
             start = int(start_s) if start_s else 0
@@ -124,13 +130,45 @@ def train_mesh_from_settings(settings, devices=None) -> Optional[Mesh]:
                 f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r}: expected "
                 "'', 'all' or a 'start:end' slice"
             )
+        if start < 0 or end > len(devices) or start >= end:
+            # loud like mesh_from_settings: silently training on fewer
+            # chips than configured is an invisible capacity loss
+            raise RuntimeError(
+                f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r} is out of "
+                f"range for {len(devices)} visible device(s)"
+            )
         group = devices[start:end]
     if not group:
         raise RuntimeError(
             f"TPU_TRAIN_DEVICES={settings.TPU_TRAIN_DEVICES!r} selects no "
             f"device (have {len(devices)})"
         )
-    return make_mesh(shape=(len(group),), axes=("data",), devices=group)
+    mesh = make_mesh(shape=(len(group),), axes=("data",), devices=group)
+    # isolation only holds when serving doesn't ALSO cover the train slice;
+    # with TPU_MESH_SHAPE=auto serving spans every chip. Warn loudly — the
+    # operator meant to isolate (e.g. TPU_MESH_SHAPE=6 + TPU_TRAIN_DEVICES
+    # =6:8 for a v5e-8) but this config doesn't.
+    serving = None
+    if hasattr(settings, "get_mesh_shape"):
+        try:
+            serving = mesh_from_settings(settings)
+        except Exception:  # mis-sized explicit shape raises on its own path
+            serving = None
+    if serving is not None:
+        overlap = {d.id for d in serving.devices.flat} & {
+            d.id for d in mesh.devices.flat
+        }
+        if overlap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "TPU_TRAIN_DEVICES=%s overlaps the serving mesh on device(s) "
+                "%s — training WILL contend with serving there. For real "
+                "isolation shrink TPU_MESH_SHAPE so serving stays off the "
+                "training slice.",
+                settings.TPU_TRAIN_DEVICES, sorted(overlap),
+            )
+    return mesh
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

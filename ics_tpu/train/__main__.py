@@ -32,6 +32,10 @@ def main(argv=None) -> int:
         help="register the version without promoting it to serving",
     )
     parser.add_argument(
+        "--retomar-de", default=None, metavar="ID_JOB",
+        help="resume from a previous job's checkpoint (same ambiente+model)",
+    )
+    parser.add_argument(
         "--usar-sugestoes", action="store_true",
         help="distillation: mix in high-confidence model suggestions as "
              "pseudo-labels for images without human labels",
@@ -78,6 +82,7 @@ def main(argv=None) -> int:
         remat=args.remat,
         usar_sugestoes=args.usar_sugestoes,
         sugestao_min_score=args.sugestao_min_score,
+        retomar_de=args.retomar_de,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

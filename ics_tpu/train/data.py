@@ -78,21 +78,28 @@ def suggested_examples(
     """
     exclude = exclude_hashes or set()
     with db.session() as s:
+        # the window runs over ALL suggestions and the threshold applies to
+        # the WINNER: a newer low-confidence suggestion supersedes (and
+        # disqualifies) an older high-confidence one — stale labels from a
+        # demoted model must not survive. Membership join mirrors
+        # labeled_examples: images detached from the ambiente don't train.
         rows = s.fetchall(
             """
             SELECT content_hash, caminho_img, id_opc FROM (
                 SELECT s.id_img AS content_hash, i.caminho_img, s.id_opc,
+                       s.score,
                        ROW_NUMBER() OVER (
                            PARTITION BY s.id_img
                            ORDER BY s.data_criado DESC, s.score DESC
                        ) AS rn
                 FROM sugestoes_modelo s
                 JOIN imagens i ON i.content_hash = s.id_img
-                WHERE s.id_amb = ? AND s.score >= ?
+                JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
+                WHERE s.id_amb = ? AND aci.id_amb = ?
                   AND i.existe_no_nextcloud = 1
-            ) t WHERE rn = 1
+            ) t WHERE rn = 1 AND score >= ?
             """,
-            [str(id_amb), float(min_score)],
+            [str(id_amb), str(id_amb), float(min_score)],
         )
     return [
         {

@@ -153,6 +153,7 @@ class TrainingJobManager:
         remat: bool = False,
         usar_sugestoes: bool = False,
         sugestao_min_score: float = 0.9,
+        retomar_de: Optional[str] = None,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -178,7 +179,7 @@ class TrainingJobManager:
             target=self._run,
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
                   compute_dtype, ativar, seed, eval_fraction, remat,
-                  usar_sugestoes, sugestao_min_score),
+                  usar_sugestoes, sugestao_min_score, retomar_de),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -192,7 +193,8 @@ class TrainingJobManager:
              compute_dtype: str, ativar: bool, seed: int,
              eval_fraction: float = 0.2, remat: bool = False,
              usar_sugestoes: bool = False,
-             sugestao_min_score: float = 0.9) -> None:
+             sugestao_min_score: float = 0.9,
+             retomar_de: Optional[str] = None) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -206,9 +208,19 @@ class TrainingJobManager:
             num_classes = len(class_map)
             model = spec.build(num_classes=num_classes)
             dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+            # retomar_de: reuse a previous job's checkpoint dir (same
+            # ambiente+model; dirs are keyed by job id) — FineTuner.run
+            # restores the latest step, so a cancelled/crashed job's work
+            # is actually resumable through the product surface
             ckpt_dir = (
-                self.checkpoint_root / job.id_amb / job.model_name / job.id_job
+                self.checkpoint_root / job.id_amb / job.model_name
+                / (retomar_de or job.id_job)
             )
+            if retomar_de and not ckpt_dir.is_dir():
+                raise RuntimeError(
+                    f"checkpoint de retomada não encontrado: {retomar_de} "
+                    f"(modelo {job.model_name}, ambiente {job.id_amb})"
+                )
             from ics_tpu.core.config import settings
             from ics_tpu.parallel.mesh import train_mesh_from_settings
 
@@ -296,6 +308,15 @@ class TrainingJobManager:
                     compute_dtype=dtype,
                 )
                 job.eval_accuracy = eval_accuracy
+            if job.cancel_event.is_set():
+                # a 202'd cancel that landed during eval must still win —
+                # registering/promoting a cancelled model would contradict
+                # the route contract and the audit trail
+                job.status = "cancelado"
+                logger.info(
+                    "treinamento %s cancelado durante avaliação", job.id_job
+                )
+                return
             with self.db.session() as s:
                 row = modelo_crud.registrar_modelo(
                     s,

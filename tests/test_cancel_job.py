@@ -54,11 +54,16 @@ async def test_cancel_running_job(app):  # noqa: F811
         r = await c.post(f"/treinamento/jobs/{id_job}/cancelar", headers=admin)
         assert r.status_code == 409
 
-        # the slot is free again: a new job starts fine
+        cancelled_steps = status["passos"]
+        assert cancelled_steps >= 1
+
+        # the slot is free again AND the cancelled work is resumable:
+        # retomar_de reuses the cancelled job's checkpoint, so the new
+        # job's first recorded step continues past the cancelled run
         r = await c.post(
             f"/treinamento/ambiente/{id_amb}",
             json={"modelo": "resnet_tiny", "max_steps": 2, "batch_size": 4,
-                  "epochs": 50, "canvas": 64},
+                  "epochs": 50, "canvas": 64, "retomar_de": id_job},
             headers=admin,
         )
         assert r.status_code == 202, r.text
@@ -68,7 +73,9 @@ async def test_cancel_running_job(app):  # noqa: F811
             if r.json()["status"] in ("concluido", "falhou"):
                 break
             await asyncio.sleep(0.25)
-        assert r.json()["status"] == "concluido", r.json()
+        status2 = r.json()
+        assert status2["status"] == "concluido", status2
+        assert status2["historico"][0]["step"] > cancelled_steps
 
         # the cancel was audited
         r = await c.get(

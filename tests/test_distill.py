@@ -45,7 +45,10 @@ async def test_suggested_examples_semantics(app):  # noqa: F811
         _add_suggestion(s, unlabeled[0], id_amb, opcoes[0], 0.97, earlier)
         # superseded by a NEWER suggestion with a different option
         _add_suggestion(s, unlabeled[0], id_amb, opcoes[1], 0.95, now)
-        # low confidence -> excluded
+        # a NEWER low-confidence suggestion supersedes (and disqualifies)
+        # an older high-confidence one — stale labels from a demoted model
+        # must not survive
+        _add_suggestion(s, unlabeled[1], id_amb, opcoes[0], 0.97, earlier)
         _add_suggestion(s, unlabeled[1], id_amb, opcoes[0], 0.51, now)
         # suggestion for a human-labeled image -> excluded (humans win)
         _add_suggestion(s, labeled_img, id_amb, opcoes[0], 0.99, now)

@@ -40,9 +40,15 @@ class TestTrainMeshFromSettings:
         with pytest.raises(ValueError, match="slice"):
             train_mesh_from_settings(_S("x,y"))
 
-    def test_empty_slice_is_loud(self):
-        with pytest.raises(RuntimeError, match="selects no device"):
+    def test_out_of_range_slice_is_loud(self):
+        # silently clamping '9:12' to fewer devices would be an invisible
+        # capacity loss (same rule as mesh_from_settings)
+        with pytest.raises(RuntimeError, match="out of range"):
             train_mesh_from_settings(_S("9:12"))
+
+    def test_bare_number_is_rejected(self):
+        with pytest.raises(ValueError, match="ambiguous"):
+            train_mesh_from_settings(_S("6"))
 
 
 class TestFineTunerOnMesh:
@@ -72,3 +78,40 @@ class TestFineTunerOnMesh:
         for leaf in jax.tree_util.tree_leaves(variables):
             used = {d.id for d in leaf.sharding.device_set}
             assert used <= allowed, (used, allowed)
+        return model, variables
+
+    def test_eval_and_checkpoint_accept_mesh_sharded_variables(self, tmp_path):
+        """The full job path after training on a slice: evaluate() (plain
+        jit eval step) and orbax save/restore must work with variables
+        committed to a non-default device group."""
+        from ics_tpu.train.checkpoint import CheckpointManager
+        from ics_tpu.train.finetune import evaluate
+
+        model, variables = self.test_training_stays_on_the_slice()
+
+        rng = np.random.default_rng(1)
+
+        def eval_batches():
+            for _ in range(2):
+                yield (
+                    rng.integers(0, 256, (4, 64, 64, 3), np.uint8),
+                    np.full((4, 2), 64, np.int32),
+                    rng.integers(0, 4, (4,)).astype(np.int32),
+                    4,
+                )
+
+        acc, total = evaluate(model, variables, eval_batches(),
+                              image_size=64, resize_short=64)
+        assert total == 8 and acc is not None and 0.0 <= acc <= 1.0
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        try:
+            mgr.save(3, variables, {"dummy": np.zeros(2)}, {"step": 3})
+            restored = mgr.restore(template={
+                "variables": variables,
+                "opt_state": {"dummy": np.zeros(2)},
+                "metadata": {"step": 0},
+            })
+            assert int(restored["metadata"]["step"]) == 3
+        finally:
+            mgr.close()
