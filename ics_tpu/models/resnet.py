@@ -204,8 +204,8 @@ class ResNet:
             from ics_tpu.ops.pallas_bottleneck import pack_chain_weights
 
             chains = {}
-            for si in (0, 1):
-                if si < len(self.stages) and len(self.stages[si]) > 1:
+            for si in range(len(self.stages)):
+                if len(self.stages[si]) > 1:
                     chains[str(si)] = pack_chain_weights(
                         folded["stages"][si][1:]
                     )

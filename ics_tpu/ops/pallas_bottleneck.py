@@ -85,7 +85,8 @@ def pack_chain_weights(blocks_folded, dtype=jnp.bfloat16):
 
 
 def _chain_kernel(xp_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
-                  xbuf, sem, *, n: int, th: int, w_px: int, h: int):
+                  xbuf, sem, *, n: int, th: int, w_px: int, h: int,
+                  true_w: int):
     """One grid step: rows [i*th, i*th + th + 2n) of padded image b."""
     bidx = pl.program_id(0)
     i = pl.program_id(1)
@@ -107,14 +108,17 @@ def _chain_kernel(xp_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
         a = jnp.dot(flat, w1[j], preferred_element_type=jnp.float32)
         a = jnp.maximum(a * s1[j] + b1[j], 0.0)
         # SAME-conv semantics: the 3x3 must see ZEROS outside the image,
-        # but out-of-image rows of ``a`` are relu(b1) (the input pad is
-        # zero, the bias isn't). Mask them off; global padded row of
-        # a[r] is i*th + j + r; image rows live at [n, h + n).
-        row_g = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows * w_px, 1), 0) // w_px
-            + i * th + j
-        )
-        a = jnp.where((row_g >= n) & (row_g < h + n), a, 0.0).astype(dtype)
+        # but out-of-image rows/cols of ``a`` are relu(b1) (the input pad
+        # is zero, the bias isn't). Mask them off; global padded row of
+        # a[r] is i*th + j + r; image rows live at [n, h + n). Columns
+        # past ``true_w`` exist only because Mosaic requires the sublane
+        # (W) dim aligned to 8 — mask them the same way.
+        idx = jax.lax.broadcasted_iota(jnp.int32, (rows * w_px, 1), 0)
+        row_g = idx // w_px + i * th + j
+        ok = (row_g >= n) & (row_g < h + n)
+        if true_w != w_px:
+            ok = ok & ((idx % w_px) < true_w)
+        a = jnp.where(ok, a, 0.0).astype(dtype)
         a3 = a.reshape(rows, w_px, cm)
         # 3x3 SAME as 9 shifted 2D matmuls accumulated in fp32 (the vertical
         # taps consume one halo row per side). With Cm >= 128 each tap fills
@@ -142,9 +146,9 @@ def _chain_kernel(xp_hbm, w1, s1, b1, w2, s2, b2, w3, s3, b3, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "th", "interpret")
+    jax.jit, static_argnames=("n", "th", "true_w", "interpret")
 )
-def _chain_call(xp, packed_tuple, n, th, interpret):
+def _chain_call(xp, packed_tuple, n, th, true_w, interpret):
     (w1, s1, b1, w2, s2, b2, w3, s3, b3) = packed_tuple
     b, hp, w_px, c = xp.shape
     h = hp - 2 * n
@@ -156,7 +160,9 @@ def _chain_call(xp, packed_tuple, n, th, interpret):
             memory_space=pltpu.VMEM,
         )
 
-    kernel = functools.partial(_chain_kernel, n=n, th=th, w_px=w_px, h=h)
+    kernel = functools.partial(
+        _chain_kernel, n=n, th=th, w_px=w_px, h=h, true_w=true_w
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w_px, c), xp.dtype),
@@ -181,9 +187,17 @@ def _chain_call(xp, packed_tuple, n, th, interpret):
 
 def fused_bottleneck_chain(x, packed, tile_rows: int | None = None,
                            interpret: bool | None = None):
-    """Run a chain of stride-1 bottlenecks over x [B, H, W, C] (bf16)."""
+    """Run a chain of stride-1 bottlenecks over x [B, H, W, C] (bf16).
+
+    W is padded to a multiple of 8 (Mosaic sublane tiling) and cropped on
+    the way out; the kernel masks the padded columns so SAME-conv
+    semantics hold — this is what lets the kernel run on stages 2-4
+    (W = 28/14/7), not just stage 1 (W = 56).
+    """
     n = packed["w1"].shape[0]
     b, h, w_px, c = x.shape
+    true_w = w_px
+    wp = _round_up(w_px, 8)
     if tile_rows is None:
         # whole image when small (halo recompute amortizes best);
         # otherwise the largest divisor <= 32
@@ -194,13 +208,14 @@ def fused_bottleneck_chain(x, packed, tile_rows: int | None = None,
                     tile_rows = cand
                     break
     assert h % tile_rows == 0, (h, tile_rows)
-    xp = jnp.pad(x, ((0, 0), (n, n), (0, 0), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (n, n), (0, wp - w_px), (0, 0)))
     packed_tuple = (
         packed["w1"], packed["s1"], packed["b1"],
         packed["w2"], packed["s2"], packed["b2"],
         packed["w3"], packed["s3"], packed["b3"],
     )
-    return _chain_call(
-        xp, packed_tuple, n, tile_rows,
+    out = _chain_call(
+        xp, packed_tuple, n, tile_rows, true_w,
         _should_interpret() if interpret is None else interpret,
     )
+    return out[:, :, :true_w, :] if wp != true_w else out
