@@ -44,6 +44,27 @@ def test_chain_matches_xla_blocks(tile_rows):
     assert diff.max() < 0.1, diff.max()  # bf16 accumulation-order noise
 
 
+def test_chain_unaligned_width_pads_and_masks():
+    """W not a multiple of 8 (stages 2-4: 28/14/7) — the kernel pads the
+    sublane dim and masks the extra columns; SAME-conv semantics must be
+    preserved at the true right edge."""
+    blocks, folded = _chain(n_blocks=2, c=256, cm=64)
+    x = jax.random.normal(
+        jax.random.PRNGKey(3), (2, 7, 7, 256), jnp.float32
+    ).astype(jnp.bfloat16)
+    ref = x
+    for blk, f in zip(blocks, folded):
+        ref = blk.apply_folded(
+            jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), f), ref
+        )
+    out = fused_bottleneck_chain(
+        x, pack_chain_weights(folded), tile_rows=7, interpret=True
+    )
+    assert out.shape == (2, 7, 7, 256)
+    diff = np.abs(np.asarray(ref, np.float32) - np.asarray(out, np.float32))
+    assert diff.max() < 0.1, diff.max()
+
+
 def test_pack_rejects_projection_blocks():
     blk = Bottleneck(64, 64, 1)  # 64 -> 256: has a downsample projection
     folded = blk.fold(blk.init(jax.random.PRNGKey(0)), blk.init_state())
