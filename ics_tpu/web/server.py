@@ -77,7 +77,12 @@ class _Connection:
             k_l, v_s = k.strip().lower(), v.strip()
             headers.append((k_l, v_s))
             if k_l == b"content-length":
-                content_length = int(v_s or b"0")
+                try:
+                    content_length = int(v_s or b"0")
+                except ValueError:
+                    content_length = -1  # -> 400 below
+                if content_length < 0:
+                    content_length = -1
             elif k_l == b"transfer-encoding":
                 if b"chunked" in v_s.lower():
                     chunked = True
@@ -102,6 +107,12 @@ class _Connection:
                 await self._simple_response(400, b"malformed chunked body")
                 return False
         else:
+            if content_length < 0:
+                # non-numeric / negative Content-Length: reject cleanly
+                # instead of surfacing an internal error and dropping the
+                # connection without a status (uvicorn sends 400 too)
+                await self._simple_response(400, b"invalid Content-Length")
+                return False
             if content_length > MAX_BODY_BYTES:
                 await self._simple_response(413, b"Payload Too Large")
                 return False
