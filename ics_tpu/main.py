@@ -380,6 +380,23 @@ def create_app(db: Database | None = None) -> App:
                 registry.gauge("classify_p99_ms", "classify p99").set(
                     lat.get("p99_ms", 0)
                 )
+            hedging = stats.get("hedging")
+            if hedging:  # replica serving (TPU_SERVING_REPLICAS >= 2)
+                for key in ("hedges_fired", "hedges_won", "hedge_failures"):
+                    registry.gauge(
+                        f"tpu_{key}", f"request hedging: {key}"
+                    ).set(hedging.get(key, 0))
+                registry.gauge(
+                    "tpu_serving_replicas", "independent engine replicas"
+                ).set(stats.get("serving_replicas", 1))
+            decoded = {
+                k: v for k, v in stats.items()
+                if k in ("device_decoded", "host_decoded")
+            }
+            for key, val in decoded.items():
+                registry.gauge(
+                    f"tpu_{key}_total", f"images via {key} lane"
+                ).set(val)
         return PlainTextResponse(registry.expose())
 
     @app.get("/monitor/status")
