@@ -158,6 +158,24 @@ async def cancelar_job(request: Request):
     )
 
 
+@router.post("/gc")
+async def gc_checkpoints(request: Request):
+    """Delete checkpoint dirs of cancelled/failed/superseded jobs that no
+    registry version references (admin). Registry dirs always survive."""
+    admin = require_admin(request)
+    db = request.state.db
+    import asyncio
+
+    result = await asyncio.get_running_loop().run_in_executor(
+        None, _trainer(request).gc_checkpoints
+    )
+    auditoria_crud.registrar_evento(
+        db, "gc_treinamento", admin.id_usu,
+        {"removidos": len(result["removidos"])},
+    )
+    return JSONResponse(result)
+
+
 @router.get("/modelos")
 async def listar_modelos_treinados(request: Request):
     require_admin(request)

@@ -366,6 +366,7 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     ("inferencia_tpu", "Inferência TPU executada"),
     ("iniciar_treinamento", "Treinamento de modelo iniciado"),
     ("cancelar_treinamento", "Treinamento de modelo cancelado"),
+    ("gc_treinamento", "Limpeza de checkpoints de treinamento"),
     ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
     ("importar_modelo_treinado", "Importação de modelo treinado"),
 ]

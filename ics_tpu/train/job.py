@@ -78,6 +78,7 @@ class TrainingJob:
         self.eval_accuracy: Optional[float] = None
         self.n_examples = 0
         self.n_sugestoes = 0  # pseudo-labels mixed in (distillation)
+        self.ckpt_dir: Optional[str] = None  # set by _run (may be resumed)
         self.started_at = tz.utcnow()
         self.finished_at = None
 
@@ -119,6 +120,50 @@ class TrainingJobManager:
 
     def get(self, id_job: str) -> Optional[TrainingJob]:
         return self.jobs.get(id_job)
+
+    def gc_checkpoints(self) -> dict:
+        """Delete checkpoint dirs not referenced by any registry version
+        and not owned by a live job (cancelled/failed/superseded runs
+        accumulate one orbax dir each under ``checkpoint_root``).
+
+        Registry rows keep their dirs even when inactive — an old version
+        must stay restorable for rollback/export. Returns
+        ``{"removidos": [...], "mantidos": n}``."""
+        import shutil
+
+        from ics_tpu.crud import modelo_crud
+
+        with self.db.session() as s:
+            referenced = {
+                str(Path(m.dir_checkpoint).resolve())
+                for m in modelo_crud.listar_modelos(s)
+            }
+        with self._lock:
+            live = set()
+            for j in self.jobs.values():
+                if j.status not in ("pendente", "executando"):
+                    continue
+                d = j.ckpt_dir or str(
+                    self.checkpoint_root / j.id_amb / j.model_name / j.id_job
+                )
+                live.add(str(Path(d).resolve()))
+        removed: list[str] = []
+        kept = 0
+        root = Path(self.checkpoint_root)
+        if root.is_dir():
+            for d in sorted(root.glob("*/*/*")):
+                if not d.is_dir():
+                    continue
+                path = str(d.resolve())
+                if path in referenced or path in live:
+                    kept += 1
+                    continue
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(str(d.relative_to(root)))
+        logger.info(
+            "checkpoint gc: %d removed, %d kept", len(removed), kept
+        )
+        return {"removidos": removed, "mantidos": kept}
 
     def cancel(self, id_job: str) -> TrainingJob:
         """Request cooperative cancellation: the job stops between steps,
@@ -221,6 +266,7 @@ class TrainingJobManager:
                     f"checkpoint de retomada não encontrado: {retomar_de} "
                     f"(modelo {job.model_name}, ambiente {job.id_amb})"
                 )
+            job.ckpt_dir = str(ckpt_dir)
             from ics_tpu.core.config import settings
             from ics_tpu.parallel.mesh import train_mesh_from_settings
 

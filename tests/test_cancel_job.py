@@ -82,3 +82,21 @@ async def test_cancel_running_job(app):  # noqa: F811
             "/auditoria/logs?nome_evento=cancelar_treinamento", headers=admin
         )
         assert r.status_code == 200
+
+        # checkpoint GC: the cancelled job's dir (reused by the resumed job
+        # which REGISTERED a model from it) must survive; a synthetic
+        # orphan dir must go
+        import pathlib
+
+        from ics_tpu.core.config import settings
+
+        root = pathlib.Path(settings.TPU_WEIGHTS_DIR)
+        orphan = root / id_amb / "resnet_tiny" / "deadbeef0000"
+        orphan.mkdir(parents=True)
+        (orphan / "marker.txt").write_text("x")
+        r = await c.post("/treinamento/gc", headers=admin)
+        assert r.status_code == 200, r.text
+        gc = r.json()
+        assert f"{id_amb}/resnet_tiny/deadbeef0000" in gc["removidos"]
+        assert not orphan.exists()
+        assert gc["mantidos"] >= 1  # the registered version's dir survives
