@@ -389,14 +389,10 @@ def create_app(db: Database | None = None) -> App:
                 registry.gauge(
                     "tpu_serving_replicas", "independent engine replicas"
                 ).set(stats.get("serving_replicas", 1))
-            decoded = {
-                k: v for k, v in stats.items()
-                if k in ("device_decoded", "host_decoded")
-            }
-            for key, val in decoded.items():
+            for key in ("device_decoded", "host_decoded"):
                 registry.gauge(
                     f"tpu_{key}_total", f"images via {key} lane"
-                ).set(val)
+                ).set(stats.get(key, 0))
         return PlainTextResponse(registry.expose())
 
     @app.get("/monitor/status")

@@ -205,7 +205,11 @@ class ResNet:
 
             chains = {}
             for si in range(len(self.stages)):
-                if len(self.stages[si]) > 1:
+                # cap the chain length: every block's weights map into
+                # VMEM at once, so resnet101/152's 22/35-block stages
+                # would blow the budget (only <=5-block chains were ever
+                # benchmarked; the kernel is a measured negative anyway)
+                if 1 < len(self.stages[si]) <= 9:
                     chains[str(si)] = pack_chain_weights(
                         folded["stages"][si][1:]
                     )

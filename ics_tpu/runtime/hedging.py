@@ -187,10 +187,20 @@ class HedgedInferenceService:
         }
 
     def status(self) -> dict:
+        per_replica = [r.status() for r in self.replicas]
+        # counters must AGGREGATE across replicas — requests round-robin,
+        # so replica 0 alone sees ~1/N of the traffic (metrics export
+        # reads the top-level keys)
+        summed = {}
+        for key in ("images", "batches", "device_decoded", "host_decoded",
+                    "device_errors"):
+            if any(key in s for s in per_replica):
+                summed[key] = sum(s.get(key, 0) for s in per_replica)
         return {
-            **self.replicas[0].status(),
+            **per_replica[0],
+            **summed,
             "serving_replicas": len(self.replicas),
             "hedging": dict(self._stats),
             "latency": self.latency_percentiles(),
-            "replicas": [r.status() for r in self.replicas],
+            "replicas": per_replica,
         }

@@ -14,6 +14,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import threading
+import time
 import uuid
 from pathlib import Path
 from typing import Callable, Optional
@@ -149,6 +150,8 @@ class TrainingJobManager:
                 live.add(str(Path(d).resolve()))
         removed: list[str] = []
         kept = 0
+        grace_s = 600.0  # writers commit their registry row within this
+        now = time.time()
         root = Path(self.checkpoint_root)
         if root.is_dir():
             for d in sorted(root.glob("*/*/*")):
@@ -158,8 +161,22 @@ class TrainingJobManager:
                 if path in referenced or path in live:
                     kept += 1
                     continue
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(str(d.relative_to(root)))
+                try:
+                    recent = d.stat().st_mtime > now - grace_s
+                except OSError:
+                    recent = True
+                if recent:
+                    # an import/unpack in another request may be writing
+                    # here with its registry row not yet committed — never
+                    # race a live writer
+                    kept += 1
+                    continue
+                try:
+                    shutil.rmtree(d)
+                    removed.append(str(d.relative_to(root)))
+                except OSError:
+                    kept += 1
+                    logger.warning("checkpoint gc: could not remove %s", d)
         logger.info(
             "checkpoint gc: %d removed, %d kept", len(removed), kept
         )
@@ -218,6 +235,14 @@ class TrainingJobManager:
                 id_amb, model_name,
                 {"max_steps": max_steps, "batch_size": batch_size, "lr": lr},
             )
+            # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
+            # its predecessor's dir) so gc_checkpoints' live-set protects
+            # the real dir from the moment the job exists, not only once
+            # _run gets past its DB work
+            job.ckpt_dir = str(
+                Path(self.checkpoint_root) / job.id_amb / model_name
+                / (retomar_de or job.id_job)
+            )
             self.jobs[job.id_job] = job
             self._running = job
         thread = threading.Thread(
@@ -256,17 +281,14 @@ class TrainingJobManager:
             # retomar_de: reuse a previous job's checkpoint dir (same
             # ambiente+model; dirs are keyed by job id) — FineTuner.run
             # restores the latest step, so a cancelled/crashed job's work
-            # is actually resumable through the product surface
-            ckpt_dir = (
-                self.checkpoint_root / job.id_amb / job.model_name
-                / (retomar_de or job.id_job)
-            )
+            # is actually resumable through the product surface.
+            # (Resolved in start(); GC protects it from job creation on.)
+            ckpt_dir = Path(job.ckpt_dir)
             if retomar_de and not ckpt_dir.is_dir():
                 raise RuntimeError(
                     f"checkpoint de retomada não encontrado: {retomar_de} "
                     f"(modelo {job.model_name}, ambiente {job.id_amb})"
                 )
-            job.ckpt_dir = str(ckpt_dir)
             from ics_tpu.core.config import settings
             from ics_tpu.parallel.mesh import train_mesh_from_settings
 

@@ -77,12 +77,12 @@ class _Connection:
             k_l, v_s = k.strip().lower(), v.strip()
             headers.append((k_l, v_s))
             if k_l == b"content-length":
-                try:
-                    content_length = int(v_s or b"0")
-                except ValueError:
+                # RFC 9110: 1*DIGIT only — int() also accepts "+5"/"5_0",
+                # which a front proxy may parse differently (desync class)
+                if v_s.isdigit():
+                    content_length = int(v_s)
+                else:
                     content_length = -1  # -> 400 below
-                if content_length < 0:
-                    content_length = -1
             elif k_l == b"transfer-encoding":
                 if b"chunked" in v_s.lower():
                     chunked = True

@@ -86,7 +86,9 @@ async def test_cancel_running_job(app):  # noqa: F811
         # checkpoint GC: the cancelled job's dir (reused by the resumed job
         # which REGISTERED a model from it) must survive; a synthetic
         # orphan dir must go
+        import os
         import pathlib
+        import time as time_mod
 
         from ics_tpu.core.config import settings
 
@@ -94,9 +96,16 @@ async def test_cancel_running_job(app):  # noqa: F811
         orphan = root / id_amb / "resnet_tiny" / "deadbeef0000"
         orphan.mkdir(parents=True)
         (orphan / "marker.txt").write_text("x")
+        fresh = root / id_amb / "resnet_tiny" / "deadbeef0001"
+        fresh.mkdir(parents=True)  # recent mtime: a possible live writer
+        old = time_mod.time() - 3600
+        os.utime(orphan, (old, old))  # past the live-writer grace window
         r = await c.post("/treinamento/gc", headers=admin)
         assert r.status_code == 200, r.text
         gc = r.json()
         assert f"{id_amb}/resnet_tiny/deadbeef0000" in gc["removidos"]
         assert not orphan.exists()
-        assert gc["mantidos"] >= 1  # the registered version's dir survives
+        # recent unreferenced dir survives (import-in-flight grace), as
+        # does the registered version's dir
+        assert fresh.exists()
+        assert gc["mantidos"] >= 2
