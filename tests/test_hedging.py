@@ -147,12 +147,24 @@ class TestHedgedServing:
         await service.start()
         try:
             rng = np.random.default_rng(3)
+            # two requests round-robin onto DIFFERENT replicas; the
+            # top-level counters must aggregate across replicas, not
+            # mirror replica 0 (metrics export reads these)
+            await service.classify_bytes(_jpeg(rng))
             await service.classify_bytes(_jpeg(rng))
             status = service.status()
             assert status["serving_replicas"] == 2
             assert status["hedging"]["hedges_fired"] == 0
             assert len(status["replicas"]) == 2
-            assert status["latency"]["n"] == 1
+            assert status["latency"]["n"] == 2
+            assert status["images"] == 2
+            assert status["images"] == sum(
+                r["images"] for r in status["replicas"]
+            )
+            lane_total = status.get("device_decoded", 0) + status.get(
+                "host_decoded", 0
+            )
+            assert lane_total == 2
         finally:
             await service.stop()
 
