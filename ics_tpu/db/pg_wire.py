@@ -254,7 +254,11 @@ class PGConnection:
                 bind += struct.pack("!i", -1)
             else:
                 if isinstance(p, bool):
-                    raw = b"true" if p else b"false"
+                    # "1"/"0" parse as BOTH postgres boolean and integer;
+                    # this schema stores booleans as INTEGER (orm.py
+                    # Boolean.sqlite_type is used for all dialects), where
+                    # "true" would fail to parse
+                    raw = b"1" if p else b"0"
                 elif isinstance(p, (bytes, bytearray)):
                     raw = bytes(p)
                 else:
