@@ -20,4 +20,4 @@ classification over a NextCloud-synced corpus) redesigned TPU-first:
 - ``ics_tpu.native``   — C++ host shims (libjpeg/libpng decode)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
