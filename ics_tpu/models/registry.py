@@ -73,6 +73,11 @@ def _ensure_populated() -> None:
             "vit_l16", vit.vit_l16, 384, 384,
             "ViT-L/16 @384px — large variant, same Pallas attention",
         )
+        register_model(
+            "vit_b16_h6d128", vit.vit_b16_h6d128, 384, 384,
+            "ViT-B/16 with 6xd=128 heads — full-MXU-width attention "
+            "(not weight-compatible with standard ViT-B)",
+        )
     except ImportError:
         pass
     register_model(

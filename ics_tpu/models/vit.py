@@ -145,6 +145,18 @@ def vit_b16(num_classes: int = 1000, image_size: int = 384) -> ViT:
     return ViT(image_size=image_size, num_classes=num_classes)
 
 
+def vit_b16_h6d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
+    """ViT-B/16 with 6 heads of d=128 instead of 12 of d=64.
+
+    Same width/depth/params as vit_b16 but the QK/PV contractions fill the
+    MXU's 128 lanes — the measured escape from the d=64 padded-matmul
+    attention floor (docs/benchmarks.md ViT analysis). NOT weight-
+    compatible with standard ViT-B/16 checkpoints; intended for training
+    from scratch / fine-tuning where attention throughput matters.
+    """
+    return ViT(image_size=image_size, num_classes=num_classes, num_heads=6)
+
+
 def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
     return ViT(image_size=image_size, dim=1024, depth=24, num_heads=16,
                num_classes=num_classes)
