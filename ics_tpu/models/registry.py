@@ -78,6 +78,10 @@ def _ensure_populated() -> None:
             "ViT-B/16 with 6xd=128 heads — full-MXU-width attention "
             "(not weight-compatible with standard ViT-B)",
         )
+        register_model(
+            "vit_l16_h8d128", vit.vit_l16_h8d128, 384, 384,
+            "ViT-L/16 with 8xd=128 heads — full-MXU-width attention",
+        )
     except ImportError:
         pass
     register_model(

@@ -160,3 +160,9 @@ def vit_b16_h6d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
 def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
     return ViT(image_size=image_size, dim=1024, depth=24, num_heads=16,
                num_classes=num_classes)
+
+
+def vit_l16_h8d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
+    """ViT-L/16 with 8 heads of d=128 (see vit_b16_h6d128)."""
+    return ViT(image_size=image_size, dim=1024, depth=24, num_heads=8,
+               num_classes=num_classes)

@@ -208,7 +208,7 @@ class TestLargeVariantsRegistered:
 
         models = list_models()
         for name in ("convnext_tiny", "convnext_small", "vit_l16",
-                     "resnet152", "vit_b16_h6d128"):
+                     "resnet152", "vit_b16_h6d128", "vit_l16_h8d128"):
             assert name in models, models
 
     def test_vit_l16_shape(self):
