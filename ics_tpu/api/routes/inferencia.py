@@ -58,9 +58,17 @@ async def warmup(request: Request):
     require_admin(request)
     service = _engine(request)
     loop = asyncio.get_running_loop()
-    await loop.run_in_executor(None, service.engine.warmup)
+    # under hedged serving every replica has its own engine — warming only
+    # replica 0 would leave replicas >0 cold until first (hedged) traffic
+    parts = getattr(service, "replicas", [service])
+    for part in parts:
+        await loop.run_in_executor(None, part.engine.warmup)
     return JSONResponse(
-        {"message": "warmup concluído", "buckets": list(service.engine.buckets)}
+        {
+            "message": "warmup concluído",
+            "buckets": list(service.engine.buckets),
+            "replicas": len(parts),
+        }
     )
 
 

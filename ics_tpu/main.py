@@ -79,6 +79,13 @@ async def lifespan(app: App):
                 buckets=settings.get_batch_buckets(),
                 canvas=settings.TPU_CANVAS,
                 mesh=service.engine.mesh,  # pool models share the mesh
+                # hedged boot: pool-created models (non-default + trained)
+                # get one engine per replica device group too, so they are
+                # hedged and use every chip instead of replica 0's only
+                replica_meshes=[
+                    r.engine.mesh for r in getattr(service, "replicas", [])
+                ] or None,
+                hedge_ms=settings.TPU_HEDGE_MS,
             )
             pool._services[settings.TPU_DEFAULT_MODEL] = service
             # only publish once fully started — a half-started service

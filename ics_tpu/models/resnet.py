@@ -18,6 +18,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ics_tpu.nn.blocks import ConvBN as _ConvBN
 from ics_tpu.nn.layers import Dense, global_avg_pool, max_pool
@@ -204,15 +205,23 @@ class ResNet:
             from ics_tpu.ops.pallas_bottleneck import pack_chain_weights
 
             chains = {}
+            # every block's packed weights map into VMEM at once, so the
+            # bound must be BYTES, not block count: a late stage's C=2048
+            # blocks are ~8.7 MB each in bf16 (two of them already exceed
+            # the ~16 MB v5e VMEM), while stage-1's are ~0.5 MB. Budget
+            # half of VMEM for weights; the rest is activations/accumulators.
+            vmem_weight_budget = 8 * 1024 * 1024
             for si in range(len(self.stages)):
-                # cap the chain length: every block's weights map into
-                # VMEM at once, so resnet101/152's 22/35-block stages
-                # would blow the budget (only <=5-block chains were ever
-                # benchmarked; the kernel is a measured negative anyway)
-                if 1 < len(self.stages[si]) <= 9:
-                    chains[str(si)] = pack_chain_weights(
-                        folded["stages"][si][1:]
-                    )
+                blocks = folded["stages"][si][1:]
+                if not blocks:
+                    continue
+                packed_bytes = 2 * sum(
+                    int(np.prod(np.asarray(f[k]["conv"]["w"]).shape))
+                    for f in blocks
+                    for k in ("cbr1", "cbr2", "cbr3")
+                )
+                if packed_bytes <= vmem_weight_budget:
+                    chains[str(si)] = pack_chain_weights(blocks)
             if chains:
                 folded["chains"] = chains
         if self.use_s2d_stem:

@@ -192,6 +192,26 @@ def shard_head_for_tp(mesh: Mesh, params: dict) -> dict:
     rep = replicated_sharding(mesh)
     shardings = jax.tree_util.tree_map(lambda _: rep, params)
     if "model" in mesh.axis_names and "head" in params:
+        tp = int(mesh.shape["model"])
+        # per-ambiente trained heads have arbitrary num_classes (count of
+        # opcoes); a classes dim not divisible by the 'model' axis cannot be
+        # laid out — device_put would raise and 500 the route. The head is
+        # tiny, so the always-correct fallback is replication.
+        classes = None
+        for leaf_name in ("w", "b"):
+            leaf = params["head"].get(leaf_name)
+            if leaf is not None and hasattr(leaf, "shape") and len(leaf.shape):
+                classes = int(leaf.shape[-1])
+                break
+        if tp > 1 and (classes is None or classes % tp):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "head classes dim (%s) not divisible by model axis (%d): "
+                "serving the head replicated instead of TP-sharded",
+                classes, tp,
+            )
+            return shardings
         head = {}
         if "w" in params["head"]:
             head["w"] = NamedSharding(mesh, P(None, "model"))

@@ -63,13 +63,20 @@ class HedgedInferenceService:
     mesh and the warmup route reaches it there).
     """
 
+    # deterministic input failures (undecodable bytes — the same classes the
+    # route maps to 422; PIL's UnidentifiedImageError is an OSError) would
+    # fail identically on every replica: replaying them doubles the work and
+    # pollutes hedge_failures with client errors
+    INPUT_ERRORS = (OSError, ValueError)
+
     def __init__(self, replicas, hedge_ms: float = 250.0):
         if len(replicas) < 2:
             raise ValueError("HedgedInferenceService needs >= 2 replicas")
         self.replicas = list(replicas)
         self.hedge_s = max(hedge_ms, 1.0) / 1000.0
         self._rr = 0
-        self._stats = {"hedges_fired": 0, "hedges_won": 0, "hedge_failures": 0}
+        self._stats = {"hedges_fired": 0, "hedges_won": 0,
+                       "hedge_failures": 0, "input_errors": 0}
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -143,6 +150,9 @@ class HedgedInferenceService:
             )
         except asyncio.TimeoutError:
             pass  # straggler -> hedge below, primary keeps running
+        except self.INPUT_ERRORS:
+            self._stats["input_errors"] += 1
+            raise  # client's fault — every replica would fail the same way
         except Exception:
             primary = None  # replica failed outright -> immediate hedge
         self._stats["hedges_fired"] += 1
@@ -165,7 +175,12 @@ class HedgedInferenceService:
                     result["hedged"] = True
                     return result
                 winner_exc = task.exception()
-        self._stats["hedge_failures"] += 1
+        # a straggling primary can still resolve to a deterministic input
+        # error — keep it out of the infrastructure-failure counter
+        if isinstance(winner_exc, self.INPUT_ERRORS):
+            self._stats["input_errors"] += 1
+        else:
+            self._stats["hedge_failures"] += 1
         raise winner_exc  # both replicas failed
 
     async def classify_many(self, blobs) -> list[dict]:

@@ -289,9 +289,15 @@ async def _drain_and_stop(service: InferenceService,
     """Stop an evicted service once its in-flight work drains (bounded):
     stopping immediately would fail futures that requests are awaiting."""
     deadline = asyncio.get_running_loop().time() + grace_s
-    batchers = [service.batcher, *service.coeff_batchers.values()]
+    # a hedged service is a bundle of per-replica plain services
+    parts = getattr(service, "replicas", [service])
+    batchers = [
+        b for s in parts for b in (s.batcher, *s.coeff_batchers.values())
+    ]
     while asyncio.get_running_loop().time() < deadline:
-        if all(b._queue.empty() for b in batchers) and service._incoming.value == 0:
+        if all(b._queue.empty() for b in batchers) and all(
+            s._incoming.value == 0 for s in parts
+        ):
             break
         await asyncio.sleep(0.25)
     # let a flush already handed to the executor resolve its futures —
@@ -309,14 +315,45 @@ class InferenceServicePool:
 
     def __init__(self, default_model: str, deadline_us: int = 2000,
                  device_decode: bool = True, max_deadline_us: int = 50_000,
+                 replica_meshes=None, hedge_ms: float = 250.0,
                  **engine_kwargs):
         self.default_model = default_model
         self.deadline_us = deadline_us
         self.max_deadline_us = max_deadline_us
         self.device_decode = device_decode
         self.engine_kwargs = engine_kwargs
+        # hedged serving: one mesh per replica device group — pool-created
+        # models (non-default + trained) then get the same replica/hedging
+        # treatment as the default model instead of serving un-hedged on
+        # replica 0's devices while the other replicas idle
+        self.replica_meshes = list(replica_meshes) if replica_meshes else None
+        self.hedge_ms = hedge_ms
         self._services: dict[str, InferenceService] = {}
         self._lock = asyncio.Lock()
+
+    def _build_service(self, make_engine) -> "InferenceService":
+        """One InferenceService per replica mesh (wrapped in hedging) when
+        the pool is replica-aware; a single plain service otherwise.
+        ``make_engine(mesh)`` constructs the engine pinned to that mesh."""
+
+        def one(mesh):
+            kwargs = dict(self.engine_kwargs)
+            kwargs["mesh"] = mesh
+            return InferenceService(
+                make_engine(kwargs),
+                deadline_us=self.deadline_us,
+                device_decode=self.device_decode,
+                max_deadline_us=self.max_deadline_us,
+            )
+
+        if self.replica_meshes and len(self.replica_meshes) >= 2:
+            from ics_tpu.runtime.hedging import HedgedInferenceService
+
+            return HedgedInferenceService(
+                [one(mesh) for mesh in self.replica_meshes],
+                hedge_ms=self.hedge_ms,
+            )
+        return one(self.engine_kwargs.get("mesh"))
 
     async def get(self, model_name: Optional[str] = None) -> InferenceService:
         name = model_name or self.default_model
@@ -329,17 +366,11 @@ class InferenceServicePool:
                 # engine construction (init + fold + device_put) can take
                 # seconds/minutes cold — never block the event loop on it
                 loop = asyncio.get_running_loop()
-                engine = await loop.run_in_executor(
+                service = await loop.run_in_executor(
                     None,
-                    lambda: InferenceEngine(
-                        model_name=name, **self.engine_kwargs
+                    lambda: self._build_service(
+                        lambda kw: InferenceEngine(model_name=name, **kw)
                     ),
-                )
-                service = InferenceService(
-                    engine,
-                    deadline_us=self.deadline_us,
-                    device_decode=self.device_decode,
-                    max_deadline_us=self.max_deadline_us,
                 )
                 await service.start()
                 self._services[name] = service
@@ -363,7 +394,7 @@ class InferenceServicePool:
             if service is None:
                 loop = asyncio.get_running_loop()
 
-                def build() -> InferenceEngine:
+                def build() -> InferenceService:
                     from ics_tpu.train.checkpoint import CheckpointManager
 
                     mgr = CheckpointManager(modelo_row.dir_checkpoint)
@@ -371,21 +402,19 @@ class InferenceServicePool:
                         restored = mgr.restore()
                     finally:
                         mgr.close()
-                    kwargs = dict(self.engine_kwargs)
-                    kwargs["num_classes"] = modelo_row.num_classes
-                    return InferenceEngine(
-                        model_name=modelo_row.nome_modelo,
-                        variables=restored["variables"],
-                        **kwargs,
-                    )
 
-                engine = await loop.run_in_executor(None, build)
-                service = InferenceService(
-                    engine,
-                    deadline_us=self.deadline_us,
-                    device_decode=self.device_decode,
-                    max_deadline_us=self.max_deadline_us,
-                )
+                    def make_engine(kw):
+                        kw = dict(kw)
+                        kw["num_classes"] = modelo_row.num_classes
+                        return InferenceEngine(
+                            model_name=modelo_row.nome_modelo,
+                            variables=restored["variables"],
+                            **kw,
+                        )
+
+                    return self._build_service(make_engine)
+
+                service = await loop.run_in_executor(None, build)
                 await service.start()
                 prefix = f"trained:{modelo_row.id_amb}:"
                 for k in list(self._services):

@@ -139,7 +139,9 @@ class TrainingJobManager:
                 str(Path(m.dir_checkpoint).resolve())
                 for m in modelo_crud.listar_modelos(s)
             }
-        with self._lock:
+
+        def live_dirs() -> set[str]:
+            # caller holds self._lock
             live = set()
             for j in self.jobs.values():
                 if j.status not in ("pendente", "executando"):
@@ -148,6 +150,8 @@ class TrainingJobManager:
                     self.checkpoint_root / j.id_amb / j.model_name / j.id_job
                 )
                 live.add(str(Path(d).resolve()))
+            return live
+
         removed: list[str] = []
         kept = 0
         grace_s = 600.0  # writers commit their registry row within this
@@ -158,7 +162,7 @@ class TrainingJobManager:
                 if not d.is_dir():
                     continue
                 path = str(d.resolve())
-                if path in referenced or path in live:
+                if path in referenced:
                     kept += 1
                     continue
                 try:
@@ -171,12 +175,23 @@ class TrainingJobManager:
                     # race a live writer
                     kept += 1
                     continue
-                try:
-                    shutil.rmtree(d)
-                    removed.append(str(d.relative_to(root)))
-                except OSError:
-                    kept += 1
-                    logger.warning("checkpoint gc: could not remove %s", d)
+                # re-check the live set under the lock AND hold the lock
+                # across the rmtree: a retomar_de job started mid-GC adopts
+                # its predecessor's old dir (exactly the unreferenced case),
+                # and start() also takes this lock — so a dir can't become
+                # live between the check and the delete
+                with self._lock:
+                    if path in live_dirs():
+                        kept += 1
+                        continue
+                    try:
+                        shutil.rmtree(d)
+                        removed.append(str(d.relative_to(root)))
+                    except OSError:
+                        kept += 1
+                        logger.warning(
+                            "checkpoint gc: could not remove %s", d
+                        )
         logger.info(
             "checkpoint gc: %d removed, %d kept", len(removed), kept
         )

@@ -178,3 +178,25 @@ class TestTensorParallelServing:
         idx_1, scores_1 = single.predict_staged(canvas, sizes)
         np.testing.assert_array_equal(idx_tp, idx_1)
         np.testing.assert_allclose(scores_tp, scores_1, rtol=1e-4, atol=1e-5)
+
+    def test_indivisible_classes_fall_back_replicated(self):
+        """Per-ambiente trained models have arbitrary num_classes (count of
+        opcoes): 7 classes on a model axis of size 2 must serve (replicated
+        head), not ValueError out of device_put (ADVICE r2, medium)."""
+        mesh = make_mesh(shape=(4, 2), axes=("data", "model"))
+        kwargs = dict(
+            model_name="resnet_tiny", num_classes=7, precision="fp32",
+            buckets=(8,), canvas=64, seed=5,
+        )
+        tp = InferenceEngine(**kwargs, mesh=mesh)
+        # head stays replicated — no axis is laid out over 'model'
+        spec = tp.folded["head"]["w"].sharding.spec
+        assert "model" not in tuple(spec)
+        single = InferenceEngine(**kwargs)
+        rng = np.random.default_rng(7)
+        canvas = rng.integers(0, 256, (8, 64, 64, 3), np.uint8)
+        sizes = np.full((8, 2), 64, np.int32)
+        idx_tp, scores_tp = tp.predict_staged(canvas.copy(), sizes.copy())
+        idx_1, scores_1 = single.predict_staged(canvas, sizes)
+        np.testing.assert_array_equal(idx_tp, idx_1)
+        np.testing.assert_allclose(scores_tp, scores_1, rtol=1e-4, atol=1e-5)

@@ -142,6 +142,31 @@ class TestHedgedServing:
         finally:
             await service.stop()
 
+    async def test_input_error_is_not_hedged(self):
+        """Undecodable bytes fail deterministically on every replica —
+        replaying them doubles the work and pollutes hedge_failures with
+        client errors (ADVICE r2). They raise straight through and count
+        as input_errors."""
+        service = _make_service(hedge_ms=60_000.0)
+        await service.start()
+        try:
+            with pytest.raises(OSError):
+                await service.classify_bytes(b"this is not an image")
+            assert service._stats["hedges_fired"] == 0
+            assert service._stats["hedge_failures"] == 0
+            assert service._stats["input_errors"] == 1
+            # infra failures still hedge (guard against over-exempting)
+            async def boom(data):
+                raise RuntimeError("replica down")
+
+            service.replicas[0].classify_bytes = boom
+            service._rr = 0  # aim the next request at the broken replica
+            rng = np.random.default_rng(5)
+            result = await service.classify_bytes(_jpeg(rng))
+            assert result["hedged"] is True
+        finally:
+            await service.stop()
+
     async def test_status_reports_replicas_and_hedges(self):
         service = _make_service()
         await service.start()

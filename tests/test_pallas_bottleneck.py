@@ -80,3 +80,19 @@ def test_fold_optin_packs_chains():
     folded = model.fold(variables, pallas_chains=True)
     assert "chains" in folded and "0" in folded["chains"]
     assert "chains" not in model.fold(variables)  # default: off (slower)
+
+
+def test_fold_bounds_chains_by_packed_weight_bytes():
+    """The chain cap is VMEM bytes, not block count (ADVICE r2): late
+    stages' C=2048 blocks are ~8.7 MB each in bf16 — even a 2-block chain
+    exceeds the 8 MB weight budget — while early stages fit easily."""
+    from ics_tpu.models.resnet import ResNet
+
+    model = ResNet(block_counts=(3, 4, 6, 3), num_classes=8)  # resnet50
+    variables = model.init(jax.random.PRNGKey(1))
+    folded = model.fold(variables, pallas_chains=True)
+    chains = folded["chains"]
+    # stage0 (C=256, 2 identity blocks ~0.3 MB) and stage1 (C=512, 3 blocks
+    # ~1.7 MB) fit; stage2 (C=1024, 5 blocks ~11 MB) and stage3 (C=2048,
+    # 2 blocks ~17 MB) must be excluded
+    assert set(chains) == {"0", "1"}

@@ -94,3 +94,35 @@ class TestPool:
         assert out["model"] == "mobilenetv3_small"
         await pool.stop()
         assert pool._services == {}
+
+    @pytest.mark.anyio
+    async def test_replica_aware_pool_builds_hedged_services(self):
+        """With replica meshes configured, pool-created (non-default)
+        models serve hedged across the replica device groups instead of
+        un-hedged on replica 0's devices (ADVICE r2)."""
+        import jax
+
+        from ics_tpu.parallel.mesh import make_mesh
+        from ics_tpu.runtime.hedging import HedgedInferenceService, partition_devices
+
+        groups = partition_devices(jax.devices(), 2)
+        meshes = [
+            make_mesh(shape=(len(g),), axes=("data",), devices=g)
+            for g in groups
+        ]
+        pool = InferenceServicePool(
+            default_model="mobilenetv3_small", deadline_us=500,
+            num_classes=8, precision="fp32", buckets=(1,), canvas=64,
+            device_decode=False, replica_meshes=meshes, hedge_ms=60_000.0,
+        )
+        svc = await pool.get("resnet_tiny")
+        assert isinstance(svc, HedgedInferenceService)
+        assert len(svc.replicas) == 2
+        # each replica's engine is pinned to its own disjoint device group
+        devs = [
+            {d.id for d in r.engine.mesh.devices.flat} for r in svc.replicas
+        ]
+        assert devs[0].isdisjoint(devs[1])
+        out = await svc.classify_bytes(_jpeg(4))
+        assert out["model"] == "resnet_tiny"
+        await pool.stop()
