@@ -46,7 +46,8 @@ class ConvNeXtBlock:
         y = self.dwconv.apply(params["dwconv"], x)        # [B,H,W,C] VPU
         y = self.ln.apply(params["ln"], y)
         y = self.fc1.apply(params["fc1"], y)              # MXU GEMM C->4C
-        y = jax.nn.gelu(y)
+        # exact GELU: torchvision CNBlock uses nn.GELU (pretrained compat)
+        y = jax.nn.gelu(y, approximate=False)
         y = self.fc2.apply(params["fc2"], y)              # MXU GEMM 4C->C
         y = y * params["gamma"].astype(y.dtype)
         return x + y

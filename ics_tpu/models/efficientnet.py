@@ -44,7 +44,11 @@ class MBConv:
     def __init__(self, in_ch, out_ch, kernel, stride, expand):
         mid = in_ch * expand
         self.expand = ConvBN(in_ch, mid, 1) if expand != 1 else None
-        self.depthwise = ConvBN(mid, mid, kernel, stride, groups=mid)
+        # symmetric k//2 padding (torch convention) — SAME differs at
+        # stride 2, which would break imported torchvision checkpoints
+        # (train/pretrained.py)
+        self.depthwise = ConvBN(mid, mid, kernel, stride, groups=mid,
+                                padding=kernel // 2)
         self.se = SEBlock(mid, max(1, in_ch // 4), gate="sigmoid")
         self.project = ConvBN(mid, out_ch, 1)
         self.use_residual = stride == 1 and in_ch == out_ch
@@ -109,8 +113,10 @@ class MBConv:
 class EfficientNet:
     def __init__(self, width_mult: float, depth_mult: float,
                  num_classes: int = 1000):
+        self.width_mult = width_mult
+        self.depth_mult = depth_mult  # train/pretrained.py stage mapping
         stem_ch = round_filters(32, width_mult)
-        self.stem = ConvBN(3, stem_ch, 3, 2)
+        self.stem = ConvBN(3, stem_ch, 3, 2, padding=1)
         self.blocks: list[MBConv] = []
         in_ch = stem_ch
         for expand, out_base, kernel, stride, repeats in BASE_SPEC:

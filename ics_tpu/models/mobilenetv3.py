@@ -33,12 +33,30 @@ def _act(kind: str):
     return hard_swish if kind == "hs" else jax.nn.relu
 
 
+# torchvision pretrained-weight conventions (train/pretrained.py): BN eps
+# 1e-3 (torchvision mobilenetv3 norm_layer), symmetric k//2 depthwise
+# padding (not SAME — differs at stride 2), and SE squeeze width rounded
+# to a multiple of 8 (the paper's/_make_divisible rule; plain exp//4 gives
+# e.g. 60 instead of 64 for exp=240, which is checkpoint-incompatible)
+_BN_EPS = 1e-3
+
+
+def _divisible(v: int, divisor: int = 8) -> int:
+    new = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new < 0.9 * v:
+        new += divisor
+    return new
+
+
 class InvertedResidual:
     def __init__(self, in_ch, kernel, exp, out_ch, use_se, act, stride):
-        self.expand = ConvBN(in_ch, exp, 1) if exp != in_ch else None
-        self.depthwise = ConvBN(exp, exp, kernel, stride, groups=exp)
-        self.se = SEBlock(exp, max(exp // 4, 8), gate="hard") if use_se else None
-        self.project = ConvBN(exp, out_ch, 1)
+        self.expand = ConvBN(in_ch, exp, 1, eps=_BN_EPS) if exp != in_ch else None
+        self.depthwise = ConvBN(exp, exp, kernel, stride, groups=exp,
+                                padding=kernel // 2, eps=_BN_EPS)
+        self.se = (
+            SEBlock(exp, _divisible(exp // 4), gate="hard") if use_se else None
+        )
+        self.project = ConvBN(exp, out_ch, 1, eps=_BN_EPS)
         self.act = _act(act)
         self.use_residual = stride == 1 and in_ch == out_ch
 
@@ -105,7 +123,7 @@ class InvertedResidual:
 
 class MobileNetV3Small:
     def __init__(self, num_classes: int = 1000):
-        self.stem = ConvBN(3, 16, 3, 2)
+        self.stem = ConvBN(3, 16, 3, 2, padding=1, eps=_BN_EPS)
         self.blocks = []
         in_ch = 16
         for kernel, exp, out_ch, use_se, act, stride in SMALL_SPEC:
@@ -113,7 +131,7 @@ class MobileNetV3Small:
                 InvertedResidual(in_ch, kernel, exp, out_ch, use_se, act, stride)
             )
             in_ch = out_ch
-        self.conv_last = ConvBN(in_ch, 576, 1)
+        self.conv_last = ConvBN(in_ch, 576, 1, eps=_BN_EPS)
         self.fc1 = Dense(576, 1024)
         self.head = Dense(1024, num_classes)
         self.num_classes = num_classes

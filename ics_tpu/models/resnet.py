@@ -30,7 +30,13 @@ class Bottleneck:
     def __init__(self, in_ch, width, stride=1):
         out_ch = width * self.expansion
         self.cbr1 = _ConvBN(in_ch, width, 1)
-        self.cbr2 = _ConvBN(width, width, 3, stride)   # v1.5: stride on 3x3
+        # v1.5: stride on the 3x3. Explicit symmetric padding (=k//2, the
+        # torch convention) instead of SAME: at stride 2 XLA's SAME pads
+        # (1,2) while torch-trained checkpoints (torchvision resnet50
+        # layer*.0.conv2) assume (1,1) — same output shape, different
+        # alignment. Explicit padding keeps imported pretrained weights
+        # numerically faithful (train/pretrained.py).
+        self.cbr2 = _ConvBN(width, width, 3, stride, padding=1)
         self.cbr3 = _ConvBN(width, out_ch, 1)
         self.downsample = (
             _ConvBN(in_ch, out_ch, 1, stride)
@@ -102,7 +108,8 @@ class ResNet:
     def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3,
                  use_s2d_stem: bool = False):
         self.use_s2d_stem = use_s2d_stem
-        self.stem = _ConvBN(in_ch, 64, 7, 2)
+        # padding=3 (torch convention) not SAME — see Bottleneck.cbr2 note
+        self.stem = _ConvBN(in_ch, 64, 7, 2, padding=3)
         self.stages: list[list[Bottleneck]] = []
         ch = 64
         for stage_idx, count in enumerate(block_counts):
@@ -132,7 +139,7 @@ class ResNet:
         params, state = variables["params"], variables["state"]
         y, stem_state = self.stem.apply(params["stem"], state["stem"], x, training)
         y = jax.nn.relu(y)
-        y = max_pool(y, 3, 2, "SAME")
+        y = max_pool(y, 3, 2, 1)  # torch-style symmetric padding (pretrained compat)
         new_stages = []
         for blocks, bparams, bstates in zip(
             self.stages, params["stages"], state["stages"]
@@ -237,7 +244,11 @@ class ResNet:
     def _stem_folded(self, folded, x):
         h, w = x.shape[1], x.shape[2]
         if "stem_s2d_w" in folded and h % 2 == 0 and w % 2 == 0:
-            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            # (4,2) spatial padding keeps the s2d path bit-exact with the
+            # plain stem's torch-style (3,3) padding: the s2d input offset
+            # must be even, so the extra left column is absorbed by the
+            # zero row/col prepended to the kernel in _stem_s2d_kernel
+            xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
             xs = self._space_to_depth(xp)
             y = jax.lax.conv_general_dilated(
                 xs,
@@ -259,7 +270,7 @@ class ResNet:
         # (r2): wrong results AND 7x slower compiled — Mosaic relayouts
         # dominate at C=64 with sublane-splitting reshapes. XLA's
         # reduce_window (1.2ms/b128, ~210GB/s) stays.
-        y = max_pool(y, 3, 2, "SAME")
+        y = max_pool(y, 3, 2, 1)  # torch-style symmetric padding (pretrained compat)
         chains = folded.get("chains", {})
         for si, (blocks, bfolded) in enumerate(
             zip(self.stages, folded["stages"])

@@ -62,7 +62,9 @@ class TransformerBlock:
         x = x + self.attn.apply(params["attn"], y, use_flash)
         y = self.ln2.apply(params["ln2"], x)
         y = self.fc1.apply(params["fc1"], y)
-        y = jax.nn.gelu(y)
+        # exact (erf) GELU — timm/torch checkpoints are trained with
+        # nn.GELU; the tanh approximation drifts imported weights
+        y = jax.nn.gelu(y, approximate=False)
         y = self.fc2.apply(params["fc2"], y)
         return x + y
 

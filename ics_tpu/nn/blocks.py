@@ -16,10 +16,11 @@ from ics_tpu.nn.layers import (
 
 
 class ConvBN:
-    def __init__(self, in_ch, out_ch, kernel, stride=1, groups=1, padding="SAME"):
+    def __init__(self, in_ch, out_ch, kernel, stride=1, groups=1,
+                 padding="SAME", eps: float = 1e-5):
         self.conv = Conv2D(in_ch, out_ch, kernel, stride, padding=padding,
                            groups=groups)
-        self.bn = BatchNorm(out_ch)
+        self.bn = BatchNorm(out_ch, eps=eps)
 
     def init(self, key):
         return {"conv": self.conv.init(key), "bn": self.bn.init()}
@@ -35,7 +36,7 @@ class ConvBN:
     def fold(self, params, state):
         return {
             "conv": params["conv"],
-            "bnf": fold_batchnorm(params["bn"], state["bn"]),
+            "bnf": fold_batchnorm(params["bn"], state["bn"], eps=self.bn.eps),
         }
 
     def apply_folded(self, folded, x):

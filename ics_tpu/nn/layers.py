@@ -187,7 +187,12 @@ class LayerNorm:
         return y.astype(x.dtype)
 
 
-def max_pool(x, window: int = 3, stride: int = 2, padding: str = "SAME"):
+def max_pool(x, window: int = 3, stride: int = 2,
+             padding: str | int = "SAME"):
+    # int padding = symmetric spatial padding (the torch MaxPool2d
+    # convention; -inf fill matches torch's implicit padding semantics)
+    if isinstance(padding, int):
+        padding = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
