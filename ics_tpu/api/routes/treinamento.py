@@ -64,7 +64,9 @@ async def iniciar_treinamento(request: Request):
     try:
         max_steps = int(body.get("max_steps") or 100)
         batch_size = int(body.get("batch_size") or 32)
-        lr = float(body.get("lr") or 0.01)
+        # "is not None", not "or": an explicit lr of 0.0 is falsy and must
+        # not silently become the default (same pattern as eval_fraction)
+        lr = float(body.get("lr") if body.get("lr") is not None else 0.01)
         epochs = int(body.get("epochs") or 10)
         canvas = int(body.get("canvas") or settings.TPU_CANVAS)
         eval_fraction = float(
@@ -88,6 +90,13 @@ async def iniciar_treinamento(request: Request):
     retomar_de = body.get("retomar_de")
     if retomar_de is not None and not isinstance(retomar_de, str):
         raise HTTPException(422, "Parâmetro inválido: retomar_de deve ser o id de um job")
+    pesos_iniciais = body.get("pesos_iniciais")
+    if pesos_iniciais is not None and not isinstance(pesos_iniciais, str):
+        raise HTTPException(
+            422,
+            "Parâmetro inválido: pesos_iniciais deve ser um nome de arquivo "
+            "em {TPU_WEIGHTS_DIR}/pretrained/ ou um caminho absoluto",
+        )
     try:
         job = trainer.start(
             id_amb=str(id_amb),
@@ -103,9 +112,12 @@ async def iniciar_treinamento(request: Request):
             usar_sugestoes=usar_sugestoes,
             sugestao_min_score=sugestao_min_score,
             retomar_de=retomar_de,
+            pesos_iniciais=pesos_iniciais,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")
+    except FileNotFoundError as exc:
+        raise HTTPException(422, str(exc))
     except TrainingUnavailable as exc:
         raise HTTPException(503, str(exc))
     except RuntimeError as exc:

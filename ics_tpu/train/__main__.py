@@ -45,6 +45,13 @@ def main(argv=None) -> int:
         help="minimum top-1 score for a suggestion to count (default 0.9)",
     )
     parser.add_argument(
+        "--pesos-iniciais", default=None, metavar="ARQUIVO",
+        help="pretrained starting weights: file name under "
+             "{TPU_WEIGHTS_DIR}/pretrained/ or an absolute path "
+             "(.npz native/torch layout or torch .pt/.pth; see "
+             "docs/treinamento.md)",
+    )
+    parser.add_argument(
         "--remat", action="store_true",
         help="per-block rematerialization: trade ~1/3 extra forward FLOPs "
              "for much lower activation memory (deep models/large batches)",
@@ -83,6 +90,7 @@ def main(argv=None) -> int:
         usar_sugestoes=args.usar_sugestoes,
         sugestao_min_score=args.sugestao_min_score,
         retomar_de=args.retomar_de,
+        pesos_iniciais=args.pesos_iniciais,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

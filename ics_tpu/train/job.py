@@ -197,6 +197,23 @@ class TrainingJobManager:
         )
         return {"removidos": removed, "mantidos": kept}
 
+    def resolve_pretrained(self, name_or_path: str) -> Path:
+        """Resolve a ``pesos_iniciais`` argument to an existing file.
+
+        Absolute paths are taken as-is; bare names resolve under
+        ``{checkpoint_root}/pretrained/`` (the documented drop-in spot for
+        downloaded checkpoints — docs/treinamento.md)."""
+        p = Path(name_or_path)
+        if not p.is_absolute():
+            p = self.checkpoint_root / "pretrained" / name_or_path
+        if not p.is_file():
+            raise FileNotFoundError(
+                f"pesos iniciais não encontrados: {p} (coloque checkpoints "
+                f"em {self.checkpoint_root / 'pretrained'} ou passe um "
+                f"caminho absoluto)"
+            )
+        return p
+
     def cancel(self, id_job: str) -> TrainingJob:
         """Request cooperative cancellation: the job stops between steps,
         keeps its last checkpoint and registers/promotes NOTHING."""
@@ -231,6 +248,7 @@ class TrainingJobManager:
         usar_sugestoes: bool = False,
         sugestao_min_score: float = 0.9,
         retomar_de: Optional[str] = None,
+        pesos_iniciais: Optional[str] = None,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -239,6 +257,11 @@ class TrainingJobManager:
             raise TrainingUnavailable(
                 "nenhuma fonte de bytes configurada (NextCloud indisponível)"
             )
+        if pesos_iniciais:
+            # resolve + existence-check up front: a missing weights file is
+            # the operator's typo and should 422 at the route, not fail the
+            # job minutes later mid-thread
+            pesos_iniciais = str(self.resolve_pretrained(pesos_iniciais))
         with self._lock:
             if self._running is not None and self._running.status in (
                 "pendente", "executando"
@@ -264,7 +287,8 @@ class TrainingJobManager:
             target=self._run,
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
                   compute_dtype, ativar, seed, eval_fraction, remat,
-                  usar_sugestoes, sugestao_min_score, retomar_de),
+                  usar_sugestoes, sugestao_min_score, retomar_de,
+                  pesos_iniciais),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -279,7 +303,8 @@ class TrainingJobManager:
              eval_fraction: float = 0.2, remat: bool = False,
              usar_sugestoes: bool = False,
              sugestao_min_score: float = 0.9,
-             retomar_de: Optional[str] = None) -> None:
+             retomar_de: Optional[str] = None,
+             pesos_iniciais: Optional[str] = None) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -291,7 +316,22 @@ class TrainingJobManager:
                 )
             spec = get_model(job.model_name)
             num_classes = len(class_map)
-            model = spec.build(num_classes=num_classes)
+            import jax
+
+            if pesos_iniciais:
+                # pretrained backbone + head re-initialized to the
+                # ambiente's option count (train/pretrained.py) — the
+                # fine-tune starts from real features, not noise
+                from ics_tpu.train.pretrained import load_pretrained
+
+                model, variables = load_pretrained(
+                    job.model_name, pesos_iniciais,
+                    num_classes=num_classes, seed=seed,
+                )
+                job.params["pesos_iniciais"] = pesos_iniciais
+            else:
+                model = spec.build(num_classes=num_classes)
+                variables = model.init(jax.random.PRNGKey(seed))
             dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
             # retomar_de: reuse a previous job's checkpoint dir (same
             # ambiente+model; dirs are keyed by job id) — FineTuner.run
@@ -326,9 +366,6 @@ class TrainingJobManager:
                 remat=remat,
                 mesh=train_mesh,
             )
-            import jax
-
-            variables = model.init(jax.random.PRNGKey(seed))
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed
             )
