@@ -402,6 +402,38 @@ def create_app(db: Database | None = None) -> App:
                 ).set(stats.get(key, 0))
         return PlainTextResponse(registry.expose())
 
+    @app.post("/monitor/latency-budget")
+    async def monitor_latency_budget(request: Request):
+        """Measure the serving-latency budget components against this
+        process's engine and assert them against the platform's budget
+        lines (docs/benchmarks.md p50<25ms decomposition); results are
+        exported as latency_budget_* gauges on /monitor/metrics."""
+        from ics_tpu.services.auth_service import require_admin
+
+        require_admin(request)
+        service = request.app.state.get("engine")
+        if service is None:
+            from ics_tpu.web import HTTPException
+
+            raise HTTPException(503, "Serviço de inferência TPU indisponível.")
+        from ics_tpu.runtime import latency_budget
+
+        engine = service.engine
+        loop = asyncio.get_running_loop()
+        measured = await loop.run_in_executor(
+            None, lambda: latency_budget.measure(engine)
+        )
+        latency_budget.export_metrics(measured)
+        violations = latency_budget.check(measured)
+        return JSONResponse(
+            {
+                "componentes": measured,
+                "orcamento": latency_budget.budget_lines(),
+                "violacoes": violations,
+                "dentro_do_orcamento": not violations,
+            }
+        )
+
     @app.get("/monitor/status")
     async def monitor_status(request: Request):
         sync = request.app.state.get("sync")
