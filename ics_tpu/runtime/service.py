@@ -165,7 +165,28 @@ class InferenceService:
             await loop.run_in_executor(None, self.engine.warmup)
             if self.device_decode:
                 try:
+                    # dominant wild shape (4:2:0 <=512px) at EVERY batch
+                    # bucket...
                     await loop.run_in_executor(None, self.engine.warmup_coeff)
+                    # ...and every other configured lane (sampling x luma
+                    # bucket) at the smallest bucket, so no sampling ever
+                    # pays an inline cold compile on its first flush
+                    # (VERDICT r2 item 3; the persistent cache then makes
+                    # larger buckets of those lanes load from disk on
+                    # subsequent boots once seen)
+                    from ics_tpu.runtime.device_decode import LUMA_BUCKETS
+
+                    min_bucket = (min(self.engine.buckets),)
+                    for mode in ("420", "422", "444", "gray"):
+                        for luma in LUMA_BUCKETS:
+                            if mode == "420" and luma == 64:
+                                continue
+                            await loop.run_in_executor(
+                                None,
+                                lambda m=mode, lb=luma: self.engine.warmup_coeff(
+                                    m, lb, buckets=min_bucket
+                                ),
+                            )
                 except Exception:  # lane warms lazily on first use instead
                     logger.exception("decode-lane warmup failed")
         await self.batcher.start()
