@@ -19,6 +19,10 @@ import json
 BATCH = 128
 ITERS = 30
 TARGET = 5000.0
+# the SHIPPED serving canvas (InferenceEngine default / TPU_CANVAS):
+# the headline must be measured at the shape production serves, not a
+# flattering smaller stage (VERDICT r2 weak item 3)
+CANVAS = 512
 
 
 def main() -> None:
@@ -34,9 +38,9 @@ def main() -> None:
     from ics_tpu.runtime.engine import InferenceEngine
 
     engine = InferenceEngine(
-        "resnet50", precision="bf16", buckets=(BATCH,), canvas=256
+        "resnet50", precision="bf16", buckets=(BATCH,), canvas=CANVAS
     )
-    result = bench_engine(engine, batch=BATCH, canvas=256, iters=ITERS)
+    result = bench_engine(engine, batch=BATCH, canvas=CANVAS, iters=ITERS)
     print(
         json.dumps(
             {
@@ -44,6 +48,8 @@ def main() -> None:
                 "value": result["imgs_per_sec"],
                 "unit": "img/s",
                 "vs_baseline": round(result["imgs_per_sec"] / TARGET, 4),
+                "canvas": CANVAS,
+                "batch": BATCH,
             }
         )
     )
