@@ -1,10 +1,15 @@
 """Mechanical endpoint-inventory parity check.
 
-Every (METHOD, path) the reference exposes (extracted from
-``/root/reference/app/api/routes/*.py`` decorators + router prefixes, plus
-``app/main.py``'s root endpoints) must exist in this app's router —
-a missing surface is a parity regression, caught here rather than by the
-judge's line-by-line sweep.
+Every (METHOD, path) the reference exposes must exist in this app's
+router — a missing surface is a parity regression, caught here rather
+than by a line-by-line sweep.
+
+The inventory below is a HAND-FROZEN transcription of the reference's
+decorators + router prefixes (``/root/reference/app/api/routes/*.py``,
+``app/main.py``), reviewed against the source at the time of writing. It
+does not track reference drift automatically (the reference is a pinned
+snapshot, so drift cannot happen here); if the snapshot is ever updated,
+re-transcribe this list.
 """
 
 import re
