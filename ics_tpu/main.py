@@ -305,54 +305,27 @@ def create_app(db: Database | None = None) -> App:
 
     @app.get("/docs")
     async def docs(request: Request):
-        """Route catalogue (the reference served Swagger at /docs and its
-        compose healthcheck probes it) — generated from the live router."""
-        rows = []
-        for route in sorted(
-            request.app.router.routes, key=lambda r: (r.path, min(r.methods))
-        ):
-            methods = ",".join(sorted(route.methods))
-            doc = (route.handler.__doc__ or "").strip().splitlines()
-            summary = doc[0] if doc else ""
-            rows.append(
-                f"<tr><td><code>{methods}</code></td>"
-                f"<td><code>{route.path}</code></td><td>{summary}</td></tr>"
-            )
-        html = (
-            "<!doctype html><html><head><meta charset='utf-8'>"
-            "<title>ics_tpu API</title><style>body{font-family:sans-serif;"
-            "margin:2rem}table{border-collapse:collapse}td,th{border:1px "
-            "solid #ccc;padding:4px 10px;text-align:left}</style></head>"
-            "<body><h1>Sistema de Classificação de Imagens (TPU)</h1>"
-            f"<p>{len(request.app.router.routes)} rotas.</p>"
-            "<table><tr><th>Método</th><th>Rota</th><th>Descrição</th></tr>"
-            + "".join(rows)
-            + "</table></body></html>"
-        )
+        """Console interativo da API: login (cookie) + formulário por rota
+        gerado de /openapi.json — o equivalente hand-built do Swagger UI
+        que a referência serve em /docs (README.md:12; o healthcheck do
+        compose também sonda esta rota)."""
         from ics_tpu.web import Response
+        from ics_tpu.web.console import CONSOLE_HTML
 
-        return Response(html, media_type="text/html; charset=utf-8")
+        return Response(CONSOLE_HTML, media_type="text/html; charset=utf-8")
 
     @app.get("/openapi.json")
     async def openapi(request: Request):
-        paths: dict = {}
-        for route in request.app.router.routes:
-            entry = paths.setdefault(route.path, {})
-            for method in route.methods:
-                doc = (route.handler.__doc__ or "").strip()
-                entry[method.lower()] = {
-                    "summary": doc.splitlines()[0] if doc else route.handler.__name__,
-                    "responses": {"200": {"description": "OK"}},
-                }
+        """OpenAPI 3.0 com schemas de request/response por operação
+        (ics_tpu/api/openapi_contracts.py + modelos pydantic de schemas/)."""
+        from ics_tpu.web.console import build_openapi
+
         return JSONResponse(
-            {
-                "openapi": "3.0.0",
-                "info": {
-                    "title": "Sistema de Classificação de Imagens (TPU)",
-                    "version": __import__("ics_tpu").__version__,
-                },
-                "paths": paths,
-            }
+            build_openapi(
+                request.app,
+                title="Sistema de Classificação de Imagens (TPU)",
+                version=__import__("ics_tpu").__version__,
+            )
         )
 
     @app.get("/health")
