@@ -150,21 +150,33 @@ def _parse_coeff_buffer(lib, out, out_len) -> JpegCoefficients:
         lib.icstpu_free(out)
 
 
+# Below this file size the parallel path isn't worth starting: thread
+# spawn + one libjpeg header re-parse per chunk cost ~0.5 ms total, which
+# a sub-100KB scan decodes in anyway. Content-INDEPENDENT by design — the
+# per-chunk decoder is libjpeg itself (jpeg_mt.cpp), so summed CPU tracks
+# the serial path on any content class; only the fixed overhead needs
+# amortizing. Tests set this to 0 to exercise the MT path on small files.
+MT_MIN_BYTES = 96 * 1024
+
+
 def jpeg_coefficients(
     data: bytes, threads: int = 1
 ) -> Optional[JpegCoefficients]:
     """Host Huffman decode only; everything after runs on the device.
 
-    ``threads > 1`` takes the restart-marker parallel path (jpeg_mt.cpp)
-    when the file is eligible (baseline Huffman, DRI > 0, >=2 segments);
-    anything else falls back to the serial libjpeg decoder transparently.
+    ``threads > 1`` takes the restart-marker parallel path (jpeg_mt.cpp:
+    contiguous restart segments wrapped into synthesized single-MCU-row
+    JPEGs, each decoded by libjpeg on a worker thread) when the file is
+    eligible (baseline Huffman, DRI > 0, >=2 segments) and big enough to
+    amortize the fixed overhead (``MT_MIN_BYTES``); anything else falls
+    back to the serial libjpeg decoder transparently.
     """
     lib = _load()
     if lib is None:
         return None
     out = ctypes.POINTER(ctypes.c_ubyte)()
     out_len = ctypes.c_size_t()
-    if threads > 1:
+    if threads > 1 and len(data) >= MT_MIN_BYTES:
         rc = lib.icstpu_jpeg_coeffs_mt(
             data, len(data), ctypes.byref(out), ctypes.byref(out_len), threads
         )

@@ -2,31 +2,46 @@
 //
 // Huffman entropy decoding is the irreducibly serial part of JPEG — except
 // when the encoder emitted restart markers (DRI > 0): DC predictors reset
-// and the bitstream re-aligns at every RSTn, so the segments between
-// markers are independently decodable. This module parses the marker
-// structure, splits the scan at RSTn boundaries, and decodes the segments
-// on worker threads, producing a buffer BYTE-IDENTICAL to
-// icstpu_jpeg_coeffs (imgcodec.cpp): [CoeffHeader][per-component int16
-// coefficient planes in natural order].
+// and the bitstream re-aligns at every RSTn, so the runs of segments
+// between markers are independently decodable. This module parses the
+// marker structure, splits the scan at RSTn boundaries, groups contiguous
+// segments into chunks, and decodes every chunk WITH LIBJPEG ITSELF: each
+// chunk is wrapped into a synthesized in-memory JPEG (original header
+// bytes with the SOF dimensions patched to a single MCU row of the chunk's
+// MCU count, RSTn sequence renumbered from zero, EOI appended) and fed to
+// jpeg_read_coefficients on a worker thread; the decoded blocks are then
+// scattered into the real component planes by global MCU index.
+//
+// Why wrap libjpeg instead of a from-scratch Huffman decoder (the round-2
+// design): the hand-written bit reader cost 1.3-1.6x libjpeg's summed CPU
+// per byte depending on content (worst on dense/noisy scans —
+// docs/benchmarks.md), so threading traded total CPU for latency. With
+// per-chunk libjpeg the summed CPU tracks the serial path on ANY content
+// (the only overhead is one header re-parse + a chunk memcpy per chunk),
+// wall-clock divides by the worker count, and byte-identical parity with
+// icstpu_jpeg_coeffs is inherited from the decoder itself.
+//
+// Output buffer layout is BYTE-IDENTICAL to icstpu_jpeg_coeffs
+// (imgcodec.cpp): [CoeffHeader][per-component int16 planes, natural order].
 //
 // Scope: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit, 1 or 3
-// components, one interleaved scan, DRI > 0. Anything else returns 1 and
-// the caller falls back to the serial libjpeg path. On this 1-core build
-// host the parallelism is latent; on real serving hosts host entropy
-// decode is the binding ingest constraint (docs/benchmarks.md), and it
-// scales with threads here.
+// components, one scan, DRI > 0, >= 2 segments. Anything else returns 1
+// and the caller falls back to the serial path.
 
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <csetjmp>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
 
 namespace {
 
 // zigzag (stream) index -> natural (row-major) index, per the JPEG spec;
-// coefficient planes are stored in natural order to match libjpeg's
+// quant tables are stored in natural order to match libjpeg's
 // jpeg_read_coefficients output exactly.
 const uint8_t kNaturalOrder[64] = {
     0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
@@ -34,162 +49,15 @@ const uint8_t kNaturalOrder[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
-struct HuffTable {
-  bool present = false;
-  uint8_t look_nbits[256];  // 8-bit lookahead: code length (0 = miss)
-  uint8_t look_sym[256];
-  int32_t maxcode[18];      // largest code of each length, -1 if none
-  int32_t valoffset[17];    // huffval index = valoffset[l] + code
-  uint8_t huffval[256];
-};
-
-bool build_huff(const uint8_t counts[17], const uint8_t *values, int nsym,
-                HuffTable *t) {
-  uint8_t huffsize[257];
-  uint32_t huffcode[257];
-  int k = 0;
-  for (int l = 1; l <= 16; l++)
-    for (int i = 0; i < counts[l]; i++) {
-      if (k >= 256) return false;
-      huffsize[k++] = uint8_t(l);
-    }
-  if (k != nsym || k == 0) return false;
-  huffsize[k] = 0;
+// DHT validation only (the actual decode is libjpeg's): reject
+// oversubscribed tables before spawning threads.
+bool check_huff(const uint8_t counts[17], int nsym) {
+  if (nsym == 0 || nsym > 256) return false;
   uint32_t code = 0;
-  int si = huffsize[0];
-  int p = 0;
-  while (huffsize[p]) {
-    while (huffsize[p] == si) huffcode[p++] = code++;
-    if (code >= (1u << si)) return false;  // oversubscribed table
-    code <<= 1;
-    si++;
-  }
-  memcpy(t->huffval, values, nsym);
-  p = 0;
   for (int l = 1; l <= 16; l++) {
-    if (counts[l]) {
-      t->valoffset[l] = p - int32_t(huffcode[p]);
-      p += counts[l];
-      t->maxcode[l] = int32_t(huffcode[p - 1]);
-    } else {
-      t->maxcode[l] = -1;
-    }
-  }
-  t->maxcode[17] = 0xFFFFF;
-  memset(t->look_nbits, 0, sizeof(t->look_nbits));
-  p = 0;
-  for (int l = 1; l <= 8; l++)
-    for (int i = 0; i < counts[l]; i++, p++) {
-      int lookbits = int(huffcode[p]) << (8 - l);
-      for (int ctr = 1 << (8 - l); ctr > 0; ctr--, lookbits++) {
-        t->look_nbits[lookbits] = uint8_t(l);
-        t->look_sym[lookbits] = t->huffval[p];
-      }
-    }
-  t->present = true;
-  return true;
-}
-
-// Bit reader over one entropy segment: 0xFF00 byte-unstuffing, zero padding
-// past the segment end (pad bits are never decoded as data in a well-formed
-// stream — lookahead fills only). 64-bit accumulator with a 4-bytes-at-once
-// fast refill whenever the next word contains no 0xFF (the common case) —
-// the refill loop, not the Huffman walk, dominates entropy-decode time.
-struct BitReader {
-  const uint8_t *p;
-  const uint8_t *end;
-  uint64_t acc = 0;
-  int cnt = 0;
-
-  BitReader(const uint8_t *begin, const uint8_t *stop) : p(begin), end(stop) {}
-
-  static inline bool has_ff(uint32_t w) {
-    // per-byte "== 0xFF" test: any byte of (w ^ 0xFF..FF) equal to zero
-    uint32_t x = w ^ 0xFFFFFFFFu;
-    return ((x - 0x01010101u) & ~x & 0x80808080u) != 0;
-  }
-
-  inline void fill_to(int n) {
-    while (cnt < n) {
-      if (cnt <= 32 && p + 4 <= end) {
-        uint32_t w;
-        memcpy(&w, p, 4);
-        if (!has_ff(w)) {
-          acc = (acc << 32) | uint64_t(__builtin_bswap32(w));
-          cnt += 32;
-          p += 4;
-          continue;
-        }
-      }
-      uint64_t b = 0;
-      if (p < end) {
-        b = *p;
-        if (b == 0xFF) {
-          if (p + 1 < end && p[1] == 0x00) {
-            p += 2;
-          } else {          // marker or truncation: pad with zeros
-            b = 0;
-            p = end;
-          }
-        } else {
-          p++;
-        }
-      }
-      acc = (acc << 8) | b;
-      cnt += 8;
-    }
-  }
-
-  inline int get_bits(int n) {
-    if (!n) return 0;
-    fill_to(n);
-    cnt -= n;
-    return int((acc >> cnt) & ((1u << n) - 1));
-  }
-
-  inline int huff_decode(const HuffTable &t) {
-    fill_to(16);              // enough for any code (<=16 bits)
-    int look = int((acc >> (cnt - 8)) & 0xFF);
-    int nb = t.look_nbits[look];
-    if (nb) {
-      cnt -= nb;
-      return t.look_sym[look];
-    }
-    cnt -= 8;                 // all codes <= 8 bits hit the lookahead
-    int32_t code = look;
-    for (int l = 9; l <= 16; l++) {
-      code = (code << 1) | int((acc >> --cnt) & 1);
-      if (code <= t.maxcode[l]) return t.huffval[t.valoffset[l] + code];
-    }
-    return -1;                // invalid code
-  }
-};
-
-static inline int extend(int v, int s) {
-  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
-}
-
-bool decode_block(BitReader &br, const HuffTable &dc, const HuffTable &ac,
-                  int *pred, int16_t *block) {
-  int s = br.huff_decode(dc);
-  if (s < 0 || s > 15) return false;
-  int diff = s ? extend(br.get_bits(s), s) : 0;
-  *pred += diff;
-  block[0] = int16_t(*pred);
-  int k = 1;
-  while (k < 64) {
-    int rs = br.huff_decode(ac);
-    if (rs < 0) return false;
-    int r = rs >> 4, sz = rs & 15;
-    if (sz == 0) {
-      if (r != 15) break;     // EOB
-      k += 16;
-      continue;
-    }
-    k += r;
-    if (k > 63) return false;
-    block[kNaturalOrder[k]] = int16_t(extend(br.get_bits(sz), sz));
-    k++;
+    code += counts[l];
+    if (code > (1u << l)) return false;
+    code <<= 1;
   }
   return true;
 }
@@ -204,7 +72,6 @@ struct CoeffHeader {
 
 struct Component {
   int id = 0, h = 1, v = 1, tq = 0;
-  int dc_tbl = 0, ac_tbl = 0;
   int width_in_blocks = 0, height_in_blocks = 0;
 };
 
@@ -213,9 +80,9 @@ struct Parsed {
   Component comp[4];
   uint16_t qt[4][64];
   bool qt_present[4] = {false, false, false, false};
-  HuffTable dc[4], ac[4];
   int restart_interval = 0;
   const uint8_t *scan_start = nullptr;
+  size_t sof_payload_off = 0;  // offset of the SOF segment payload in data
 };
 
 static inline int rdiv_up(long a, long b) { return int((a + b - 1) / b); }
@@ -248,6 +115,7 @@ int parse_headers(const uint8_t *data, size_t len, Parsed *out) {
         out->height = (seg[1] << 8) | seg[2];
         out->width = (seg[3] << 8) | seg[4];
         out->ncomp = seg[5];
+        out->sof_payload_off = size_t(seg - data);
         if (precision != 8) return 1;
         if (out->ncomp != 1 && out->ncomp != 3) return 1;
         if (body < size_t(6 + 3 * out->ncomp)) return -2;
@@ -280,9 +148,7 @@ int parse_headers(const uint8_t *data, size_t len, Parsed *out) {
             counts[l] = seg[off + l];
             nsym += counts[l];
           }
-          if (off + 17 + nsym > body || nsym > 256) return -2;
-          HuffTable *t = tc ? &out->ac[th] : &out->dc[th];
-          if (!build_huff(counts, seg + off + 17, nsym, t)) return -2;
+          if (off + 17 + nsym > body || !check_huff(counts, nsym)) return -2;
           off += 17 + nsym;
         }
         break;
@@ -317,14 +183,9 @@ int parse_headers(const uint8_t *data, size_t len, Parsed *out) {
         if (body < size_t(1 + 2 * ns + 3)) return -2;
         for (int s = 0; s < ns; s++) {
           int cid = seg[1 + 2 * s];
-          int tabs = seg[2 + 2 * s];
           bool found = false;
           for (int c = 0; c < out->ncomp; c++)
-            if (out->comp[c].id == cid) {
-              out->comp[c].dc_tbl = tabs >> 4;
-              out->comp[c].ac_tbl = tabs & 15;
-              found = true;
-            }
+            if (out->comp[c].id == cid) found = true;
           if (!found) return -2;
         }
         const uint8_t *tail = seg + 1 + 2 * ns;
@@ -342,50 +203,114 @@ int parse_headers(const uint8_t *data, size_t len, Parsed *out) {
   return -2;
 }
 
-struct SegmentTask {
-  const uint8_t *begin;
-  const uint8_t *end;
+// one run of contiguous restart segments decoded as one synthesized JPEG
+struct ChunkTask {
+  long first_seg;             // index into the segment-start table
+  long nseg;
   long first_mcu;
   long mcu_count;
 };
 
-struct ScanGeom {
-  int mcu_w, mcu_h;
-  long total_mcus;
-  // per scan-member: component index, h, v (effective)
-  int nmembers;
-  int comp_idx[4], mh[4], mv[4];
+struct JpegErrorJmp {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
 };
 
-bool decode_segment(const Parsed &P, const ScanGeom &G, const SegmentTask &T,
-                    int16_t *planes[4]) {
-  BitReader br(T.begin, T.end);
-  int pred[4] = {0, 0, 0, 0};
-  int16_t dummy[64];
-  for (long m = 0; m < T.mcu_count; m++) {
-    long mcu = T.first_mcu + m;
-    long my = mcu / G.mcu_w, mx = mcu % G.mcu_w;
-    for (int s = 0; s < G.nmembers; s++) {
-      int ci = G.comp_idx[s];
-      const Component &C = P.comp[ci];
-      const HuffTable &dc = P.dc[C.dc_tbl];
-      const HuffTable &ac = P.ac[C.ac_tbl];
-      if (!dc.present || !ac.present) return false;
-      for (int by = 0; by < G.mv[s]; by++)
-        for (int bx = 0; bx < G.mh[s]; bx++) {
-          long row = my * G.mv[s] + by;
-          long col = mx * G.mh[s] + bx;
-          int16_t *target;
-          if (row < C.height_in_blocks && col < C.width_in_blocks) {
-            target = planes[ci] + (row * C.width_in_blocks + col) * 64;
-          } else {            // dummy block padding the MCU grid
-            memset(dummy, 0, sizeof(dummy));
-            target = dummy;
-          }
-          if (!decode_block(br, dc, ac, &pred[ci], target)) return false;
+void chunk_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErrorJmp *>(cinfo->err)->jb, 1);
+}
+
+// Decode one chunk via libjpeg and scatter its blocks into the real
+// planes. header = original bytes [0, scan_start) — copied per call with
+// the SOF dims patched to (chunk_mcus * hmax * 8) x (vmax * 8): one MCU
+// row holding exactly the chunk's MCUs (MCU geometry only affects block
+// PLACEMENT, never the entropy stream itself).
+bool decode_chunk(const uint8_t *data, const Parsed &P,
+                  const std::vector<const uint8_t *> &starts,
+                  const uint8_t *scan_end, const ChunkTask &T,
+                  long mcu_w, int hmax, int vmax, int16_t *planes[4],
+                  std::vector<uint8_t> &scratch) {
+  const size_t header_len = size_t(P.scan_start - data);
+  const uint8_t *chunk_begin = starts[T.first_seg];
+  const uint8_t *chunk_end =
+      (size_t(T.first_seg + T.nseg) < starts.size())
+          ? starts[T.first_seg + T.nseg] - 2  // strip the trailing RSTn
+          : scan_end;
+  scratch.clear();
+  scratch.reserve(header_len + size_t(chunk_end - chunk_begin) + 2);
+  scratch.insert(scratch.end(), data, data + header_len);
+  // patch SOF height/width in the copy (payload: [prec][H][H][W][W]...)
+  const size_t sof = P.sof_payload_off;
+  const long syn_w = (P.ncomp == 1) ? T.mcu_count * 8
+                                    : T.mcu_count * hmax * 8;
+  const long syn_h = (P.ncomp == 1) ? 8 : vmax * 8;
+  if (syn_w > 65500) return false;  // caller sizes chunks below this
+  scratch[sof + 1] = uint8_t(syn_h >> 8);
+  scratch[sof + 2] = uint8_t(syn_h & 0xFF);
+  scratch[sof + 3] = uint8_t(syn_w >> 8);
+  scratch[sof + 4] = uint8_t(syn_w & 0xFF);
+  // copy the scan slice, renumbering the RSTn cycle from zero
+  const size_t scan_off = scratch.size();
+  scratch.insert(scratch.end(), chunk_begin, chunk_end);
+  for (long s = 1; s < T.nseg; s++) {
+    size_t marker = scan_off + size_t(starts[T.first_seg + s] - chunk_begin) - 2;
+    if (scratch[marker] != 0xFF) return false;
+    scratch[marker + 1] = uint8_t(0xD0 + ((s - 1) & 7));
+  }
+  scratch.push_back(0xFF);
+  scratch.push_back(0xD9);  // EOI
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorJmp jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = chunk_error_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, scratch.data(),
+               static_cast<unsigned long>(scratch.size()));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jvirt_barray_ptr *barrays = jpeg_read_coefficients(&cinfo);
+  if (!barrays || cinfo.num_components != P.ncomp) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // scatter: synthesized comp c is one MCU row [v_c rows x mcus*h_c cols]
+  for (int c = 0; c < P.ncomp; c++) {
+    jpeg_component_info *ci = &cinfo.comp_info[c];
+    const Component &C = P.comp[c];
+    const int h_c = (P.ncomp == 1) ? 1 : C.h;
+    const int v_c = (P.ncomp == 1) ? 1 : C.v;
+    if (long(ci->width_in_blocks) < T.mcu_count * h_c ||
+        int(ci->height_in_blocks) < v_c) {
+      jpeg_destroy_decompress(&cinfo);
+      return false;
+    }
+    for (int by = 0; by < v_c; by++) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), barrays[c],
+          JDIMENSION(by), 1, FALSE);
+      for (long m = 0; m < T.mcu_count; m++) {
+        const long g = T.first_mcu + m;
+        const long my = g / mcu_w, mx = g % mcu_w;
+        const long row = my * v_c + by;
+        if (row >= C.height_in_blocks) continue;  // dummy MCU-pad rows
+        for (int bx = 0; bx < h_c; bx++) {
+          const long col = mx * h_c + bx;
+          if (col >= C.width_in_blocks) continue;  // dummy MCU-pad cols
+          memcpy(planes[c] + (row * C.width_in_blocks + col) * 64,
+                 rows[0][m * h_c + bx], 64 * sizeof(int16_t));
         }
+      }
     }
   }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
   return true;
 }
 
@@ -397,8 +322,8 @@ void icstpu_free(uint8_t *p);  // imgcodec.cpp
 
 // Parallel coefficient extraction. Returns 0 on success (buffer layout
 // identical to icstpu_jpeg_coeffs), 1 when the file isn't eligible for the
-// restart-parallel path (caller should use the serial decoder), negative on
-// malformed input.
+// restart-parallel path (caller should use the serial decoder), negative
+// on malformed input.
 int icstpu_jpeg_coeffs_mt(const uint8_t *data, size_t len, uint8_t **out,
                           size_t *out_len, int threads) {
   if (threads < 2) return 1;
@@ -422,33 +347,30 @@ int icstpu_jpeg_coeffs_mt(const uint8_t *data, size_t len, uint8_t **out,
         rdiv_up(long(P.height) * P.comp[c].v, long(vmax) * 8);
   }
 
-  ScanGeom G;
+  long mcu_w, mcu_h;
   if (P.ncomp == 1) {
     // single-component scan is non-interleaved: MCU = 1 block, sampling
     // factors ignored (ITU T.81 A.2.2); grid = the component's block grid
-    G.mcu_w = P.comp[0].width_in_blocks;
-    G.mcu_h = P.comp[0].height_in_blocks;
-    G.nmembers = 1;
-    G.comp_idx[0] = 0;
-    G.mh[0] = G.mv[0] = 1;
+    mcu_w = P.comp[0].width_in_blocks;
+    mcu_h = P.comp[0].height_in_blocks;
   } else {
-    G.mcu_w = rdiv_up(P.width, hmax * 8);
-    G.mcu_h = rdiv_up(P.height, vmax * 8);
-    G.nmembers = P.ncomp;
-    for (int c = 0; c < P.ncomp; c++) {
-      G.comp_idx[c] = c;
-      G.mh[c] = P.comp[c].h;
-      G.mv[c] = P.comp[c].v;
-    }
+    mcu_w = rdiv_up(P.width, hmax * 8);
+    mcu_h = rdiv_up(P.height, vmax * 8);
   }
-  G.total_mcus = long(G.mcu_w) * G.mcu_h;
-  long nseg = (G.total_mcus + P.restart_interval - 1) / P.restart_interval;
+  const long total_mcus = mcu_w * mcu_h;
+  const long nseg =
+      (total_mcus + P.restart_interval - 1) / P.restart_interval;
   if (nseg < 2) return 1;     // nothing to parallelize
+
+  // (the too-small-to-amortize-threads policy lives in the Python wrapper
+  // — imgcodec.MT_MIN_BYTES — so the parity tests can exercise this path
+  // on small images)
+  const uint8_t *data_end = data + len;
 
   // split the entropy stream at RSTn markers
   std::vector<const uint8_t *> starts;
   starts.push_back(P.scan_start);
-  const uint8_t *pend = data + len;
+  const uint8_t *pend = data_end;
   const uint8_t *p = P.scan_start;
   while (p + 1 < pend) {
     if (p[0] != 0xFF) {
@@ -495,27 +417,43 @@ int icstpu_jpeg_coeffs_mt(const uint8_t *data, size_t len, uint8_t **out,
   }
   memcpy(buffer, &hdr, sizeof(hdr));
 
-  std::vector<SegmentTask> tasks;
-  tasks.reserve(nseg);
-  for (long s = 0; s < nseg; s++) {
-    SegmentTask t;
-    t.begin = starts[s];
-    t.end = (s + 1 < nseg) ? starts[s + 1] - 2 : pend;  // -2: the RST marker
+  // chunking: contiguous segment runs, capped so the synthesized single
+  // MCU row stays under JPEG's 65500-px width, targeting ~2 chunks per
+  // worker for load balance on skewed content
+  const long mcu_px = (P.ncomp == 1) ? 8 : hmax * 8;
+  const long max_mcus_per_chunk = 65500 / mcu_px;
+  const long max_segs_by_width =
+      (max_mcus_per_chunk >= P.restart_interval)
+          ? max_mcus_per_chunk / P.restart_interval
+          : 0;
+  if (max_segs_by_width < 1) return 1;  // absurd DRI: serial path
+  long segs_per_chunk = (nseg + threads * 2 - 1) / (threads * 2);
+  if (segs_per_chunk < 1) segs_per_chunk = 1;
+  if (segs_per_chunk > max_segs_by_width) segs_per_chunk = max_segs_by_width;
+
+  std::vector<ChunkTask> tasks;
+  for (long s = 0; s < nseg; s += segs_per_chunk) {
+    ChunkTask t;
+    t.first_seg = s;
+    t.nseg = std::min<long>(segs_per_chunk, nseg - s);
     t.first_mcu = s * P.restart_interval;
-    t.mcu_count =
-        std::min<long>(P.restart_interval, G.total_mcus - t.first_mcu);
+    t.mcu_count = std::min<long>(t.nseg * P.restart_interval,
+                                 total_mcus - t.first_mcu);
     tasks.push_back(t);
   }
 
-  int T = int(std::min<long>(threads, nseg));
+  int T = int(std::min<long>(threads, long(tasks.size())));
   std::atomic<bool> failed(false);
   std::atomic<long> next(0);
   auto worker = [&]() {
+    std::vector<uint8_t> scratch;
     for (;;) {
       long i = next.fetch_add(1);
       if (i >= long(tasks.size()) || failed.load(std::memory_order_relaxed))
         return;
-      if (!decode_segment(P, G, tasks[i], planes)) failed.store(true);
+      if (!decode_chunk(data, P, starts, pend, tasks[i], mcu_w, hmax, vmax,
+                        planes, scratch))
+        failed.store(true);
     }
   };
   std::vector<std::thread> pool;

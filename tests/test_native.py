@@ -83,6 +83,12 @@ class TestParallelEntropyDecode:
     """Restart-marker parallel coefficient extraction (native/jpeg_mt.cpp)
     must be byte-identical to the serial libjpeg path."""
 
+    @pytest.fixture(autouse=True)
+    def _force_mt(self, monkeypatch):
+        # production declines the MT path for small files (fixed-overhead
+        # amortization); parity tests use small files and must exercise it
+        monkeypatch.setattr(imgcodec, "MT_MIN_BYTES", 0)
+
     @staticmethod
     def _rst_jpeg(rng, w, h, sampling, quality=88, rows=1, gray=False):
         if gray:
