@@ -110,14 +110,67 @@ def save_npz(path: str | Path, variables: dict) -> None:
     np.savez(path, **flat)
 
 
+_SAFETENSORS_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def load_safetensors(path: Path) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader (timm/HF's default weight container):
+    u64-LE header length + JSON header {name: {dtype, shape,
+    data_offsets}} + raw little-endian tensor bytes. No dependency needed
+    — the format is deliberately trivial. BF16 is widened to f32 (numpy
+    has no bfloat16; the loader casts to f32 anyway)."""
+    import json
+    import struct
+
+    raw = path.read_bytes()
+    if len(raw) < 8:
+        raise PretrainedFormatError(f"safetensors truncado: {path}")
+    (hlen,) = struct.unpack("<Q", raw[:8])
+    if 8 + hlen > len(raw):
+        raise PretrainedFormatError(f"safetensors com header inválido: {path}")
+    try:
+        header = json.loads(raw[8:8 + hlen])
+    except ValueError as exc:
+        raise PretrainedFormatError(f"safetensors com header inválido: {exc}")
+    data = memoryview(raw)[8 + hlen:]
+    out: dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        start, end = meta["data_offsets"]
+        buf = data[start:end]
+        shape = tuple(meta["shape"])
+        dt = meta["dtype"]
+        if dt == "BF16":
+            u16 = np.frombuffer(buf, "<u2").astype(np.uint32) << 16
+            out[name] = u16.view(np.float32).reshape(shape).copy()
+            continue
+        np_dt = _SAFETENSORS_DTYPES.get(dt)
+        if np_dt is None:
+            raise PretrainedFormatError(
+                f"safetensors dtype não suportado: {dt} ({name})"
+            )
+        out[name] = np.frombuffer(
+            buf, np.dtype(np_dt).newbyteorder("<")
+        ).reshape(shape).astype(np_dt, copy=True)
+    return out
+
+
 def load_flat(source: str | Path) -> dict[str, np.ndarray]:
     """Read a checkpoint file into a flat name->array dict.
 
-    ``.npz`` via numpy; ``.pt``/``.pth`` via ``torch.load`` (CPU,
-    weights_only — no pickle code execution)."""
+    ``.npz`` via numpy; ``.safetensors`` via the built-in reader;
+    ``.pt``/``.pth`` via ``torch.load`` (CPU, weights_only — no pickle
+    code execution)."""
     path = Path(source)
     if not path.is_file():
         raise PretrainedFormatError(f"arquivo de pesos não encontrado: {path}")
+    if path.suffix == ".safetensors":
+        return load_safetensors(path)
     if path.suffix in (".pt", ".pth", ".bin"):
         try:
             import torch

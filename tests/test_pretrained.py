@@ -610,6 +610,81 @@ class TestTorchLayoutRoundtrip:
         )
 
 
+class TestContainers:
+    """The three real-world weight containers all feed load_pretrained:
+    flat .npz, torch .pth (weights_only), and safetensors (built-in
+    reader — timm/HF's default)."""
+
+    @staticmethod
+    def _write_safetensors(path, flat):
+        import json
+        import struct
+
+        header = {}
+        blobs = []
+        off = 0
+        dmap = {np.float32: "F32", np.int64: "I64", np.float16: "F16"}
+        for name, arr in flat.items():
+            arr = np.ascontiguousarray(arr)
+            b = arr.tobytes()
+            header[name] = {
+                "dtype": dmap[arr.dtype.type],
+                "shape": list(arr.shape),
+                "data_offsets": [off, off + len(b)],
+            }
+            blobs.append(b)
+            off += len(b)
+        hj = json.dumps(header).encode()
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", len(hj)))
+            f.write(hj)
+            for b in blobs:
+                f.write(b)
+
+    def test_safetensors_roundtrip(self, tmp_path):
+        spec = get_model("resnet_tiny")
+        model = spec.build(num_classes=4)
+        variables = _np_variables(model.init(jax.random.PRNGKey(11)))
+        flat = _export_resnet(model, variables)
+        path = tmp_path / "r.safetensors"
+        self._write_safetensors(path, flat)
+        _, loaded = pt.load_pretrained("resnet_tiny", path)
+        _tree_allclose(variables, _np_variables(loaded))
+
+    def test_safetensors_bf16_widens(self, tmp_path):
+        import json
+        import struct
+
+        vals = np.array([1.5, -2.0, 0.015625, 3.0], np.float32)
+        bf16 = (vals.view(np.uint32) >> 16).astype(np.uint16)
+        header = {
+            "x": {"dtype": "BF16", "shape": [4],
+                  "data_offsets": [0, 8]},
+        }
+        hj = json.dumps(header).encode()
+        path = tmp_path / "b.safetensors"
+        path.write_bytes(struct.pack("<Q", len(hj)) + hj + bf16.tobytes())
+        out = pt.load_safetensors(path)
+        np.testing.assert_array_equal(out["x"], vals)  # exact bf16 values
+
+    def test_torch_pth_roundtrip(self, tmp_path):
+        spec = get_model("resnet_tiny")
+        model = spec.build(num_classes=4)
+        variables = _np_variables(model.init(jax.random.PRNGKey(12)))
+        flat = _export_resnet(model, variables)
+        sd = {k: torch.tensor(v) for k, v in flat.items()}
+        path = tmp_path / "r.pth"
+        torch.save(sd, path)
+        _, loaded = pt.load_pretrained("resnet_tiny", path)
+        _tree_allclose(variables, _np_variables(loaded))
+
+    def test_garbage_safetensors_is_loud(self, tmp_path):
+        path = tmp_path / "x.safetensors"
+        path.write_bytes(b"\x00")
+        with pytest.raises(pt.PretrainedFormatError):
+            pt.load_safetensors(path)
+
+
 class TestPosEmbedInterpolation:
     def test_grid_resize(self):
         # a 196-patch (224px) checkpoint into the 576-patch (384px) model
