@@ -77,11 +77,14 @@ class TestMonitorEndpoints:
             r = await client.get("/docs")
             assert r.status_code == 200
             assert "text/html" in r.headers["content-type"]
-            assert "/classificacoes/ambiente/{id_amb}/classificar" in r.text
+            # /docs is now the interactive console; the route list is
+            # rendered client-side from /openapi.json
+            assert "Console da API" in r.text
             r = await client.get("/openapi.json")
             spec = r.json()
             assert spec["openapi"] == "3.0.0"
             assert "/auth/login" in spec["paths"]
+            assert "/classificacoes/ambiente/{id_amb}/classificar" in spec["paths"]
             assert len(spec["paths"]) > 40
 
     @pytest.mark.anyio
