@@ -166,36 +166,57 @@ class InferenceService:
             if self.device_decode:
                 try:
                     # dominant wild shape (4:2:0 <=512px) at EVERY batch
-                    # bucket...
+                    # bucket — synchronous: it serves most real traffic
                     await loop.run_in_executor(None, self.engine.warmup_coeff)
-                    # ...and every other configured lane (sampling x luma
-                    # bucket) at the smallest bucket, so no sampling ever
-                    # pays an inline cold compile on its first flush
-                    # (VERDICT r2 item 3; the persistent cache then makes
-                    # larger buckets of those lanes load from disk on
-                    # subsequent boots once seen)
-                    from ics_tpu.runtime.device_decode import LUMA_BUCKETS
-
-                    min_bucket = (min(self.engine.buckets),)
-                    for mode in ("420", "422", "444", "gray"):
-                        for luma in LUMA_BUCKETS:
-                            if mode == "420" and luma == 64:
-                                continue
-                            await loop.run_in_executor(
-                                None,
-                                lambda m=mode, lb=luma: self.engine.warmup_coeff(
-                                    m, lb, buckets=min_bucket
-                                ),
-                            )
                 except Exception:  # lane warms lazily on first use instead
                     logger.exception("decode-lane warmup failed")
+                # ...and every other configured lane (sampling x luma
+                # bucket) at the smallest bucket, warmed in the BACKGROUND
+                # so a cold compilation cache doesn't add minutes of extra
+                # lanes to boot time; first traffic on a not-yet-warm lane
+                # just compiles inline as before (VERDICT r2 item 3)
+                self._lane_warm_task = asyncio.ensure_future(
+                    self._warm_remaining_lanes()
+                )
         await self.batcher.start()
         for lane in self.coeff_batchers.values():
             await lane.start()
         self._started = True
 
+    async def _warm_remaining_lanes(self) -> None:
+        from ics_tpu.runtime.device_decode import LUMA_BUCKETS
+
+        loop = asyncio.get_running_loop()
+        min_bucket = (min(self.engine.buckets),)
+        for mode in ("420", "422", "444", "gray"):
+            for luma in LUMA_BUCKETS:
+                if mode == "420" and luma == 64:
+                    continue  # already warmed synchronously
+                try:
+                    await loop.run_in_executor(
+                        None,
+                        lambda m=mode, lb=luma: self.engine.warmup_coeff(
+                            m, lb, buckets=min_bucket
+                        ),
+                    )
+                except asyncio.CancelledError:  # service stopping
+                    raise
+                except Exception:
+                    logger.exception(
+                        "background warmup of decode lane %s/%d failed",
+                        mode, luma,
+                    )
+        logger.info("all decode lanes warm")
+
     async def stop(self) -> None:
         self._started = False
+        task = getattr(self, "_lane_warm_task", None)
+        if task is not None and not task.done():
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
         await self.batcher.stop()
         for lane in self.coeff_batchers.values():
             await lane.stop()

@@ -144,6 +144,10 @@ class TestWarmAllLanes:
         s = InferenceService(engine, deadline_us=500, device_decode=True)
         await s.start(warm=True)
         try:
+            # the dominant 4:2:0 lane is warm synchronously; the rest warm
+            # in the background so boot isn't gated on 7 extra compiles
+            assert "420" in engine._coeff_steps
+            await s._lane_warm_task
             assert set(engine._coeff_steps) == {"420", "422", "444", "gray"}
         finally:
             await s.stop()
