@@ -183,6 +183,22 @@ class InferenceService:
             await lane.start()
         self._started = True
 
+    async def _await_idle_window(self, max_wait_s: float = 120.0) -> None:
+        """Wait for ~0.5 s of no in-flight traffic (capped) before a lane
+        compile: jit tracing is GIL-heavy and measurably stalls in-flight
+        requests on small hosts, so background warmup must yield to the
+        foreground. Under constant load the cap lets warmup proceed anyway
+        (one slow lane beats a never-warm lane)."""
+        loop = asyncio.get_running_loop()
+        deadline = loop.time() + max_wait_s
+        idle_checks = 0
+        while loop.time() < deadline:
+            busy = self._incoming.value > 0 or not self.batcher._queue.empty()
+            idle_checks = 0 if busy else idle_checks + 1
+            if idle_checks >= 3:  # ~0.5 s continuously idle
+                return
+            await asyncio.sleep(0.25)
+
     async def _warm_remaining_lanes(self) -> None:
         from ics_tpu.runtime.device_decode import LUMA_BUCKETS
 
@@ -192,6 +208,7 @@ class InferenceService:
             for luma in LUMA_BUCKETS:
                 if mode == "420" and luma == 64:
                     continue  # already warmed synchronously
+                await self._await_idle_window()
                 try:
                     await loop.run_in_executor(
                         None,
