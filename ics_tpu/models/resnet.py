@@ -222,8 +222,10 @@ class ResNet:
                 blocks = folded["stages"][si][1:]
                 if not blocks:
                     continue
+                # .shape only — np.asarray here would D2H-transfer every
+                # conv weight just to count bytes
                 packed_bytes = 2 * sum(
-                    int(np.prod(np.asarray(f[k]["conv"]["w"]).shape))
+                    int(np.prod(f[k]["conv"]["w"].shape))
                     for f in blocks
                     for k in ("cbr1", "cbr2", "cbr3")
                 )

@@ -10,9 +10,16 @@ stops on a device->host fetch of the final carry.
 from __future__ import annotations
 
 import time
+import weakref
 from typing import Optional
 
 import numpy as np
+
+# chained-step closures per engine: repeat callers (the
+# /monitor/latency-budget route, sweep scripts) must not re-trace the
+# fori_loop harness on every call — tracing is seconds of pure-Python work
+# on the serving host's core
+_chained_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
@@ -31,24 +38,29 @@ def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
     model = engine.model
     dtype = engine.dtype
 
-    def one_step(folded, canvas_u8, sizes):
-        x = preprocess_batch(
-            canvas_u8, sizes, out_size=spec.image_size,
-            resize_short=spec.resize_short, dtype=dtype,
-        )
-        logits = model.apply_folded(folded, x).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        values, idx = jax.lax.top_k(probs, 5)
-        return values, idx
+    chained = _chained_cache.get(engine)
+    if chained is None:
 
-    @jax.jit
-    def chained(folded, canvas_u8, sizes, n):
-        def body(_, carry):
-            bump = (carry > 1e30).astype(jnp.uint8)   # runtime 0, opaque
-            values, _ = one_step(folded, canvas_u8 + bump, sizes)
-            return values[0, 0]
+        def one_step(folded, canvas_u8, sizes):
+            x = preprocess_batch(
+                canvas_u8, sizes, out_size=spec.image_size,
+                resize_short=spec.resize_short, dtype=dtype,
+            )
+            logits = model.apply_folded(folded, x).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            values, idx = jax.lax.top_k(probs, 5)
+            return values, idx
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        @jax.jit
+        def chained(folded, canvas_u8, sizes, n):
+            def body(_, carry):
+                bump = (carry > 1e30).astype(jnp.uint8)  # runtime 0, opaque
+                values, _ = one_step(folded, canvas_u8 + bump, sizes)
+                return values[0, 0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        _chained_cache[engine] = chained
 
     rng = np.random.default_rng(0)
     cv = jax.device_put(

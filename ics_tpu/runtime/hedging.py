@@ -63,11 +63,20 @@ class HedgedInferenceService:
     mesh and the warmup route reaches it there).
     """
 
-    # deterministic input failures (undecodable bytes — the same classes the
-    # route maps to 422; PIL's UnidentifiedImageError is an OSError) would
-    # fail identically on every replica: replaying them doubles the work and
-    # pollutes hedge_failures with client errors
-    INPUT_ERRORS = (OSError, ValueError)
+    # deterministic input failures (undecodable bytes) fail identically on
+    # every replica: replaying them doubles the work and pollutes
+    # hedge_failures with client errors. The exemption is deliberately
+    # NARROW — bare OSError also covers ConnectionResetError/socket faults
+    # from a dying replica's runtime, which are exactly what hedging must
+    # absorb, so only decode-specific classes qualify. A truncated-image
+    # OSError from PIL will hedge wastefully once; correctness wins.
+    try:
+        from PIL import UnidentifiedImageError as _BadImage
+    except Exception:  # pragma: no cover - PIL is baked in
+        class _BadImage(Exception):
+            pass
+
+    INPUT_ERRORS = (_BadImage, ValueError)
 
     def __init__(self, replicas, hedge_ms: float = 250.0):
         if len(replicas) < 2:

@@ -55,6 +55,10 @@ class InferenceService:
         # px (VERDICT r1 item 5 broadened the r1 4:2:0 <=512 single lane).
         self.device_decode = device_decode
         self.coeff_batchers: dict[tuple[str, int], DynamicBatcher] = {}
+        # requests inside classify_bytes (decode, queued, or awaiting a
+        # flush) — the background-warmup idle gate keys off this, since
+        # batcher queues alone go empty while a flush is in flight
+        self._inflight = 0
         self._latencies_ms: list[float] = []
         self._device_errors = 0
         self._stats = {"device_decoded": 0, "host_decoded": 0}
@@ -193,7 +197,11 @@ class InferenceService:
         deadline = loop.time() + max_wait_s
         idle_checks = 0
         while loop.time() < deadline:
-            busy = self._incoming.value > 0 or not self.batcher._queue.empty()
+            # _inflight covers the whole request lifetime (decode, any
+            # lane's queue, awaiting a flush) — queue emptiness alone goes
+            # false-idle while a flush is in flight or a device-decode
+            # batch waits in a coeff lane
+            busy = self._inflight > 0 or self._incoming.value > 0
             idle_checks = 0 if busy else idle_checks + 1
             if idle_checks >= 3:  # ~0.5 s continuously idle
                 return
@@ -229,16 +237,26 @@ class InferenceService:
         self._started = False
         task = getattr(self, "_lane_warm_task", None)
         if task is not None and not task.done():
+            # cancel + DETACH: an in-flight run_in_executor compile is
+            # uncancellable (can run minutes over the remote-compile
+            # tunnel) — awaiting it here would hang SIGTERM shutdown. The
+            # orphaned compile finishes harmlessly against the engine.
             task.cancel()
-            try:
-                await task
-            except (asyncio.CancelledError, Exception):
-                pass
+            task.add_done_callback(
+                lambda t: t.exception() if not t.cancelled() else None
+            )
         await self.batcher.stop()
         for lane in self.coeff_batchers.values():
             await lane.stop()
 
     async def classify_bytes(self, data: bytes) -> dict:
+        self._inflight += 1
+        try:
+            return await self._classify_bytes(data)
+        finally:
+            self._inflight -= 1
+
+    async def _classify_bytes(self, data: bytes) -> dict:
         t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         # announce on the shared counter: the request exists but is still

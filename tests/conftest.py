@@ -45,7 +45,7 @@ _pg_created_dbs: list[str] = []
 
 if PG_TEST_URL:
     import itertools
-    import re
+    import urllib.parse
 
     from ics_tpu.db import engine as _engine_mod
     from ics_tpu.db import pg_wire as _pg_wire
@@ -61,7 +61,10 @@ if PG_TEST_URL:
         finally:
             admin.close()
         _pg_created_dbs.append(name)
-        return re.sub(r"/[^/?]+(\?.*)?$", f"/{name}", PG_TEST_URL)
+        # swap only the path — a naive regex would eat the query string or
+        # mangle a path-less DSN's authority
+        parts = urllib.parse.urlsplit(PG_TEST_URL)
+        return urllib.parse.urlunsplit(parts._replace(path=f"/{name}"))
 
     def _pg_redirect_init(self, url: str):
         if url.startswith("sqlite") and ":memory:" not in url:
