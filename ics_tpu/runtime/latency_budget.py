@@ -139,11 +139,18 @@ def measure(engine, repeats: int = 10, jpeg_side: int = 512,
 
     out["h2d_roundtrip_b8_ms"] = _median_ms(h2d, repeats)
 
-    # D2H: fetch of a resident tiny array (approximately one RTT + fetch)
-    resident = jax.device_put(np.zeros((8, 8), np.float32))
-    _ = np.asarray(jax.device_get(resident))
+    # D2H: fetch of resident tiny arrays (approximately one RTT + fetch).
+    # Each repetition must fetch a DISTINCT array — jax.Array caches its
+    # host copy after the first conversion, so re-fetching one array
+    # measures the cache (microseconds), not the link.
+    residents = [
+        jax.device_put(np.full((8, 8), i, np.float32))
+        for i in range(repeats + 1)
+    ]
+    _ = np.asarray(jax.device_get(residents[0]))  # drain pending puts
+    it = iter(residents[1:])
     out["d2h_roundtrip_ms"] = _median_ms(
-        lambda: np.asarray(jax.device_get(resident)), repeats
+        lambda: np.asarray(jax.device_get(next(it))), repeats
     )
 
     # compiled device step, batch 8, on-device chained (tunnel-immune)
