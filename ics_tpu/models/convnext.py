@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ics_tpu.nn.layers import Conv2D, Dense, LayerNorm, truncated_normal
+from ics_tpu.nn.layers import Conv2D, Dense, LayerNorm, gelu, truncated_normal
 
 
 class ConvNeXtBlock:
@@ -46,8 +46,10 @@ class ConvNeXtBlock:
         y = self.dwconv.apply(params["dwconv"], x)        # [B,H,W,C] VPU
         y = self.ln.apply(params["ln"], y)
         y = self.fc1.apply(params["fc1"], y)              # MXU GEMM C->4C
-        # exact GELU: torchvision CNBlock uses nn.GELU (pretrained compat)
-        y = jax.nn.gelu(y, approximate=False)
+        # dtype-aware GELU: exact erf under fp32 (torchvision-checkpoint
+        # fidelity), tanh approx under bf16 where its error is below
+        # rounding noise and erf costs 46% whole-model (nn/layers.py::gelu)
+        y = gelu(y)
         y = self.fc2.apply(params["fc2"], y)              # MXU GEMM 4C->C
         y = y * params["gamma"].astype(y.dtype)
         return x + y

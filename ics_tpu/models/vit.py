@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ics_tpu.nn.layers import Conv2D, Dense, LayerNorm, truncated_normal
+from ics_tpu.nn.layers import Conv2D, Dense, LayerNorm, gelu, truncated_normal
 from ics_tpu.ops.attention import attention_reference, flash_attention
 
 
@@ -42,12 +42,14 @@ class MultiHeadAttention:
 
 
 class TransformerBlock:
-    def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4):
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4,
+                 gelu_exact: bool = True):
         self.ln1 = LayerNorm(dim)
         self.attn = MultiHeadAttention(dim, num_heads)
         self.ln2 = LayerNorm(dim)
         self.fc1 = Dense(dim, dim * mlp_ratio)
         self.fc2 = Dense(dim * mlp_ratio, dim)
+        self.gelu_exact = gelu_exact
 
     def init(self, key):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -62,9 +64,10 @@ class TransformerBlock:
         x = x + self.attn.apply(params["attn"], y, use_flash)
         y = self.ln2.apply(params["ln2"], x)
         y = self.fc1.apply(params["fc1"], y)
-        # exact (erf) GELU — timm/torch checkpoints are trained with
-        # nn.GELU; the tanh approximation drifts imported weights
-        y = jax.nn.gelu(y, approximate=False)
+        # dtype-aware GELU: exact erf under fp32 (import fidelity), tanh
+        # approximation under bf16 where its error is sub-rounding-noise
+        # and erf costs 22% whole-model (nn/layers.py::gelu, measured)
+        y = gelu(y, exact=self.gelu_exact)
         y = self.fc2.apply(params["fc2"], y)
         return x + y
 
@@ -78,6 +81,7 @@ class ViT:
         depth: int = 12,
         num_heads: int = 12,
         num_classes: int = 1000,
+        gelu_exact: bool = True,
     ):
         self.image_size = image_size
         self.patch_size = patch_size
@@ -85,7 +89,10 @@ class ViT:
         self.num_patches = (image_size // patch_size) ** 2
         self.patch_embed = Conv2D(3, dim, patch_size, patch_size, padding="VALID",
                                   use_bias=True)
-        self.blocks = [TransformerBlock(dim, num_heads) for _ in range(depth)]
+        self.blocks = [
+            TransformerBlock(dim, num_heads, gelu_exact=gelu_exact)
+            for _ in range(depth)
+        ]
         self.ln = LayerNorm(dim)
         self.head = Dense(dim, num_classes, init="trunc_normal")
         self.num_classes = num_classes
@@ -154,9 +161,12 @@ def vit_b16_h6d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
     MXU's 128 lanes — the measured escape from the d=64 padded-matmul
     attention floor (docs/benchmarks.md ViT analysis). NOT weight-
     compatible with standard ViT-B/16 checkpoints; intended for training
-    from scratch / fine-tuning where attention throughput matters.
+    from scratch / fine-tuning where attention throughput matters — which
+    is also why it keeps the tanh-approx GELU (erf costs 22% whole-model,
+    and there are no imported weights to stay faithful to).
     """
-    return ViT(image_size=image_size, num_classes=num_classes, num_heads=6)
+    return ViT(image_size=image_size, num_classes=num_classes, num_heads=6,
+               gelu_exact=False)
 
 
 def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
@@ -167,4 +177,4 @@ def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
 def vit_l16_h8d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
     """ViT-L/16 with 8 heads of d=128 (see vit_b16_h6d128)."""
     return ViT(image_size=image_size, dim=1024, depth=24, num_heads=8,
-               num_classes=num_classes)
+               num_classes=num_classes, gelu_exact=False)

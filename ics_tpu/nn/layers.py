@@ -203,6 +203,24 @@ def max_pool(x, window: int = 3, stride: int = 2,
     )
 
 
+def gelu(x, exact: bool = True):
+    """GELU whose exactness follows the compute dtype.
+
+    torch/timm checkpoints are trained with exact (erf) GELU, but on v5e
+    erf costs 22-46% whole-model throughput (ViT-B/ConvNeXt-T, measured,
+    docs/benchmarks.md r3) — and under half precision the tanh
+    approximation's ~3e-4 error is BELOW rounding noise: bf16+approx
+    deviates from the fp32+exact reference no more than bf16+exact does
+    (measured max|Δlogit| 0.0095 vs 0.0106, top-1 agreement 1.000). So:
+    exact erf under fp32 (training/parity/import verification), tanh
+    approximation under bf16/f16 (the serving path). ``exact=False``
+    forces the approximation regardless of dtype (the from-scratch d=128
+    ViT variants, which have no imported weights to stay faithful to).
+    """
+    approximate = (not exact) or x.dtype in (jnp.bfloat16, jnp.float16)
+    return jax.nn.gelu(x, approximate=approximate)
+
+
 def global_avg_pool(x):
     return jnp.mean(x, axis=(1, 2))
 
