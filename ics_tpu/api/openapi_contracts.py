@@ -172,7 +172,8 @@ CONTRACTS: dict[tuple[str, str], dict] = {
             "canvas": "integer", "eval_fraction": "number",
             "remat": "boolean", "usar_sugestoes": "boolean",
             "sugestao_min_score": "number", "retomar_de": "string",
-            "pesos_iniciais": "string",
+            "pesos_iniciais": "string", "augmentar": "boolean",
+            "mixup_alpha": "number", "suavizacao_rotulo": "number",
         }),
     },
     ("GET", "/treinamento/jobs"): {},

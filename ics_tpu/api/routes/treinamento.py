@@ -87,6 +87,18 @@ async def iniciar_treinamento(request: Request):
             )
     remat = body.get("remat", False)
     usar_sugestoes = body.get("usar_sugestoes", False)
+    # augmentation defaults ON (on-device crop/flip — ops/augment.py);
+    # mixup/label-smoothing stay opt-in and require it
+    if not isinstance(body.get("augmentar", True), bool):
+        raise HTTPException(
+            422, "Parâmetro inválido: augmentar deve ser booleano"
+        )
+    augmentar = body.get("augmentar", True)
+    try:
+        mixup_alpha = float(body.get("mixup_alpha") or 0.0)
+        suavizacao_rotulo = float(body.get("suavizacao_rotulo") or 0.0)
+    except (TypeError, ValueError) as exc:
+        raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     retomar_de = body.get("retomar_de")
     if retomar_de is not None and not isinstance(retomar_de, str):
         raise HTTPException(422, "Parâmetro inválido: retomar_de deve ser o id de um job")
@@ -113,9 +125,14 @@ async def iniciar_treinamento(request: Request):
             sugestao_min_score=sugestao_min_score,
             retomar_de=retomar_de,
             pesos_iniciais=pesos_iniciais,
+            augmentar=augmentar,
+            mixup_alpha=mixup_alpha,
+            suavizacao_rotulo=suavizacao_rotulo,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")
+    except ValueError as exc:
+        raise HTTPException(422, f"Parâmetro inválido: {exc}")
     except FileNotFoundError as exc:
         raise HTTPException(422, str(exc))
     except TrainingUnavailable as exc:

@@ -73,6 +73,30 @@ def _resize_plan(h, w, out_size: int, resize_short: int):
     return (scale_y, crop_y), (scale_x, crop_x)
 
 
+def apply_resize_weights(canvas_img, ry, rx):
+    """Resize via the two interpolation matmuls: uint8 [CH, CW, 3] ->
+    float32 [out, out, 3] in [0, 255] pixel space.
+
+    Shared core of the serving preproc and the training augmentation
+    (:mod:`ics_tpu.ops.augment`) — the two differ ONLY in how the weight
+    matrices ``ry``/``rx`` are built."""
+    # channels as the BATCH dim of the matmuls: [out,CH] @ [c,CH,CW] keeps
+    # the 128-lane dim fully utilized (channels-last layout would put c=3
+    # in the lanes — measured 40x slower at 512 canvases)
+    img = jnp.transpose(canvas_img, (2, 0, 1)).astype(jnp.float32)  # [c,CH,CW]
+    y = jnp.einsum("oH,cHW->coW", ry, img, preferred_element_type=jnp.float32)
+    y = jnp.einsum("oW,chW->cho", rx, y, preferred_element_type=jnp.float32)
+    return jnp.transpose(y, (1, 2, 0))                          # [out,out,c]
+
+
+def normalize_pixels(y, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                     dtype=jnp.bfloat16):
+    """ImageNet-normalize a float32 [0,255]-space image and cast."""
+    mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
+    std_arr = jnp.asarray(std, jnp.float32) * 255.0
+    return ((y - mean_arr) / std_arr).astype(dtype)
+
+
 def preprocess_image(canvas_img, h, w, out_size: int = 224,
                      resize_short: int = 256,
                      mean=IMAGENET_MEAN, std=IMAGENET_STD,
@@ -82,17 +106,8 @@ def preprocess_image(canvas_img, h, w, out_size: int = 224,
     (sy, oy), (sx, ox) = _resize_plan(h, w, out_size, resize_short)
     ry = _triangle_weights(ch, out_size, h, sy, oy)             # [out, CH]
     rx = _triangle_weights(cw, out_size, w, sx, ox)             # [out, CW]
-    # channels as the BATCH dim of the matmuls: [out,CH] @ [c,CH,CW] keeps
-    # the 128-lane dim fully utilized (channels-last layout would put c=3
-    # in the lanes — measured 40x slower at 512 canvases)
-    img = jnp.transpose(canvas_img, (2, 0, 1)).astype(jnp.float32)  # [c,CH,CW]
-    y = jnp.einsum("oH,cHW->coW", ry, img, preferred_element_type=jnp.float32)
-    y = jnp.einsum("oW,chW->cho", rx, y, preferred_element_type=jnp.float32)
-    y = jnp.transpose(y, (1, 2, 0))                             # [out,out,c]
-    mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
-    std_arr = jnp.asarray(std, jnp.float32) * 255.0
-    y = (y - mean_arr) / std_arr
-    return y.astype(dtype)
+    y = apply_resize_weights(canvas_img, ry, rx)
+    return normalize_pixels(y, mean, std, dtype)
 
 
 @functools.partial(

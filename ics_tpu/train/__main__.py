@@ -49,12 +49,25 @@ def main(argv=None) -> int:
         help="pretrained starting weights: file name under "
              "{TPU_WEIGHTS_DIR}/pretrained/ or an absolute path "
              "(.npz native/torch layout or torch .pt/.pth; see "
-             "docs/treinamento.md)",
+             "docs/tpu.md)",
     )
     parser.add_argument(
         "--remat", action="store_true",
         help="per-block rematerialization: trade ~1/3 extra forward FLOPs "
              "for much lower activation memory (deep models/large batches)",
+    )
+    parser.add_argument(
+        "--sem-augmentar", action="store_true",
+        help="disable the on-device crop/flip augmentation (it is ON by "
+             "default; ops/augment.py)",
+    )
+    parser.add_argument(
+        "--mixup-alpha", type=float, default=0.0,
+        help="mixup Beta(a, a); 0 disables (0.2 is the standard setting)",
+    )
+    parser.add_argument(
+        "--suavizacao-rotulo", type=float, default=0.0,
+        help="label smoothing in [0, 1); 0.1 is the standard setting",
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -91,6 +104,9 @@ def main(argv=None) -> int:
         sugestao_min_score=args.sugestao_min_score,
         retomar_de=args.retomar_de,
         pesos_iniciais=args.pesos_iniciais,
+        augmentar=not args.sem_augmentar,
+        mixup_alpha=args.mixup_alpha,
+        suavizacao_rotulo=args.suavizacao_rotulo,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

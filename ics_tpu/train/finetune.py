@@ -28,6 +28,13 @@ def cross_entropy_loss(logits, labels):
     return jnp.mean(nll)
 
 
+def soft_cross_entropy_loss(logits, target_probs):
+    """CE against probability rows [B, C] — the mixup/label-smoothing form
+    (reduces to :func:`cross_entropy_loss` on one-hot targets)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(-jnp.sum(target_probs * logp, axis=-1))
+
+
 def make_optimizer(lr: float = 0.01, momentum: float = 0.9,
                    weight_decay: float = 1e-4):
     # standard recipe: no weight decay on norm scales/shifts or biases
@@ -100,6 +107,85 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
     return step
 
 
+def _augmented_step_fn(model, optimizer, augment, image_size: int,
+                       compute_dtype):
+    """Raw (un-jitted) augmented train step shared by the single-chip and
+    sharded builders below."""
+    from ics_tpu.ops.augment import augment_batch, mixup, smooth_labels
+
+    num_classes = model.num_classes
+
+    def loss_fn(params, state, images, target_probs):
+        logits, new_state = model.apply(
+            {"params": params, "state": state},
+            images.astype(compute_dtype),
+            training=True,
+        )
+        loss = soft_cross_entropy_loss(logits, target_probs)
+        return loss, (logits, new_state)
+
+    def step(variables, opt_state, canvas_u8, sizes, labels, key):
+        k_aug, k_mix = jax.random.split(key)
+        images = augment_batch(
+            canvas_u8, sizes, k_aug, out_size=image_size, cfg=augment,
+            dtype=compute_dtype,
+        )
+        targets = smooth_labels(labels, num_classes, augment.label_smoothing)
+        if augment.mixup_alpha > 0.0:
+            images, targets = mixup(k_mix, images, targets,
+                                    augment.mixup_alpha)
+        params, state = variables["params"], variables["state"]
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, state, images, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+        )
+        return (
+            {"params": params, "state": new_state},
+            opt_state,
+            {"loss": loss, "accuracy": acc},
+        )
+
+    return step
+
+
+def make_augmented_train_step(model, optimizer, augment,
+                              image_size: int = 224,
+                              compute_dtype=jnp.bfloat16):
+    """Fused AUGMENTED step: uint8 canvas -> on-device RandomResizedCrop/
+    flip/jitter (inside the same resize matmuls, :mod:`ics_tpu.ops.augment`)
+    -> optional mixup -> fwd+bwd -> SGD.
+
+    Signature gains a PRNG ``key`` after ``labels``; ``resize_short`` does
+    not apply (the crop box is sampled from the full true extent). Reported
+    ``accuracy`` is against the ORIGINAL hard labels — with mixup the lambda
+    is folded to >= 0.5, so each row's own label stays the argmax target.
+    """
+    return jax.jit(
+        _augmented_step_fn(model, optimizer, augment, image_size,
+                           compute_dtype)
+    )
+
+
+def make_sharded_augmented_train_step(model, optimizer, mesh: Mesh, augment,
+                                      image_size: int = 224,
+                                      compute_dtype=jnp.bfloat16):
+    """Sharded twin of :func:`make_augmented_train_step`: canvas/sizes/labels
+    shard over 'data', the PRNG key replicates (per-image keys fold in the
+    GLOBAL batch index, so shards draw distinct crops); mixup's roll-by-one
+    crosses the shard boundary as a single-row ppermute over ICI."""
+    step = _augmented_step_fn(model, optimizer, augment, image_size,
+                              compute_dtype)
+    return _sharded_builders(
+        step, mesh,
+        (batch_sharding(mesh, 4), batch_sharding(mesh, 2),
+         batch_sharding(mesh, 1), replicated_sharding(mesh)),
+    )
+
+
 class FineTuner:
     """End-to-end fine-tune driver (BASELINE config 5): synced dataset +
     human labels -> SGD loop -> orbax checkpoints."""
@@ -107,7 +193,8 @@ class FineTuner:
     def __init__(self, model, optimizer=None, image_size: int = 224,
                  resize_short: int = 256, compute_dtype=jnp.bfloat16,
                  checkpoint_dir: Optional[str] = None,
-                 remat: Optional[bool] = None, mesh: Optional[Mesh] = None):
+                 remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
+                 augment: Optional[Any] = None, seed: int = 0):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -123,10 +210,23 @@ class FineTuner:
         self._image_size = image_size
         self._resize_short = resize_short
         self._compute_dtype = compute_dtype
+        # augment: an ops.augment.AugmentConfig enables the fused on-device
+        # augmentation step (crop/flip inside the resize matmuls + optional
+        # mixup/label smoothing); the step then takes a PRNG key derived
+        # from ``seed`` and the ABSOLUTE step number, so resumed jobs draw
+        # the same crop sequence they would have un-interrupted
+        self._augment = augment
+        self._base_key = jax.random.PRNGKey(seed)
         if mesh is None:
-            self.step_fn = make_preproc_train_step(
-                model, self.optimizer, image_size, resize_short, compute_dtype
-            )
+            if augment is not None:
+                self.step_fn = make_augmented_train_step(
+                    model, self.optimizer, augment, image_size, compute_dtype
+                )
+            else:
+                self.step_fn = make_preproc_train_step(
+                    model, self.optimizer, image_size, resize_short,
+                    compute_dtype,
+                )
         else:
             self.step_fn = None  # built in run() from the actual trees
         self.checkpoint = None
@@ -150,18 +250,30 @@ class FineTuner:
             start_step = int(restored.get("metadata", {}).get("step", 0))
         step_fn = self.step_fn
         if self.mesh is not None:
-            jit_step, shard_variables = make_sharded_preproc_train_step(
-                self.model, self.optimizer, self.mesh, self._image_size,
-                self._resize_short, self._compute_dtype,
-            )
+            if self._augment is not None:
+                jit_step, shard_variables = make_sharded_augmented_train_step(
+                    self.model, self.optimizer, self.mesh, self._augment,
+                    self._image_size, self._compute_dtype,
+                )
+            else:
+                jit_step, shard_variables = make_sharded_preproc_train_step(
+                    self.model, self.optimizer, self.mesh, self._image_size,
+                    self._resize_short, self._compute_dtype,
+                )
             variables, opt_state, _ = shard_variables(variables, opt_state)
             step_fn = jit_step(variables, opt_state)
         history = []
         step_num = start_step
         for canvas, sizes, labels in batches:
-            variables, opt_state, metrics = step_fn(
-                variables, opt_state, canvas, sizes, labels
-            )
+            if self._augment is not None:
+                key = jax.random.fold_in(self._base_key, step_num)
+                variables, opt_state, metrics = step_fn(
+                    variables, opt_state, canvas, sizes, labels, key
+                )
+            else:
+                variables, opt_state, metrics = step_fn(
+                    variables, opt_state, canvas, sizes, labels
+                )
             step_num += 1
             record = {"step": step_num, "loss": float(metrics["loss"]),
                       "accuracy": float(metrics["accuracy"])}

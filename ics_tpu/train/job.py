@@ -202,7 +202,7 @@ class TrainingJobManager:
 
         Absolute paths are taken as-is; bare names resolve under
         ``{checkpoint_root}/pretrained/`` (the documented drop-in spot for
-        downloaded checkpoints — docs/treinamento.md)."""
+        downloaded checkpoints — docs/tpu.md)."""
         p = Path(name_or_path)
         if not p.is_absolute():
             p = self.checkpoint_root / "pretrained" / name_or_path
@@ -249,6 +249,9 @@ class TrainingJobManager:
         sugestao_min_score: float = 0.9,
         retomar_de: Optional[str] = None,
         pesos_iniciais: Optional[str] = None,
+        augmentar: bool = True,
+        mixup_alpha: float = 0.0,
+        suavizacao_rotulo: float = 0.0,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -256,6 +259,21 @@ class TrainingJobManager:
         if fetch is None:
             raise TrainingUnavailable(
                 "nenhuma fonte de bytes configurada (NextCloud indisponível)"
+            )
+        augment = None
+        if augmentar:
+            # build up front: AugmentConfig validates its ranges, and an
+            # invalid mixup/smoothing value should 422 at the route, not
+            # fail the job mid-thread
+            from ics_tpu.ops.augment import AugmentConfig
+
+            augment = AugmentConfig(
+                mixup_alpha=float(mixup_alpha),
+                label_smoothing=float(suavizacao_rotulo),
+            )
+        elif mixup_alpha or suavizacao_rotulo:
+            raise ValueError(
+                "mixup_alpha/suavizacao_rotulo requerem augmentar=true"
             )
         if pesos_iniciais:
             # resolve + existence-check up front: a missing weights file is
@@ -271,7 +289,10 @@ class TrainingJobManager:
                 )
             job = TrainingJob(
                 id_amb, model_name,
-                {"max_steps": max_steps, "batch_size": batch_size, "lr": lr},
+                {"max_steps": max_steps, "batch_size": batch_size, "lr": lr,
+                 "augmentar": bool(augmentar),
+                 "mixup_alpha": float(mixup_alpha),
+                 "suavizacao_rotulo": float(suavizacao_rotulo)},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -288,7 +309,7 @@ class TrainingJobManager:
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
                   compute_dtype, ativar, seed, eval_fraction, remat,
                   usar_sugestoes, sugestao_min_score, retomar_de,
-                  pesos_iniciais),
+                  pesos_iniciais, augment),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -304,7 +325,8 @@ class TrainingJobManager:
              usar_sugestoes: bool = False,
              sugestao_min_score: float = 0.9,
              retomar_de: Optional[str] = None,
-             pesos_iniciais: Optional[str] = None) -> None:
+             pesos_iniciais: Optional[str] = None,
+             augment=None) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -365,6 +387,8 @@ class TrainingJobManager:
                 checkpoint_dir=str(ckpt_dir),
                 remat=remat,
                 mesh=train_mesh,
+                augment=augment,
+                seed=seed,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed

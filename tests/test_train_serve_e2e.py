@@ -384,3 +384,41 @@ async def test_finetune_from_pretrained_backbone(app, tmp_path):
             atol=1e-6,
         )
         assert trained["params"]["head"]["w"].shape[-1] == 2
+
+
+@pytest.mark.anyio
+async def test_augmentation_route_params_validate(app):
+    """The augmentation knobs 422 loudly instead of silently training with
+    a misconfigured recipe (same contract style as remat/usar_sugestoes)."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        # bool("false") is True — strings must be rejected
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "augmentar": "false"},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "augmentar" in r.json()["detail"]
+        # mixup without augmentation has nothing to attach to
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "augmentar": False,
+                  "mixup_alpha": 0.2},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "augmentar" in r.json()["detail"]
+        # out-of-range smoothing fails AugmentConfig validation up front
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "suavizacao_rotulo": 1.5},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "label_smoothing" in r.json()["detail"]
+        # no job was ever created by the rejected requests
+        r = await c.get("/treinamento/jobs", headers=admin)
+        assert r.json()["jobs"] == []
