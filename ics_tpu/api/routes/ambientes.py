@@ -65,6 +65,7 @@ async def atualizar_opcoes_ambiente(request: Request):
     id_amb = request.path_params["id_amb"]
     payload = await request.json()
     opcoes = payload.get("opcoes") or []
+    _validar_lista_de_textos(opcoes)
     if len(opcoes) < 2:
         raise HTTPException(400, "O ambiente deve ter pelo menos 2 opções.")
     if ambiente_crud.verificar_ambiente_possui_usuarios(db, id_amb):
@@ -82,6 +83,18 @@ async def atualizar_opcoes_ambiente(request: Request):
     return JSONResponse({"message": "Opções atualizadas com sucesso!"})
 
 
+def _validar_lista_de_textos(opcoes) -> None:
+    """`opcoes: list[str]` contract (reference app/schemas/auth_schema.py:129
+    via pydantic): non-string entries must 422, not crash to 500 downstream
+    (found by driving the live route with `[{"texto": ...}]` payloads)."""
+    if not isinstance(opcoes, list) or any(
+        not isinstance(t, str) for t in opcoes
+    ):
+        raise HTTPException(
+            422, "Opções inválidas: esperada uma lista de textos."
+        )
+
+
 @router.post("/importar")
 async def criar_ambiente(request: Request):
     db = request.state.db
@@ -90,6 +103,7 @@ async def criar_ambiente(request: Request):
     titulo_amb = dados.get("titulo_amb") or ""
     ids_conjuntos = dados.get("ids_conjuntos") or []
     opcoes = dados.get("opcoes") or []
+    _validar_lista_de_textos(opcoes)
     if not titulo_amb.strip() or not dados.get("descricao_questionario"):
         raise HTTPException(422, "Título e descrição do questionário são obrigatórios.")
     if not ids_conjuntos:

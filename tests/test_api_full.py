@@ -133,6 +133,26 @@ class TestAmbientesAndOpcoes:
             )
             assert r.status_code == 409
 
+            # opcoes must be a list of STRINGS (reference pydantic contract
+            # `opcoes: list[str]`): object entries 422, never 500
+            r = await client.post(
+                "/ambientes/importar",
+                json={
+                    "titulo_amb": "Projeto B",
+                    "descricao_questionario": "x",
+                    "ids_conjuntos": [app.state.c1],
+                    "opcoes": [{"texto": "a"}, {"texto": "b"}],
+                },
+                headers=adminh,
+            )
+            assert r.status_code == 422
+            r = await client.patch(
+                f"/ambientes/{amb['id_amb']}/opcoes",
+                json={"opcoes": ["a", 7]},
+                headers=adminh,
+            )
+            assert r.status_code == 422
+
             # list
             r = await client.get("/ambientes/", headers=adminh)
             assert len(r.json()) == 1
