@@ -59,6 +59,14 @@ def _ensure_populated() -> None:
         "resnet101", resnet.resnet101, 224, 256, "ResNet-101 v1.5",
     )
     register_model(
+        "resnet18", resnet.resnet18, 224, 256,
+        "ResNet-18 — basic-block light variant (torchvision-compatible)",
+    )
+    register_model(
+        "resnet34", resnet.resnet34, 224, 256,
+        "ResNet-34 — basic-block variant (torchvision-compatible)",
+    )
+    register_model(
         "resnet_tiny", resnet.resnet_tiny, 64, 64,
         "ResNet tiny (1 block/stage @64px) — dev/CI serving-stack model",
     )

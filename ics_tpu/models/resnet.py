@@ -104,21 +104,90 @@ class Bottleneck:
         return jax.nn.relu(y + shortcut)
 
 
+class BasicBlock:
+    """Two-3x3 residual block (ResNet-18/34; torchvision BasicBlock).
+
+    Same padding/stride conventions as :class:`Bottleneck` (symmetric k//2
+    — pretrained-import fidelity); stride sits on the FIRST 3x3, matching
+    ``torchvision/models/resnet.py`` (v1.5 only moves the stride within
+    bottlenecks — basic blocks have no 1x1 to move it from)."""
+
+    expansion = 1
+
+    def __init__(self, in_ch, width, stride=1):
+        self.cbr1 = _ConvBN(in_ch, width, 3, stride, padding=1)
+        self.cbr2 = _ConvBN(width, width, 3, padding=1)
+        self.downsample = (
+            _ConvBN(in_ch, width, 1, stride)
+            if stride != 1 or in_ch != width
+            else None
+        )
+        self.out_ch = width
+
+    def init(self, key):
+        keys = jax.random.split(key, 3)
+        p = {"cbr1": self.cbr1.init(keys[0]), "cbr2": self.cbr2.init(keys[1])}
+        if self.downsample:
+            p["down"] = self.downsample.init(keys[2])
+        return p
+
+    def init_state(self):
+        s = {"cbr1": self.cbr1.init_state(), "cbr2": self.cbr2.init_state()}
+        if self.downsample:
+            s["down"] = self.downsample.init_state()
+        return s
+
+    def apply(self, params, state, x, training):
+        y, s1 = self.cbr1.apply(params["cbr1"], state["cbr1"], x, training)
+        y = jax.nn.relu(y)
+        y, s2 = self.cbr2.apply(params["cbr2"], state["cbr2"], y, training)
+        if self.downsample:
+            shortcut, sd = self.downsample.apply(
+                params["down"], state["down"], x, training
+            )
+        else:
+            shortcut, sd = x, None
+        out = jax.nn.relu(y + shortcut)
+        new_state = {"cbr1": s1, "cbr2": s2}
+        if sd is not None:
+            new_state["down"] = sd
+        return out, new_state
+
+    def fold(self, params, state):
+        f = {
+            "cbr1": self.cbr1.fold(params["cbr1"], state["cbr1"]),
+            "cbr2": self.cbr2.fold(params["cbr2"], state["cbr2"]),
+        }
+        if self.downsample:
+            f["down"] = self.downsample.fold(params["down"], state["down"])
+        return f
+
+    def apply_folded(self, folded, x):
+        y = jax.nn.relu(self.cbr1.apply_folded(folded["cbr1"], x))
+        y = self.cbr2.apply_folded(folded["cbr2"], y)
+        shortcut = (
+            self.downsample.apply_folded(folded["down"], x)
+            if self.downsample else x
+        )
+        return jax.nn.relu(y + shortcut)
+
+
 class ResNet:
     def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3,
-                 use_s2d_stem: bool = False):
+                 use_s2d_stem: bool = False, block_cls=Bottleneck):
         self.use_s2d_stem = use_s2d_stem
+        self.block_cls = block_cls
         # padding=3 (torch convention) not SAME — see Bottleneck.cbr2 note
         self.stem = _ConvBN(in_ch, 64, 7, 2, padding=3)
-        self.stages: list[list[Bottleneck]] = []
+        self.stages: list[list] = []
         ch = 64
         for stage_idx, count in enumerate(block_counts):
             width = 64 * (2**stage_idx)
             stride = 1 if stage_idx == 0 else 2
             blocks = []
             for b in range(count):
-                blocks.append(Bottleneck(ch, width, stride if b == 0 else 1))
-                ch = width * Bottleneck.expansion
+                blocks.append(block_cls(ch, width, stride if b == 0 else 1))
+                ch = width * block_cls.expansion
             self.stages.append(blocks)
         self.head = Dense(ch, num_classes, init="kaiming")
         self.num_classes = num_classes
@@ -200,6 +269,11 @@ class ResNet:
             ],
             "head": params["head"],
         }
+        if pallas_chains and self.block_cls is not Bottleneck:
+            raise ValueError(
+                "pallas_chains packs bottleneck (cbr1/2/3) weights; "
+                "basic-block ResNets have no fused-chain path"
+            )
         if pallas_chains:
             # OPT-IN fused stride-1 bottleneck chains (ops/pallas_bottleneck)
             # — measured SLOWER than XLA convs on v5e b128 (stage1 blocks
@@ -286,6 +360,14 @@ class ResNet:
                     y = blk.apply_folded(f, y)
         y = global_avg_pool(y)
         return self.head.apply(folded["head"], y)
+
+
+def resnet18(num_classes: int = 1000) -> ResNet:
+    return ResNet((2, 2, 2, 2), num_classes, block_cls=BasicBlock)
+
+
+def resnet34(num_classes: int = 1000) -> ResNet:
+    return ResNet((3, 4, 6, 3), num_classes, block_cls=BasicBlock)
 
 
 def resnet50(num_classes: int = 1000) -> ResNet:

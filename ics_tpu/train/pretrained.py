@@ -18,8 +18,9 @@ Two on-disk layouts are accepted by :func:`load_pretrained`:
    ``.npz`` (state_dict name -> array) or a ``.pt``/``.pth`` file read
    with ``torch.load(weights_only=True)``:
 
-   - ``resnet50/101/152``: torchvision ``resnet*`` naming
-     (``conv1.weight``, ``layer3.5.bn2.running_var``, ``fc.weight``)
+   - ``resnet18/34/50/101/152``: torchvision ``resnet*`` naming
+     (``conv1.weight``, ``layer3.5.bn2.running_var``, ``fc.weight``);
+     both bottleneck (conv1-3) and basic (conv1-2) blocks
    - ``vit_b16/vit_l16``: timm ``vit_{base,large}_patch16_*`` naming
      (``blocks.7.attn.qkv.weight``, ``pos_embed``, ...); position
      embeddings for a different grid are bilinearly resized
@@ -262,7 +263,14 @@ def _map_resnet(model, flat):
         for bi, blk in enumerate(blocks):
             pfx = f"layer{si + 1}.{bi}"
             bp, bs = {}, {}
-            for j, name in ((1, "cbr1"), (2, "cbr2"), (3, "cbr3")):
+            # Bottleneck (50/101/152) has conv1-3; BasicBlock (18/34) has
+            # conv1-2 — same torchvision key scheme either way
+            convs = (
+                ((1, "cbr1"), (2, "cbr2"), (3, "cbr3"))
+                if hasattr(blk, "cbr3")
+                else ((1, "cbr1"), (2, "cbr2"))
+            )
+            for j, name in convs:
                 bp[name], bs[name] = _convbn(
                     flat, f"{pfx}.conv{j}", f"{pfx}.bn{j}"
                 )

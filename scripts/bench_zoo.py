@@ -13,6 +13,8 @@ import sys
 
 CONFIGS = {
     # model: (batch, canvas, iters)
+    "resnet18": (128, 256, 20),
+    "resnet34": (128, 256, 20),
     "resnet101": (128, 256, 20),
     "resnet152": (128, 256, 20),
     "convnext_small": (128, 256, 20),

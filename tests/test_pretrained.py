@@ -120,7 +120,85 @@ class _TorchResNet(tnn.Module):
         return self.fc(y.mean(dim=(2, 3)))
 
 
+class _TorchBasicBlock(tnn.Module):
+    # attribute names match torchvision.models.resnet.BasicBlock
+    def __init__(self, in_ch, width, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_ch, width, 3, stride, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.downsample = None
+        if stride != 1 or in_ch != width:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(in_ch, width, 1, stride, bias=False),
+                tnn.BatchNorm2d(width),
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + idn)
+
+
+class _TorchBasicResNet(tnn.Module):
+    """resnet18-shaped (basic blocks, expansion 1), tiny block counts."""
+
+    def __init__(self, block_counts=(1, 1, 1, 1), num_classes=5):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.maxpool = tnn.MaxPool2d(3, 2, padding=1)
+        ch = 64
+        layers = []
+        for si, count in enumerate(block_counts):
+            width = 64 * 2**si
+            stride = 1 if si == 0 else 2
+            blocks = []
+            for b in range(count):
+                blocks.append(
+                    _TorchBasicBlock(ch, width, stride if b == 0 else 1)
+                )
+                ch = width
+            layers.append(tnn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+        self.fc = tnn.Linear(ch, num_classes)
+
+    def forward(self, x):
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.maxpool(y)
+        y = self.layer4(self.layer3(self.layer2(self.layer1(y))))
+        return self.fc(y.mean(dim=(2, 3)))
+
+
 class TestTorchGold:
+    def test_basic_block_resnet_matches_torch(self):
+        """ResNet-18/34 family: torchvision BasicBlock layout (conv1-2,
+        stride on the first 3x3) through the same _map_resnet mapper."""
+        from ics_tpu.models.resnet import BasicBlock, ResNet
+
+        rng = np.random.default_rng(3)
+        tm = _TorchBasicResNet()
+        with torch.no_grad():
+            _randomize_bn(tm, rng)
+        tm.eval()
+        flat = _state_np(tm)
+
+        model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5,
+                       block_cls=BasicBlock)
+        variables = pt._map_resnet(model, flat)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got, _ = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-4)
+
+        folded = model.fold(variables)
+        got_f = model.apply_folded(folded, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got_f), ref, atol=5e-4, rtol=1e-3)
+
     def test_resnet_forward_matches_torch(self):
         """Full stem->stages->head numerics vs an independent torch build
         with real torchvision naming — padding alignment at stride 2 and
@@ -445,7 +523,12 @@ def _export_resnet(model, variables):
     for si, blocks in enumerate(model.stages):
         for bi, blk in enumerate(blocks):
             pfx = f"layer{si + 1}.{bi}"
-            for j, name in ((1, "cbr1"), (2, "cbr2"), (3, "cbr3")):
+            convs = (
+                ((1, "cbr1"), (2, "cbr2"), (3, "cbr3"))
+                if hasattr(blk, "cbr3")
+                else ((1, "cbr1"), (2, "cbr2"))  # BasicBlock (18/34)
+            )
+            for j, name in convs:
                 _inv_convbn(
                     out, p["stages"][si][bi][name], s["stages"][si][bi][name],
                     f"{pfx}.conv{j}", f"{pfx}.bn{j}",
