@@ -99,6 +99,12 @@ async def iniciar_treinamento(request: Request):
         suavizacao_rotulo = float(body.get("suavizacao_rotulo") or 0.0)
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
+    agenda_lr = body.get("agenda_lr", "cosseno")
+    if not isinstance(agenda_lr, str):
+        raise HTTPException(
+            422, "Parâmetro inválido: agenda_lr deve ser 'cosseno' ou "
+                 "'constante'"
+        )
     retomar_de = body.get("retomar_de")
     if retomar_de is not None and not isinstance(retomar_de, str):
         raise HTTPException(422, "Parâmetro inválido: retomar_de deve ser o id de um job")
@@ -128,6 +134,7 @@ async def iniciar_treinamento(request: Request):
             augmentar=augmentar,
             mixup_alpha=mixup_alpha,
             suavizacao_rotulo=suavizacao_rotulo,
+            agenda_lr=agenda_lr,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

@@ -82,6 +82,11 @@ def _ensure_populated() -> None:
             "ViT-L/16 @384px — large variant, same Pallas attention",
         )
         register_model(
+            "vit_s16", vit.vit_s16, 224, 256,
+            "ViT-S/16 @224px — small-dataset fine-tune pick "
+            "(timm-checkpoint-compatible)",
+        )
+        register_model(
             "vit_b16_h6d128", vit.vit_b16_h6d128, 384, 384,
             "ViT-B/16 with 6xd=128 heads — full-MXU-width attention "
             "(not weight-compatible with standard ViT-B)",

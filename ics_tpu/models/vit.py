@@ -169,6 +169,16 @@ def vit_b16_h6d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
                gelu_exact=False)
 
 
+def vit_s16(num_classes: int = 1000, image_size: int = 224) -> ViT:
+    """ViT-S/16 (timm ``vit_small_patch16_*``): dim 384, 12 layers, 6
+    heads of d=64. The small-dataset-friendly standard ViT — the usual
+    fine-tune pick for ambiente-scale corpora; weight-compatible with
+    timm's widely-available S/16 checkpoints (224px pos_embed grids
+    interpolate on import, train/pretrained.py)."""
+    return ViT(image_size=image_size, dim=384, depth=12, num_heads=6,
+               num_classes=num_classes)
+
+
 def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
     return ViT(image_size=image_size, dim=1024, depth=24, num_heads=16,
                num_classes=num_classes)

@@ -69,6 +69,11 @@ def main(argv=None) -> int:
         "--suavizacao-rotulo", type=float, default=0.0,
         help="label smoothing in [0, 1); 0.1 is the standard setting",
     )
+    parser.add_argument(
+        "--agenda-lr", default="cosseno", choices=["cosseno", "constante"],
+        help="LR schedule: linear warmup + cosine decay to 1%% of peak "
+             "(default) or constant",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -107,6 +112,7 @@ def main(argv=None) -> int:
         augmentar=not args.sem_augmentar,
         mixup_alpha=args.mixup_alpha,
         suavizacao_rotulo=args.suavizacao_rotulo,
+        agenda_lr=args.agenda_lr,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

@@ -35,16 +35,38 @@ def soft_cross_entropy_loss(logits, target_probs):
     return jnp.mean(-jnp.sum(target_probs * logp, axis=-1))
 
 
-def make_optimizer(lr: float = 0.01, momentum: float = 0.9,
+def make_optimizer(lr=0.01, momentum: float = 0.9,
                    weight_decay: float = 1e-4):
-    # standard recipe: no weight decay on norm scales/shifts or biases
-    # (1-D params) — decaying them degrades accuracy
+    """``lr`` may be a float or an optax schedule (callable step -> lr).
+
+    Standard recipe: no weight decay on norm scales/shifts or biases
+    (1-D params) — decaying them degrades accuracy."""
     def wd_mask(params):
         return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
     return optax.chain(
         optax.add_decayed_weights(weight_decay, mask=wd_mask),
         optax.sgd(lr, momentum=momentum),
+    )
+
+
+def make_lr_schedule(lr: float, total_steps: int, kind: str = "cosseno",
+                     warmup_frac: float = 0.1):
+    """Fine-tune LR schedule: linear warmup over ~10% of the run, cosine
+    decay to 1% of peak (the standard transfer recipe). ``constante``
+    returns the float unchanged. The schedule's step count lives in the
+    optimizer state, so ``retomar_de`` resumes mid-curve, not at the peak.
+    """
+    if kind == "constante":
+        return lr
+    if kind != "cosseno":
+        raise ValueError(f"agenda_lr desconhecida: {kind!r} "
+                         "(esperado 'cosseno' ou 'constante')")
+    total = max(int(total_steps), 2)
+    warmup = min(max(1, int(total * warmup_frac)), total - 1)
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=warmup,
+        decay_steps=total, end_value=lr * 0.01,
     )
 
 

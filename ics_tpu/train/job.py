@@ -32,7 +32,12 @@ from ics_tpu.train.data import (
     split_examples,
     suggested_examples,
 )
-from ics_tpu.train.finetune import FineTuner, evaluate, make_optimizer
+from ics_tpu.train.finetune import (
+    FineTuner,
+    evaluate,
+    make_lr_schedule,
+    make_optimizer,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -252,6 +257,7 @@ class TrainingJobManager:
         augmentar: bool = True,
         mixup_alpha: float = 0.0,
         suavizacao_rotulo: float = 0.0,
+        agenda_lr: str = "cosseno",
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -275,6 +281,9 @@ class TrainingJobManager:
             raise ValueError(
                 "mixup_alpha/suavizacao_rotulo requerem augmentar=true"
             )
+        # validate up front (422 at the route, not a failed job): the
+        # schedule itself is rebuilt in the worker with the real step count
+        make_lr_schedule(lr, max_steps, kind=agenda_lr)
         if pesos_iniciais:
             # resolve + existence-check up front: a missing weights file is
             # the operator's typo and should 422 at the route, not fail the
@@ -292,7 +301,8 @@ class TrainingJobManager:
                 {"max_steps": max_steps, "batch_size": batch_size, "lr": lr,
                  "augmentar": bool(augmentar),
                  "mixup_alpha": float(mixup_alpha),
-                 "suavizacao_rotulo": float(suavizacao_rotulo)},
+                 "suavizacao_rotulo": float(suavizacao_rotulo),
+                 "agenda_lr": agenda_lr},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -309,7 +319,7 @@ class TrainingJobManager:
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
                   compute_dtype, ativar, seed, eval_fraction, remat,
                   usar_sugestoes, sugestao_min_score, retomar_de,
-                  pesos_iniciais, augment),
+                  pesos_iniciais, augment, agenda_lr),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -326,7 +336,7 @@ class TrainingJobManager:
              sugestao_min_score: float = 0.9,
              retomar_de: Optional[str] = None,
              pesos_iniciais: Optional[str] = None,
-             augment=None) -> None:
+             augment=None, agenda_lr: str = "cosseno") -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -380,7 +390,9 @@ class TrainingJobManager:
                     )
             tuner = FineTuner(
                 model,
-                optimizer=make_optimizer(lr=lr),
+                optimizer=make_optimizer(
+                    lr=make_lr_schedule(lr, max_steps, kind=agenda_lr)
+                ),
                 image_size=spec.image_size,
                 resize_short=spec.resize_short,
                 compute_dtype=dtype,

@@ -19,6 +19,7 @@ CONFIGS = {
     "resnet152": (128, 256, 20),
     "convnext_small": (128, 256, 20),
     "vit_l16": (32, 512, 10),
+    "vit_s16": (128, 256, 20),
     "efficientnet_b0": (128, 256, 20),
     "mobilenetv3_small": (128, 256, 20),
 }

@@ -170,3 +170,47 @@ class TestFineTune:
         )
         assert history2[0]["step"] == 4
         tuner2.checkpoint.close()
+
+
+class TestLrSchedule:
+    def test_warmup_cosine_shape(self):
+        from ics_tpu.train.finetune import make_lr_schedule
+
+        sched = make_lr_schedule(0.1, 100, kind="cosseno")
+        assert float(sched(0)) == 0.0               # warmup starts at 0
+        assert abs(float(sched(10)) - 0.1) < 1e-6   # peak at 10% warmup
+        assert float(sched(50)) < 0.1               # decaying
+        assert abs(float(sched(100)) - 0.001) < 1e-4  # ends at 1% of peak
+
+    def test_constant_passthrough_and_bad_kind(self):
+        import pytest as _pytest
+
+        from ics_tpu.train.finetune import make_lr_schedule
+
+        assert make_lr_schedule(0.05, 100, kind="constante") == 0.05
+        with _pytest.raises(ValueError, match="agenda_lr"):
+            make_lr_schedule(0.05, 100, kind="linear")
+
+    def test_optimizer_accepts_schedule_and_resumes_mid_curve(self):
+        """The schedule's step count lives in the optimizer state, so a
+        restored opt_state continues the decay instead of re-warming."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from ics_tpu.train.finetune import make_lr_schedule, make_optimizer
+
+        sched = make_lr_schedule(0.1, 20, kind="cosseno")
+        opt = make_optimizer(lr=sched)
+        params = {"w": jnp.ones((4, 4))}
+        state = opt.init(params)
+        g = {"w": jnp.ones((4, 4))}
+        for _ in range(5):
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        # count advanced with the steps (tree search: any leaf == 5)
+        counts = [
+            int(x) for x in jax.tree_util.tree_leaves(state)
+            if hasattr(x, "dtype") and x.dtype == jnp.int32 and x.ndim == 0
+        ]
+        assert 5 in counts
