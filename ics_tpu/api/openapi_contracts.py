@@ -174,7 +174,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
             "sugestao_min_score": "number", "retomar_de": "string",
             "pesos_iniciais": "string", "augmentar": "boolean",
             "mixup_alpha": "number", "suavizacao_rotulo": "number",
-            "agenda_lr": "string",
+            "agenda_lr": "string", "treinar_apenas_cabeca": "boolean",
         }),
     },
     ("GET", "/treinamento/jobs"): {},

@@ -79,7 +79,7 @@ async def iniciar_treinamento(request: Request):
         )
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
-    for flag_name in ("remat", "usar_sugestoes"):
+    for flag_name in ("remat", "usar_sugestoes", "treinar_apenas_cabeca"):
         if not isinstance(body.get(flag_name, False), bool):
             # bool("false") is True — reject instead of silently enabling
             raise HTTPException(
@@ -87,6 +87,7 @@ async def iniciar_treinamento(request: Request):
             )
     remat = body.get("remat", False)
     usar_sugestoes = body.get("usar_sugestoes", False)
+    treinar_apenas_cabeca = body.get("treinar_apenas_cabeca", False)
     # augmentation defaults ON (on-device crop/flip — ops/augment.py);
     # mixup/label-smoothing stay opt-in and require it
     if not isinstance(body.get("augmentar", True), bool):
@@ -135,6 +136,7 @@ async def iniciar_treinamento(request: Request):
             mixup_alpha=mixup_alpha,
             suavizacao_rotulo=suavizacao_rotulo,
             agenda_lr=agenda_lr,
+            treinar_apenas_cabeca=treinar_apenas_cabeca,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

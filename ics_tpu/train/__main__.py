@@ -74,6 +74,12 @@ def main(argv=None) -> int:
         help="LR schedule: linear warmup + cosine decay to 1%% of peak "
              "(default) or constant",
     )
+    parser.add_argument(
+        "--apenas-cabeca", action="store_true",
+        help="linear probe: train only the classifier head on frozen "
+             "backbone features (eval-mode BN) — the right recipe for "
+             "tiny labeled sets with --pesos-iniciais",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -113,6 +119,7 @@ def main(argv=None) -> int:
         mixup_alpha=args.mixup_alpha,
         suavizacao_rotulo=args.suavizacao_rotulo,
         agenda_lr=args.agenda_lr,
+        treinar_apenas_cabeca=args.apenas_cabeca,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

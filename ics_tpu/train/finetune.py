@@ -70,19 +70,38 @@ def make_lr_schedule(lr: float, total_steps: int, kind: str = "cosseno",
     )
 
 
-def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16):
+def make_probe_optimizer(optimizer):
+    """Linear-probe wrapper: only the top-level ``head`` params update;
+    every backbone subtree is ``set_to_zero`` (every model family in the
+    zoo names its classifier ``head``). Pairs with the step builders'
+    ``train_backbone=False`` (BN in eval mode, running stats untouched) —
+    together they make probing equivalent to logistic regression on the
+    frozen pretrained features."""
+
+    def label(params):
+        return {k: ("head" if k == "head" else "frozen") for k in params}
+
+    return optax.multi_transform(
+        {"head": optimizer, "frozen": optax.set_to_zero()}, label
+    )
+
+
+def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
+                    train_backbone: bool = True):
     """Returns ``step(variables, opt_state, images, labels) ->
     (variables, opt_state, metrics)``.
 
     ``images`` are already-preprocessed [B, H, W, 3]; BN runs in training
     mode and its running stats flow through ``variables['state']``.
+    ``train_backbone=False`` (linear probe) runs the forward in eval mode
+    instead — BN uses the frozen running stats and the state is unchanged.
     """
 
     def loss_fn(params, state, images, labels):
         logits, new_state = model.apply(
             {"params": params, "state": state},
             images.astype(compute_dtype),
-            training=True,
+            training=train_backbone,
         )
         loss = cross_entropy_loss(logits, labels)
         return loss, (logits, new_state)
@@ -108,7 +127,8 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16):
 
 def make_preproc_train_step(model, optimizer, image_size: int = 224,
                             resize_short: int = 256,
-                            compute_dtype=jnp.bfloat16):
+                            compute_dtype=jnp.bfloat16,
+                            train_backbone: bool = True):
     """Fused step: uint8 canvas -> on-device preproc -> fwd+bwd -> SGD.
 
     One compiled graph per batch shape; decode stays on host
@@ -116,7 +136,8 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
     """
     from ics_tpu.ops.preproc import preprocess_batch
 
-    base_step = make_train_step(model, optimizer, compute_dtype)
+    base_step = make_train_step(model, optimizer, compute_dtype,
+                                train_backbone)
 
     @jax.jit
     def step(variables, opt_state, canvas_u8, sizes, labels):
@@ -130,7 +151,7 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
 
 
 def _augmented_step_fn(model, optimizer, augment, image_size: int,
-                       compute_dtype):
+                       compute_dtype, train_backbone: bool = True):
     """Raw (un-jitted) augmented train step shared by the single-chip and
     sharded builders below."""
     from ics_tpu.ops.augment import augment_batch, mixup, smooth_labels
@@ -141,7 +162,7 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
         logits, new_state = model.apply(
             {"params": params, "state": state},
             images.astype(compute_dtype),
-            training=True,
+            training=train_backbone,
         )
         loss = soft_cross_entropy_loss(logits, target_probs)
         return loss, (logits, new_state)
@@ -176,7 +197,8 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
 
 def make_augmented_train_step(model, optimizer, augment,
                               image_size: int = 224,
-                              compute_dtype=jnp.bfloat16):
+                              compute_dtype=jnp.bfloat16,
+                              train_backbone: bool = True):
     """Fused AUGMENTED step: uint8 canvas -> on-device RandomResizedCrop/
     flip/jitter (inside the same resize matmuls, :mod:`ics_tpu.ops.augment`)
     -> optional mixup -> fwd+bwd -> SGD.
@@ -188,19 +210,20 @@ def make_augmented_train_step(model, optimizer, augment,
     """
     return jax.jit(
         _augmented_step_fn(model, optimizer, augment, image_size,
-                           compute_dtype)
+                           compute_dtype, train_backbone)
     )
 
 
 def make_sharded_augmented_train_step(model, optimizer, mesh: Mesh, augment,
                                       image_size: int = 224,
-                                      compute_dtype=jnp.bfloat16):
+                                      compute_dtype=jnp.bfloat16,
+                                      train_backbone: bool = True):
     """Sharded twin of :func:`make_augmented_train_step`: canvas/sizes/labels
     shard over 'data', the PRNG key replicates (per-image keys fold in the
     GLOBAL batch index, so shards draw distinct crops); mixup's roll-by-one
     crosses the shard boundary as a single-row ppermute over ICI."""
     step = _augmented_step_fn(model, optimizer, augment, image_size,
-                              compute_dtype)
+                              compute_dtype, train_backbone)
     return _sharded_builders(
         step, mesh,
         (batch_sharding(mesh, 4), batch_sharding(mesh, 2),
@@ -216,7 +239,8 @@ class FineTuner:
                  resize_short: int = 256, compute_dtype=jnp.bfloat16,
                  checkpoint_dir: Optional[str] = None,
                  remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
-                 augment: Optional[Any] = None, seed: int = 0):
+                 augment: Optional[Any] = None, seed: int = 0,
+                 linear_probe: bool = False):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -225,6 +249,13 @@ class FineTuner:
         if remat is not None:
             model.remat = bool(remat)
         self.optimizer = optimizer or make_optimizer()
+        # linear probe: head-only updates + eval-mode backbone (frozen BN
+        # stats) — logistic regression on pretrained features, the right
+        # recipe when the labeled set is tiny. NOTE: changes the opt_state
+        # tree, so retomar_de cannot cross the probe/full boundary.
+        self._linear_probe = bool(linear_probe)
+        if linear_probe:
+            self.optimizer = make_probe_optimizer(self.optimizer)
         # mesh: shard the step over a device group (DP on batch; also pins
         # training OFF serving's chips — parallel/mesh.py
         # ::train_mesh_from_settings). Without one, plain jit.
@@ -242,12 +273,13 @@ class FineTuner:
         if mesh is None:
             if augment is not None:
                 self.step_fn = make_augmented_train_step(
-                    model, self.optimizer, augment, image_size, compute_dtype
+                    model, self.optimizer, augment, image_size, compute_dtype,
+                    train_backbone=not self._linear_probe,
                 )
             else:
                 self.step_fn = make_preproc_train_step(
                     model, self.optimizer, image_size, resize_short,
-                    compute_dtype,
+                    compute_dtype, train_backbone=not self._linear_probe,
                 )
         else:
             self.step_fn = None  # built in run() from the actual trees
@@ -276,11 +308,13 @@ class FineTuner:
                 jit_step, shard_variables = make_sharded_augmented_train_step(
                     self.model, self.optimizer, self.mesh, self._augment,
                     self._image_size, self._compute_dtype,
+                    train_backbone=not self._linear_probe,
                 )
             else:
                 jit_step, shard_variables = make_sharded_preproc_train_step(
                     self.model, self.optimizer, self.mesh, self._image_size,
                     self._resize_short, self._compute_dtype,
+                    train_backbone=not self._linear_probe,
                 )
             variables, opt_state, _ = shard_variables(variables, opt_state)
             step_fn = jit_step(variables, opt_state)
@@ -408,14 +442,16 @@ def make_sharded_train_step(model, optimizer, mesh: Mesh,
 def make_sharded_preproc_train_step(model, optimizer, mesh: Mesh,
                                     image_size: int = 224,
                                     resize_short: int = 256,
-                                    compute_dtype=jnp.bfloat16):
+                                    compute_dtype=jnp.bfloat16,
+                                    train_backbone: bool = True):
     """Sharded twin of ``make_preproc_train_step``: uint8 canvas batches
     shard over 'data', preproc + fwd+bwd + SGD run on the mesh. This is
     what background fine-tune jobs use when ``TPU_TRAIN_DEVICES`` pins
     training to a dedicated device group (serving isolation)."""
     from ics_tpu.ops.preproc import preprocess_batch
 
-    base_step = make_train_step(model, optimizer, compute_dtype)
+    base_step = make_train_step(model, optimizer, compute_dtype,
+                                train_backbone)
 
     def step(variables, opt_state, canvas_u8, sizes, labels):
         images = preprocess_batch(

@@ -258,6 +258,7 @@ class TrainingJobManager:
         mixup_alpha: float = 0.0,
         suavizacao_rotulo: float = 0.0,
         agenda_lr: str = "cosseno",
+        treinar_apenas_cabeca: bool = False,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -302,7 +303,8 @@ class TrainingJobManager:
                  "augmentar": bool(augmentar),
                  "mixup_alpha": float(mixup_alpha),
                  "suavizacao_rotulo": float(suavizacao_rotulo),
-                 "agenda_lr": agenda_lr},
+                 "agenda_lr": agenda_lr,
+                 "treinar_apenas_cabeca": bool(treinar_apenas_cabeca)},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -319,7 +321,8 @@ class TrainingJobManager:
             args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
                   compute_dtype, ativar, seed, eval_fraction, remat,
                   usar_sugestoes, sugestao_min_score, retomar_de,
-                  pesos_iniciais, augment, agenda_lr),
+                  pesos_iniciais, augment, agenda_lr,
+                  treinar_apenas_cabeca),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -336,7 +339,8 @@ class TrainingJobManager:
              sugestao_min_score: float = 0.9,
              retomar_de: Optional[str] = None,
              pesos_iniciais: Optional[str] = None,
-             augment=None, agenda_lr: str = "cosseno") -> None:
+             augment=None, agenda_lr: str = "cosseno",
+             treinar_apenas_cabeca: bool = False) -> None:
         try:
             job.status = "executando"
             examples, class_map = labeled_examples(self.db, job.id_amb)
@@ -401,6 +405,7 @@ class TrainingJobManager:
                 mesh=train_mesh,
                 augment=augment,
                 seed=seed,
+                linear_probe=treinar_apenas_cabeca,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed

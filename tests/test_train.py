@@ -214,3 +214,75 @@ class TestLrSchedule:
             if hasattr(x, "dtype") and x.dtype == jnp.int32 and x.ndim == 0
         ]
         assert 5 in counts
+
+
+class TestLinearProbe:
+    def test_probe_updates_head_only_and_freezes_bn_stats(self):
+        """treinar_apenas_cabeca: backbone params AND BN running stats must
+        stay bit-identical (eval-mode forward), only the head moves."""
+        import jax
+        import jax.numpy as jnp
+
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.train.finetune import FineTuner
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        tuner = FineTuner(model, image_size=32, resize_short=32,
+                          compute_dtype=jnp.float32, linear_probe=True)
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        before = jax.tree_util.tree_map(np.asarray, variables)
+        out_vars, _, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 4)
+        )
+        after = jax.tree_util.tree_map(np.asarray, out_vars)
+        # backbone params identical
+        for key in ("stem", "stages"):
+            for b, a in zip(
+                jax.tree_util.tree_leaves(before["params"][key]),
+                jax.tree_util.tree_leaves(after["params"][key]),
+            ):
+                np.testing.assert_array_equal(b, a)
+        # BN running stats identical (eval-mode forward)
+        for b, a in zip(
+            jax.tree_util.tree_leaves(before["state"]),
+            jax.tree_util.tree_leaves(after["state"]),
+        ):
+            np.testing.assert_array_equal(b, a)
+        # the head actually moved
+        assert not np.allclose(before["params"]["head"]["w"],
+                               after["params"]["head"]["w"])
+        assert all(np.isfinite(h["loss"]) for h in history)
+
+    def test_probe_with_augmentation_on_mesh(self):
+        """The product default path: augment + probe on a device mesh."""
+        import jax
+        import jax.numpy as jnp
+
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.ops.augment import AugmentConfig
+        from ics_tpu.parallel.mesh import make_mesh
+        from ics_tpu.train.finetune import FineTuner
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])
+        tuner = FineTuner(model, image_size=32, resize_short=32,
+                          compute_dtype=jnp.float32, linear_probe=True,
+                          mesh=mesh, augment=AugmentConfig())
+        rng = np.random.default_rng(1)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        before_stem = np.asarray(variables["params"]["stem"]["conv"]["w"])
+        out_vars, _, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 2)
+        )
+        np.testing.assert_array_equal(
+            before_stem, np.asarray(out_vars["params"]["stem"]["conv"]["w"])
+        )
+        assert len(history) == 2
+        assert all(np.isfinite(h["loss"]) for h in history)
