@@ -345,6 +345,13 @@ async def classificar_imagem_tpu(request: Request):
         result["opcoes"] = opcoes_out
         result["modelo_versao"] = modelo_row.versao
         result["id_mod"] = str(modelo_row.id_mod)
+        # multipla_escolha models serve independent sigmoid scores; every
+        # option at or above 0.5 is a suggested label (not just top-1)
+        if (modelo_row.metricas or {}).get("multi_rotulo"):
+            result["multi_rotulo"] = True
+            result["opcoes_sugeridas"] = [
+                o for o in opcoes_out if (o["score"] or 0.0) >= 0.5
+            ]
 
     # persist the suggestion when the upload is a synced image
     if db.get(Imagem, content_hash) is not None:

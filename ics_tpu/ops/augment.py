@@ -193,6 +193,16 @@ def smooth_labels(labels, num_classes: int, smoothing: float = 0.0):
     return onehot * (1.0 - smoothing) + smoothing / num_classes
 
 
+def smooth_multilabel(targets, smoothing: float = 0.0):
+    """Multi-hot [B, C] float targets -> binary-smoothed targets: each
+    class's probability moves ``smoothing/2`` toward 0.5 (the multi-label
+    analogue of uniform smoothing — every class is its own 2-way problem,
+    so the uniform distribution is 1/2, not 1/num_classes)."""
+    if smoothing <= 0.0:
+        return targets
+    return targets * (1.0 - smoothing) + smoothing / 2.0
+
+
 def mixup(key, images, targets, alpha: float):
     """Roll-pairing mixup: blend each example with its batch neighbor.
 

@@ -149,7 +149,8 @@ def decode_batch_to_canvas(staged: dict, dtype=jnp.float32,
 
 def make_fused_decode_infer_step(model, folded, spec, dtype=jnp.bfloat16,
                                  mesh=None, top_k: int = 5,
-                                 mode: str = "420"):
+                                 mode: str = "420",
+                                 multi_label: bool = False):
     """Returns jitted step: coefficient batch -> (top_idx, top_scores).
 
     The entire pipeline after entropy decode is ONE XLA graph on device.
@@ -167,7 +168,10 @@ def make_fused_decode_infer_step(model, folded, spec, dtype=jnp.bfloat16,
             resize_short=spec.resize_short, dtype=dtype,
         )
         logits = model.apply_folded(folded, x).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
+        if multi_label:
+            probs = jax.nn.sigmoid(logits)  # independent per-class scores
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
         top_scores, top_idx = jax.lax.top_k(probs, top_k)
         return top_idx, top_scores
 

@@ -44,12 +44,17 @@ class InferenceEngine:
         seed: int = 0,
         variables: Optional[dict] = None,
         mesh=None,
+        multi_label: bool = False,
     ):
         self.spec: ModelSpec = get_model(model_name)
         self.model = self.spec.build(num_classes=num_classes)
         self.model_name = model_name
         self.num_classes = num_classes
         self.precision = precision
+        # multi-label models (multipla_escolha fine-tunes) score with
+        # independent per-class sigmoids — softmax would force the classes
+        # to compete, contradicting the BCE training objective
+        self.multi_label = bool(multi_label)
         self.dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         if mesh is not None and "data" in getattr(mesh, "axis_names", ()):
             # sharded serving: every bucket must divide over the data axis
@@ -91,6 +96,7 @@ class InferenceEngine:
         model = self.model
         spec = self.spec
         dtype = self.dtype
+        multi_label = self.multi_label
 
         k = min(TOP_K, self.num_classes)
 
@@ -100,7 +106,10 @@ class InferenceEngine:
                 resize_short=spec.resize_short, dtype=dtype,
             )
             logits = model.apply_folded(folded, x).astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1)
+            if multi_label:
+                probs = jax.nn.sigmoid(logits)
+            else:
+                probs = jax.nn.softmax(logits, axis=-1)
             top_scores, top_idx = jax.lax.top_k(probs, k)
             return top_idx, top_scores
 
@@ -137,7 +146,7 @@ class InferenceEngine:
             self._coeff_steps[mode] = make_fused_decode_infer_step(
                 self.model, self.folded, self.spec, dtype=self.dtype,
                 mesh=self.mesh, top_k=min(TOP_K, self.num_classes),
-                mode=mode,
+                mode=mode, multi_label=self.multi_label,
             )
         return self._coeff_steps[mode]
 

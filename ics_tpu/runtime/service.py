@@ -483,6 +483,11 @@ class InferenceServicePool:
                     def make_engine(kw):
                         kw = dict(kw)
                         kw["num_classes"] = modelo_row.num_classes
+                        # multipla_escolha fine-tunes trained with sigmoid
+                        # BCE serve sigmoid scores (train/job.py metricas)
+                        kw["multi_label"] = bool(
+                            (modelo_row.metricas or {}).get("multi_rotulo")
+                        )
                         return InferenceEngine(
                             model_name=modelo_row.nome_modelo,
                             variables=restored["variables"],

@@ -74,8 +74,22 @@ class HistoricoResponse(BaseModel):
     items: list[HistoricoItemOut]
 
 
+class OpcaoScoreOut(BaseModel):
+    id_opc: str
+    texto_opcao: Optional[str] = None
+    score: float
+
+
 class InferenciaTPUOut(BaseModel):
     top_classes: list[int]
     scores: list[float]
     latency_ms: float
     model: str
+    # present when the ambiente serves a trained registry version
+    opcoes: Optional[list[OpcaoScoreOut]] = None
+    modelo_versao: Optional[int] = None
+    id_mod: Optional[str] = None
+    # multipla_escolha models: independent sigmoid scores; every option
+    # at or above 0.5 is a suggested label
+    multi_rotulo: Optional[bool] = None
+    opcoes_sugeridas: Optional[list[OpcaoScoreOut]] = None

@@ -23,11 +23,19 @@ logger = logging.getLogger(__name__)
 BytesProvider = Callable[[str, str], bytes]  # (content_hash, caminho) -> bytes
 
 
-def labeled_examples(db: Database, id_amb: str) -> tuple[list[dict], dict[str, int]]:
+def labeled_examples(
+    db: Database, id_amb: str, multi_label: bool = False
+) -> tuple[list[dict], dict[str, int]]:
     """All active (image, option) labels of an ambiente + option->class map.
 
-    For multi-label images the first option (by option text order) wins —
-    single-label training target, documented behavior.
+    Single-label (default): for multi-label images the first option (by
+    option text order) wins — the right collapse for
+    ``multipla_escolha=False`` ambientes, where multiple active labels can
+    only come from different specialists disagreeing.
+
+    ``multi_label=True`` (``multipla_escolha`` ambientes): every active
+    option of an image becomes part of its multi-hot target; examples carry
+    ``"labels": sorted list of class indices`` instead of ``"label"``.
     """
     with db.session() as s:
         opcoes = s.fetchall(
@@ -35,6 +43,39 @@ def labeled_examples(db: Database, id_amb: str) -> tuple[list[dict], dict[str, i
             [str(id_amb)],
         )
         class_map = {r["id_opc"]: i for i, r in enumerate(opcoes)}
+        if multi_label:
+            rows = s.fetchall(
+                """
+                SELECT DISTINCT c.id_img AS content_hash, i.caminho_img,
+                       c.id_opc
+                FROM classificacoes c
+                JOIN imagens i ON i.content_hash = c.id_img
+                JOIN opcoes o ON o.id_opc = c.id_opc
+                JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
+                WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
+                  AND i.existe_no_nextcloud = 1
+                """,
+                [str(id_amb), str(id_amb)],
+            )
+            by_image: dict[str, dict] = {}
+            for r in rows:
+                if r["id_opc"] not in class_map:
+                    continue
+                ex = by_image.setdefault(
+                    r["content_hash"],
+                    {
+                        "content_hash": r["content_hash"],
+                        "caminho_img": r["caminho_img"],
+                        "labels": [],
+                    },
+                )
+                ex["labels"].append(class_map[r["id_opc"]])
+            examples = sorted(
+                by_image.values(), key=lambda e: e["content_hash"]
+            )
+            for ex in examples:
+                ex["labels"].sort()
+            return examples, class_map
         rows = s.fetchall(
             """
             SELECT c.id_img AS content_hash, i.caminho_img, c.id_opc,
@@ -67,6 +108,7 @@ def suggested_examples(
     class_map: dict[str, int],
     min_score: float = 0.9,
     exclude_hashes: Optional[set] = None,
+    multi_label: bool = False,
 ) -> list[dict]:
     """Model-suggestion pseudo-labels for semi-supervised fine-tuning
     (distillation): high-confidence ``sugestoes_modelo`` rows for images
@@ -85,9 +127,9 @@ def suggested_examples(
         # labeled_examples: images detached from the ambiente don't train.
         rows = s.fetchall(
             """
-            SELECT content_hash, caminho_img, id_opc FROM (
+            SELECT content_hash, caminho_img, id_opc, classes FROM (
                 SELECT s.id_img AS content_hash, i.caminho_img, s.id_opc,
-                       s.score,
+                       s.classes, s.score,
                        ROW_NUMBER() OVER (
                            PARTITION BY s.id_img
                            ORDER BY s.data_criado DESC, s.score DESC
@@ -101,6 +143,42 @@ def suggested_examples(
             """,
             [str(id_amb), str(id_amb), float(min_score)],
         )
+    if multi_label:
+        # pseudo multi-hot: every class the winning suggestion scored at or
+        # above the threshold (sigmoid scores are independent, so several
+        # can qualify); falls back to the top-1 id_opc for legacy rows
+        import json as _json
+
+        out = []
+        for r in rows:
+            if r["content_hash"] in exclude:
+                continue
+            classes = r["classes"]
+            if isinstance(classes, str):
+                try:
+                    classes = _json.loads(classes)
+                except ValueError:
+                    classes = []
+            labels = sorted(
+                {
+                    class_map[c["id_opc"]]
+                    for c in (classes or [])
+                    if isinstance(c, dict) and c.get("id_opc") in class_map
+                    and float(c.get("score") or 0.0) >= min_score
+                }
+            )
+            if not labels and r["id_opc"] in class_map:
+                labels = [class_map[r["id_opc"]]]
+            if labels:
+                out.append(
+                    {
+                        "content_hash": r["content_hash"],
+                        "caminho_img": r["caminho_img"],
+                        "labels": labels,
+                        "fonte": "sugestao",
+                    }
+                )
+        return out
     return [
         {
             "content_hash": r["content_hash"],
@@ -138,6 +216,7 @@ def batch_iterator(
     seed: int = 0,
     epochs: Optional[int] = 1,
     with_counts: bool = False,
+    num_classes: Optional[int] = None,
 ) -> Iterator[tuple]:
     """Yields (canvas_u8 [B,C,C,3], sizes [B,2], labels [B]) batches.
 
@@ -147,9 +226,16 @@ def batch_iterator(
     successfully decoded) rows per batch — padding can also come from
     fetch/decode failures, so consumers that score per-example (eval) must
     not infer it from the dataset size.
+
+    Examples with ``"labels"`` (multi-label, ``labeled_examples(...,
+    multi_label=True)``) require ``num_classes`` and yield multi-hot
+    float32 [B, num_classes] targets instead of int labels.
     """
     if not examples:
         return
+    multi = "labels" in examples[0]
+    if multi and num_classes is None:
+        raise ValueError("exemplos multi-rótulo exigem num_classes")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -166,7 +252,7 @@ def batch_iterator(
                 try:
                     data = fetch_bytes(ex["content_hash"], ex["caminho_img"])
                     images.append(decode_image(data))
-                    labels.append(ex["label"])
+                    labels.append(ex["labels"] if multi else ex["label"])
                 except Exception as exc:
                     logger.warning(
                         "pulando exemplo %s: %s", ex["content_hash"][:8], exc
@@ -178,7 +264,13 @@ def batch_iterator(
                 images.append(images[-1])
                 labels.append(labels[-1])
             canvas_batch, sizes = stage_batch(images, canvas=canvas)
-            out = (canvas_batch, sizes, np.asarray(labels, np.int32))
+            if multi:
+                hot = np.zeros((batch_size, num_classes), np.float32)
+                for row, cls in enumerate(labels):
+                    hot[row, cls] = 1.0
+                out = (canvas_batch, sizes, hot)
+            else:
+                out = (canvas_batch, sizes, np.asarray(labels, np.int32))
             yield (out + (n_real,)) if with_counts else out
         epoch += 1
 

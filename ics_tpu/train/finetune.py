@@ -35,6 +35,25 @@ def soft_cross_entropy_loss(logits, target_probs):
     return jnp.mean(-jnp.sum(target_probs * logp, axis=-1))
 
 
+def sigmoid_bce_loss(logits, targets):
+    """Multi-label objective (``multipla_escolha`` ambientes): independent
+    per-class sigmoid BCE against [B, C] target probabilities, summed over
+    classes and averaged over the batch — the class-sum keeps the gradient
+    scale comparable to softmax CE, so the same LR recipe transfers."""
+    per = optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), targets
+    )
+    return jnp.mean(jnp.sum(per, axis=-1))
+
+
+def multilabel_exact_match(logits, targets):
+    """Fraction of rows whose 0.5-thresholded prediction equals the
+    (thresholded) target set — the strict multi-label accuracy."""
+    pred = logits >= 0.0  # sigmoid(x) >= 0.5  <=>  x >= 0
+    true = targets >= 0.5
+    return jnp.mean(jnp.all(pred == true, axis=-1).astype(jnp.float32))
+
+
 def make_optimizer(lr=0.01, momentum: float = 0.9,
                    weight_decay: float = 1e-4):
     """``lr`` may be a float or an optax schedule (callable step -> lr).
@@ -87,7 +106,7 @@ def make_probe_optimizer(optimizer):
 
 
 def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
-                    train_backbone: bool = True):
+                    train_backbone: bool = True, multi_label: bool = False):
     """Returns ``step(variables, opt_state, images, labels) ->
     (variables, opt_state, metrics)``.
 
@@ -95,6 +114,9 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
     mode and its running stats flow through ``variables['state']``.
     ``train_backbone=False`` (linear probe) runs the forward in eval mode
     instead — BN uses the frozen running stats and the state is unchanged.
+    ``multi_label=True`` (``multipla_escolha`` ambientes) takes ``labels``
+    as multi-hot [B, C] float rows, trains with per-class sigmoid BCE, and
+    reports exact-match accuracy.
     """
 
     def loss_fn(params, state, images, labels):
@@ -103,7 +125,10 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
             images.astype(compute_dtype),
             training=train_backbone,
         )
-        loss = cross_entropy_loss(logits, labels)
+        if multi_label:
+            loss = sigmoid_bce_loss(logits, labels)
+        else:
+            loss = cross_entropy_loss(logits, labels)
         return loss, (logits, new_state)
 
     def step(variables, opt_state, images, labels):
@@ -113,9 +138,12 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
         )(params, state, images, labels)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        acc = jnp.mean(
-            (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
-        )
+        if multi_label:
+            acc = multilabel_exact_match(logits, labels)
+        else:
+            acc = jnp.mean(
+                (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+            )
         return (
             {"params": params, "state": new_state},
             opt_state,
@@ -128,7 +156,8 @@ def make_train_step(model, optimizer, compute_dtype=jnp.bfloat16,
 def make_preproc_train_step(model, optimizer, image_size: int = 224,
                             resize_short: int = 256,
                             compute_dtype=jnp.bfloat16,
-                            train_backbone: bool = True):
+                            train_backbone: bool = True,
+                            multi_label: bool = False):
     """Fused step: uint8 canvas -> on-device preproc -> fwd+bwd -> SGD.
 
     One compiled graph per batch shape; decode stays on host
@@ -137,7 +166,7 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
     from ics_tpu.ops.preproc import preprocess_batch
 
     base_step = make_train_step(model, optimizer, compute_dtype,
-                                train_backbone)
+                                train_backbone, multi_label)
 
     @jax.jit
     def step(variables, opt_state, canvas_u8, sizes, labels):
@@ -151,10 +180,21 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
 
 
 def _augmented_step_fn(model, optimizer, augment, image_size: int,
-                       compute_dtype, train_backbone: bool = True):
+                       compute_dtype, train_backbone: bool = True,
+                       multi_label: bool = False):
     """Raw (un-jitted) augmented train step shared by the single-chip and
-    sharded builders below."""
-    from ics_tpu.ops.augment import augment_batch, mixup, smooth_labels
+    sharded builders below.
+
+    ``multi_label=True`` takes ``labels`` as multi-hot [B, C] float rows:
+    smoothing is the binary form (:func:`ops.augment.smooth_multilabel`),
+    mixup blends the rows like any soft target, and the loss is per-class
+    sigmoid BCE."""
+    from ics_tpu.ops.augment import (
+        augment_batch,
+        mixup,
+        smooth_labels,
+        smooth_multilabel,
+    )
 
     num_classes = model.num_classes
 
@@ -164,7 +204,10 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
             images.astype(compute_dtype),
             training=train_backbone,
         )
-        loss = soft_cross_entropy_loss(logits, target_probs)
+        if multi_label:
+            loss = sigmoid_bce_loss(logits, target_probs)
+        else:
+            loss = soft_cross_entropy_loss(logits, target_probs)
         return loss, (logits, new_state)
 
     def step(variables, opt_state, canvas_u8, sizes, labels, key):
@@ -173,7 +216,11 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
             canvas_u8, sizes, k_aug, out_size=image_size, cfg=augment,
             dtype=compute_dtype,
         )
-        targets = smooth_labels(labels, num_classes, augment.label_smoothing)
+        if multi_label:
+            targets = smooth_multilabel(labels, augment.label_smoothing)
+        else:
+            targets = smooth_labels(labels, num_classes,
+                                    augment.label_smoothing)
         if augment.mixup_alpha > 0.0:
             images, targets = mixup(k_mix, images, targets,
                                     augment.mixup_alpha)
@@ -183,9 +230,12 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
         )(params, state, images, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        acc = jnp.mean(
-            (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
-        )
+        if multi_label:
+            acc = multilabel_exact_match(logits, labels)
+        else:
+            acc = jnp.mean(
+                (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+            )
         return (
             {"params": params, "state": new_state},
             opt_state,
@@ -198,7 +248,8 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
 def make_augmented_train_step(model, optimizer, augment,
                               image_size: int = 224,
                               compute_dtype=jnp.bfloat16,
-                              train_backbone: bool = True):
+                              train_backbone: bool = True,
+                              multi_label: bool = False):
     """Fused AUGMENTED step: uint8 canvas -> on-device RandomResizedCrop/
     flip/jitter (inside the same resize matmuls, :mod:`ics_tpu.ops.augment`)
     -> optional mixup -> fwd+bwd -> SGD.
@@ -210,24 +261,27 @@ def make_augmented_train_step(model, optimizer, augment,
     """
     return jax.jit(
         _augmented_step_fn(model, optimizer, augment, image_size,
-                           compute_dtype, train_backbone)
+                           compute_dtype, train_backbone, multi_label)
     )
 
 
 def make_sharded_augmented_train_step(model, optimizer, mesh: Mesh, augment,
                                       image_size: int = 224,
                                       compute_dtype=jnp.bfloat16,
-                                      train_backbone: bool = True):
+                                      train_backbone: bool = True,
+                                      multi_label: bool = False):
     """Sharded twin of :func:`make_augmented_train_step`: canvas/sizes/labels
     shard over 'data', the PRNG key replicates (per-image keys fold in the
     GLOBAL batch index, so shards draw distinct crops); mixup's roll-by-one
     crosses the shard boundary as a single-row ppermute over ICI."""
     step = _augmented_step_fn(model, optimizer, augment, image_size,
-                              compute_dtype, train_backbone)
+                              compute_dtype, train_backbone, multi_label)
     return _sharded_builders(
         step, mesh,
         (batch_sharding(mesh, 4), batch_sharding(mesh, 2),
-         batch_sharding(mesh, 1), replicated_sharding(mesh)),
+         # multi-hot [B, C] labels vs int [B] — batch dim shards either way
+         batch_sharding(mesh, 2 if multi_label else 1),
+         replicated_sharding(mesh)),
     )
 
 
@@ -240,7 +294,7 @@ class FineTuner:
                  checkpoint_dir: Optional[str] = None,
                  remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
                  augment: Optional[Any] = None, seed: int = 0,
-                 linear_probe: bool = False):
+                 linear_probe: bool = False, multi_label: bool = False):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -256,6 +310,10 @@ class FineTuner:
         self._linear_probe = bool(linear_probe)
         if linear_probe:
             self.optimizer = make_probe_optimizer(self.optimizer)
+        # multi-label (multipla_escolha): multi-hot [B, C] targets +
+        # sigmoid BCE in every step variant; serving must mirror with
+        # sigmoid scores (runtime/engine.py multi_label flag)
+        self._multi_label = bool(multi_label)
         # mesh: shard the step over a device group (DP on batch; also pins
         # training OFF serving's chips — parallel/mesh.py
         # ::train_mesh_from_settings). Without one, plain jit.
@@ -275,11 +333,13 @@ class FineTuner:
                 self.step_fn = make_augmented_train_step(
                     model, self.optimizer, augment, image_size, compute_dtype,
                     train_backbone=not self._linear_probe,
+                    multi_label=self._multi_label,
                 )
             else:
                 self.step_fn = make_preproc_train_step(
                     model, self.optimizer, image_size, resize_short,
                     compute_dtype, train_backbone=not self._linear_probe,
+                    multi_label=self._multi_label,
                 )
         else:
             self.step_fn = None  # built in run() from the actual trees
@@ -309,12 +369,14 @@ class FineTuner:
                     self.model, self.optimizer, self.mesh, self._augment,
                     self._image_size, self._compute_dtype,
                     train_backbone=not self._linear_probe,
+                    multi_label=self._multi_label,
                 )
             else:
                 jit_step, shard_variables = make_sharded_preproc_train_step(
                     self.model, self.optimizer, self.mesh, self._image_size,
                     self._resize_short, self._compute_dtype,
                     train_backbone=not self._linear_probe,
+                    multi_label=self._multi_label,
                 )
             variables, opt_state, _ = shard_variables(variables, opt_state)
             step_fn = jit_step(variables, opt_state)
@@ -389,6 +451,62 @@ def evaluate(model, variables, batches, image_size: int = 224,
     return (correct / total) if total else None, total
 
 
+def make_multilabel_eval_step(model, image_size: int = 224,
+                              resize_short: int = 256,
+                              compute_dtype=jnp.bfloat16):
+    """Multi-label eval step: multi-hot [B, C] targets -> per-batch
+    (tp, fp, fn, exact_match_count, n) sums at the 0.5 threshold, for
+    micro-F1 + exact-match aggregation across batches."""
+    from ics_tpu.ops.preproc import preprocess_batch
+
+    @jax.jit
+    def step(variables, canvas_u8, sizes, targets, valid):
+        images = preprocess_batch(
+            canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
+            dtype=compute_dtype,
+        )
+        logits, _ = model.apply(variables, images, training=False)
+        pred = logits.astype(jnp.float32) >= 0.0  # sigmoid >= 0.5
+        true = targets >= 0.5
+        v = valid[:, None]
+        tp = jnp.sum((pred & true) & v)
+        fp = jnp.sum((pred & ~true) & v)
+        fn = jnp.sum((~pred & true) & v)
+        exact = jnp.sum(jnp.all(pred == true, axis=-1) & valid)
+        return tp, fp, fn, exact, jnp.sum(valid.astype(jnp.int32))
+
+    return step
+
+
+def evaluate_multilabel(model, variables, batches, image_size: int = 224,
+                        resize_short: int = 256,
+                        compute_dtype=jnp.bfloat16):
+    """Multi-label metrics over an eval iterator yielding (canvas, sizes,
+    multi_hot_targets, n_real). Returns ``({"f1_micro", "exact_match",
+    "precision", "recall"}, total)`` — ``(None, 0)`` when empty."""
+    step = make_multilabel_eval_step(model, image_size, resize_short,
+                                     compute_dtype)
+    tp = fp = fn = exact = total = 0
+    for canvas, sizes, targets, n_real in batches:
+        valid = jnp.arange(targets.shape[0]) < n_real
+        btp, bfp, bfn, bex, bn = step(variables, canvas, sizes, targets,
+                                      valid)
+        tp += int(btp); fp += int(bfp); fn += int(bfn)
+        exact += int(bex); total += int(bn)
+    if not total:
+        return None, 0
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tp / (tp + fn) if (tp + fn) else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if (precision + recall) else 0.0)
+    return {
+        "f1_micro": f1,
+        "exact_match": exact / total,
+        "precision": precision,
+        "recall": recall,
+    }, total
+
+
 def _sharded_builders(step, mesh: Mesh, data_shardings: tuple):
     """Shared plumbing for sharded train steps: variables get head-TP +
     replication, optimizer state replicates, batch args shard over 'data'.
@@ -443,7 +561,8 @@ def make_sharded_preproc_train_step(model, optimizer, mesh: Mesh,
                                     image_size: int = 224,
                                     resize_short: int = 256,
                                     compute_dtype=jnp.bfloat16,
-                                    train_backbone: bool = True):
+                                    train_backbone: bool = True,
+                                    multi_label: bool = False):
     """Sharded twin of ``make_preproc_train_step``: uint8 canvas batches
     shard over 'data', preproc + fwd+bwd + SGD run on the mesh. This is
     what background fine-tune jobs use when ``TPU_TRAIN_DEVICES`` pins
@@ -451,7 +570,7 @@ def make_sharded_preproc_train_step(model, optimizer, mesh: Mesh,
     from ics_tpu.ops.preproc import preprocess_batch
 
     base_step = make_train_step(model, optimizer, compute_dtype,
-                                train_backbone)
+                                train_backbone, multi_label)
 
     def step(variables, opt_state, canvas_u8, sizes, labels):
         images = preprocess_batch(
@@ -463,5 +582,5 @@ def make_sharded_preproc_train_step(model, optimizer, mesh: Mesh,
     return _sharded_builders(
         step, mesh,
         (batch_sharding(mesh, 4), batch_sharding(mesh, 2),
-         batch_sharding(mesh, 1)),
+         batch_sharding(mesh, 2 if multi_label else 1)),
     )

@@ -343,7 +343,20 @@ class TrainingJobManager:
              treinar_apenas_cabeca: bool = False) -> None:
         try:
             job.status = "executando"
-            examples, class_map = labeled_examples(self.db, job.id_amb)
+            # multipla_escolha ambientes train multi-label automatically:
+            # every active option of an image is part of its multi-hot
+            # target, the loss is per-class sigmoid BCE and serving applies
+            # sigmoid scores (metricas.multi_rotulo -> engine multi_label)
+            from ics_tpu.db.models import Ambiente
+
+            with self.db.session() as s:
+                ambiente = s.get(Ambiente, str(job.id_amb))
+                multi_label = bool(ambiente is not None
+                                   and ambiente.multipla_escolha)
+            job.params["multi_rotulo"] = multi_label
+            examples, class_map = labeled_examples(
+                self.db, job.id_amb, multi_label=multi_label
+            )
             job.n_examples = len(examples)
             if len(examples) < 2 or len(class_map) < 2:
                 raise RuntimeError(
@@ -406,6 +419,7 @@ class TrainingJobManager:
                 augment=augment,
                 seed=seed,
                 linear_probe=treinar_apenas_cabeca,
+                multi_label=multi_label,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed
@@ -418,6 +432,7 @@ class TrainingJobManager:
                     self.db, job.id_amb, class_map,
                     min_score=sugestao_min_score,
                     exclude_hashes={e["content_hash"] for e in examples},
+                    multi_label=multi_label,
                 )
                 train_examples = train_examples + pseudo
                 job.n_sugestoes = len(pseudo)
@@ -428,6 +443,7 @@ class TrainingJobManager:
                 batch_iterator(
                     train_examples, fetch, batch_size=batch_size,
                     canvas=canvas, seed=seed, epochs=epochs,
+                    num_classes=num_classes,
                 )
             )
 
@@ -456,18 +472,34 @@ class TrainingJobManager:
                 return
             final = history[-1] if history else {}
             eval_accuracy = None
+            eval_metrics = None
             if eval_examples:
-                eval_accuracy, _ = evaluate(
-                    model, variables,
-                    batch_iterator(
-                        eval_examples, fetch, batch_size=batch_size,
-                        canvas=canvas, shuffle=False, epochs=1,
-                        with_counts=True,
-                    ),
-                    image_size=spec.image_size,
-                    resize_short=spec.resize_short,
-                    compute_dtype=dtype,
+                eval_batches = batch_iterator(
+                    eval_examples, fetch, batch_size=batch_size,
+                    canvas=canvas, shuffle=False, epochs=1,
+                    with_counts=True, num_classes=num_classes,
                 )
+                if multi_label:
+                    from ics_tpu.train.finetune import evaluate_multilabel
+
+                    eval_metrics, _ = evaluate_multilabel(
+                        model, variables, eval_batches,
+                        image_size=spec.image_size,
+                        resize_short=spec.resize_short,
+                        compute_dtype=dtype,
+                    )
+                    if eval_metrics is not None:
+                        # the comparable scalar for multi-label is
+                        # exact-match (strictest); micro-F1 travels in
+                        # the registry metricas
+                        eval_accuracy = eval_metrics["exact_match"]
+                else:
+                    eval_accuracy, _ = evaluate(
+                        model, variables, eval_batches,
+                        image_size=spec.image_size,
+                        resize_short=spec.resize_short,
+                        compute_dtype=dtype,
+                    )
                 job.eval_accuracy = eval_accuracy
             if job.cancel_event.is_set():
                 # a 202'd cancel that landed during eval must still win —
@@ -495,6 +527,10 @@ class TrainingJobManager:
                         "exemplos_eval": len(eval_examples),
                         "historico": history[-20:],
                         "exemplos": len(examples),
+                        # serving reads this: sigmoid scores + >=0.5
+                        # suggestion sets instead of softmax/top-1
+                        "multi_rotulo": multi_label,
+                        "eval_multilabel": eval_metrics,
                     },
                     ativar=ativar,
                 )
