@@ -346,11 +346,16 @@ async def classificar_imagem_tpu(request: Request):
         result["modelo_versao"] = modelo_row.versao
         result["id_mod"] = str(modelo_row.id_mod)
         # multipla_escolha models serve independent sigmoid scores; every
-        # option at or above 0.5 is a suggested label (not just top-1)
-        if (modelo_row.metricas or {}).get("multi_rotulo"):
+        # option at or above the model's calibrated decision threshold
+        # (train/job.py metricas.limiar, micro-F1 sweep on the eval
+        # split; 0.5 when uncalibrated) is a suggested label
+        metricas = modelo_row.metricas or {}
+        if metricas.get("multi_rotulo"):
+            limiar = float(metricas.get("limiar") or 0.5)
             result["multi_rotulo"] = True
+            result["limiar"] = limiar
             result["opcoes_sugeridas"] = [
-                o for o in opcoes_out if (o["score"] or 0.0) >= 0.5
+                o for o in opcoes_out if (o["score"] or 0.0) >= limiar
             ]
 
     # persist the suggestion when the upload is a synced image

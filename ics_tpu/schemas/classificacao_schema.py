@@ -90,6 +90,7 @@ class InferenciaTPUOut(BaseModel):
     modelo_versao: Optional[int] = None
     id_mod: Optional[str] = None
     # multipla_escolha models: independent sigmoid scores; every option
-    # at or above 0.5 is a suggested label
+    # at or above the calibrated threshold (limiar) is a suggested label
     multi_rotulo: Optional[bool] = None
+    limiar: Optional[float] = None
     opcoes_sugeridas: Optional[list[OpcaoScoreOut]] = None

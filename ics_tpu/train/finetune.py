@@ -12,6 +12,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ics_tpu.parallel.mesh import (
@@ -454,57 +455,109 @@ def evaluate(model, variables, batches, image_size: int = 224,
 def make_multilabel_eval_step(model, image_size: int = 224,
                               resize_short: int = 256,
                               compute_dtype=jnp.bfloat16):
-    """Multi-label eval step: multi-hot [B, C] targets -> per-batch
-    (tp, fp, fn, exact_match_count, n) sums at the 0.5 threshold, for
-    micro-F1 + exact-match aggregation across batches."""
+    """Multi-label eval step: batch -> sigmoid probabilities [B, C]
+    (float32). Thresholding/aggregation happen on host so one forward
+    pass serves both the fixed-0.5 metrics and threshold calibration."""
     from ics_tpu.ops.preproc import preprocess_batch
 
     @jax.jit
-    def step(variables, canvas_u8, sizes, targets, valid):
+    def step(variables, canvas_u8, sizes):
         images = preprocess_batch(
             canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
             dtype=compute_dtype,
         )
         logits, _ = model.apply(variables, images, training=False)
-        pred = logits.astype(jnp.float32) >= 0.0  # sigmoid >= 0.5
-        true = targets >= 0.5
-        v = valid[:, None]
-        tp = jnp.sum((pred & true) & v)
-        fp = jnp.sum((pred & ~true) & v)
-        fn = jnp.sum((~pred & true) & v)
-        exact = jnp.sum(jnp.all(pred == true, axis=-1) & valid)
-        return tp, fp, fn, exact, jnp.sum(valid.astype(jnp.int32))
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
 
     return step
 
 
-def evaluate_multilabel(model, variables, batches, image_size: int = 224,
-                        resize_short: int = 256,
-                        compute_dtype=jnp.bfloat16):
-    """Multi-label metrics over an eval iterator yielding (canvas, sizes,
-    multi_hot_targets, n_real). Returns ``({"f1_micro", "exact_match",
-    "precision", "recall"}, total)`` — ``(None, 0)`` when empty."""
+def collect_multilabel_scores(model, variables, batches,
+                              image_size: int = 224,
+                              resize_short: int = 256,
+                              compute_dtype=jnp.bfloat16):
+    """Run the eval iterator (yielding ``(canvas, sizes, multi_hot,
+    n_real)``) once and return ``(probs [N, C], targets [N, C])`` float32
+    numpy arrays over the valid (non-padded) rows — ``(None, None)`` when
+    the iterator is empty."""
     step = make_multilabel_eval_step(model, image_size, resize_short,
                                      compute_dtype)
-    tp = fp = fn = exact = total = 0
+    probs_parts, target_parts = [], []
     for canvas, sizes, targets, n_real in batches:
-        valid = jnp.arange(targets.shape[0]) < n_real
-        btp, bfp, bfn, bex, bn = step(variables, canvas, sizes, targets,
-                                      valid)
-        tp += int(btp); fp += int(bfp); fn += int(bfn)
-        exact += int(bex); total += int(bn)
-    if not total:
-        return None, 0
+        n = int(n_real)
+        if n <= 0:
+            continue
+        p = np.asarray(step(variables, canvas, sizes))
+        probs_parts.append(p[:n])
+        target_parts.append(np.asarray(targets, np.float32)[:n])
+    if not probs_parts:
+        return None, None
+    return np.concatenate(probs_parts), np.concatenate(target_parts)
+
+
+def multilabel_metrics(probs, targets, threshold: float = 0.5) -> dict:
+    """Micro-averaged multi-label metrics of ``probs >= threshold``
+    against multi-hot ``targets`` (both [N, C] numpy)."""
+    pred = np.asarray(probs) >= threshold
+    true = np.asarray(targets) >= 0.5
+    tp = int(np.sum(pred & true))
+    fp = int(np.sum(pred & ~true))
+    fn = int(np.sum(~pred & true))
     precision = tp / (tp + fp) if (tp + fp) else 0.0
     recall = tp / (tp + fn) if (tp + fn) else 0.0
     f1 = (2 * precision * recall / (precision + recall)
           if (precision + recall) else 0.0)
     return {
         "f1_micro": f1,
-        "exact_match": exact / total,
+        "exact_match": float(np.mean(np.all(pred == true, axis=-1))),
         "precision": precision,
         "recall": recall,
-    }, total
+    }
+
+
+# calibration needs enough positive labels to generalize: below this the
+# sweep just memorizes the eval split and 0.5 is the safer serving choice
+MIN_POSITIVES_FOR_CALIBRATION = 8
+
+
+def calibrate_multilabel_threshold(
+    probs, targets, grid=None,
+    min_positives: int = MIN_POSITIVES_FOR_CALIBRATION,
+) -> tuple[float, dict]:
+    """Pick the global decision threshold maximizing micro-F1 on the eval
+    split (0.05..0.95 grid; ties break toward 0.5 for stability). Returns
+    ``(threshold, metrics_at_threshold)``. Falls back to 0.5 when the
+    split carries fewer than ``min_positives`` positive labels — a sweep
+    over a handful of labels is memorization, not calibration."""
+    probs = np.asarray(probs)
+    targets = np.asarray(targets)
+    if int(np.sum(targets >= 0.5)) < min_positives:
+        return 0.5, multilabel_metrics(probs, targets, 0.5)
+    if grid is None:
+        grid = np.round(np.arange(0.05, 0.951, 0.05), 2)
+    best_t, best_m = 0.5, multilabel_metrics(probs, targets, 0.5)
+    for t in grid:
+        m = multilabel_metrics(probs, targets, float(t))
+        better = m["f1_micro"] > best_m["f1_micro"] + 1e-12
+        tie = abs(m["f1_micro"] - best_m["f1_micro"]) <= 1e-12
+        if better or (tie and abs(t - 0.5) < abs(best_t - 0.5)):
+            best_t, best_m = float(t), m
+    return best_t, best_m
+
+
+def evaluate_multilabel(model, variables, batches, image_size: int = 224,
+                        resize_short: int = 256,
+                        compute_dtype=jnp.bfloat16):
+    """Multi-label metrics at the 0.5 threshold over an eval iterator
+    yielding (canvas, sizes, multi_hot_targets, n_real). Returns
+    ``({"f1_micro", "exact_match", "precision", "recall"}, total)`` —
+    ``(None, 0)`` when empty."""
+    probs, targets = collect_multilabel_scores(
+        model, variables, batches, image_size, resize_short, compute_dtype
+    )
+    if probs is None:
+        return None, 0
+    return multilabel_metrics(probs, targets, 0.5), probs.shape[0]
 
 
 def _sharded_builders(step, mesh: Mesh, data_shardings: tuple):

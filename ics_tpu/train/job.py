@@ -473,6 +473,8 @@ class TrainingJobManager:
             final = history[-1] if history else {}
             eval_accuracy = None
             eval_metrics = None
+            eval_calibrado = None
+            limiar = None
             if eval_examples:
                 eval_batches = batch_iterator(
                     eval_examples, fetch, batch_size=batch_size,
@@ -480,19 +482,28 @@ class TrainingJobManager:
                     with_counts=True, num_classes=num_classes,
                 )
                 if multi_label:
-                    from ics_tpu.train.finetune import evaluate_multilabel
+                    from ics_tpu.train.finetune import (
+                        calibrate_multilabel_threshold,
+                        collect_multilabel_scores,
+                        multilabel_metrics,
+                    )
 
-                    eval_metrics, _ = evaluate_multilabel(
+                    probs, targets = collect_multilabel_scores(
                         model, variables, eval_batches,
                         image_size=spec.image_size,
                         resize_short=spec.resize_short,
                         compute_dtype=dtype,
                     )
-                    if eval_metrics is not None:
+                    if probs is not None:
+                        eval_metrics = multilabel_metrics(probs, targets)
+                        # serving threshold calibrated on the eval split
+                        # (micro-F1 sweep; stays 0.5 on tiny splits)
+                        limiar, eval_calibrado = (
+                            calibrate_multilabel_threshold(probs, targets)
+                        )
                         # the comparable scalar for multi-label is
-                        # exact-match (strictest); micro-F1 travels in
-                        # the registry metricas
-                        eval_accuracy = eval_metrics["exact_match"]
+                        # exact-match (strictest) at the SERVING threshold
+                        eval_accuracy = eval_calibrado["exact_match"]
                 else:
                     eval_accuracy, _ = evaluate(
                         model, variables, eval_batches,
@@ -527,10 +538,13 @@ class TrainingJobManager:
                         "exemplos_eval": len(eval_examples),
                         "historico": history[-20:],
                         "exemplos": len(examples),
-                        # serving reads this: sigmoid scores + >=0.5
-                        # suggestion sets instead of softmax/top-1
+                        # serving reads these: sigmoid scores + the
+                        # calibrated >=limiar suggestion set instead of
+                        # softmax/top-1 (limiar None -> 0.5 default)
                         "multi_rotulo": multi_label,
                         "eval_multilabel": eval_metrics,
+                        "eval_multilabel_calibrado": eval_calibrado,
+                        "limiar": limiar,
                     },
                     ativar=ativar,
                 )

@@ -73,6 +73,58 @@ class TestLossMath:
         )
 
 
+class TestThresholdCalibration:
+    def test_sweep_beats_half_on_imbalanced_scores(self):
+        """Scores clustered just under 0.5 for true positives: the sweep
+        must lower the threshold; micro-F1 at the calibrated threshold
+        must beat the fixed-0.5 metrics."""
+        from ics_tpu.train.finetune import (
+            calibrate_multilabel_threshold,
+            multilabel_metrics,
+        )
+
+        rng = np.random.default_rng(0)
+        n, c = 40, 3
+        targets = (rng.random((n, c)) < 0.4).astype(np.float32)
+        targets[0, 0] = 1.0  # at least one positive overall
+        # positives score 0.30-0.45, negatives 0.05-0.20: perfectly
+        # separable, but every positive is below 0.5
+        probs = np.where(
+            targets >= 0.5,
+            rng.uniform(0.30, 0.45, (n, c)),
+            rng.uniform(0.05, 0.20, (n, c)),
+        ).astype(np.float32)
+        t, cal = calibrate_multilabel_threshold(probs, targets)
+        base = multilabel_metrics(probs, targets, 0.5)
+        assert t < 0.5
+        assert cal["f1_micro"] == 1.0
+        assert cal["f1_micro"] > base["f1_micro"]
+        assert cal == multilabel_metrics(probs, targets, t)
+
+    def test_tiny_split_stays_at_half(self):
+        """Below the positive-label floor calibration is memorization —
+        the threshold must stay 0.5 even when a sweep would 'win'."""
+        from ics_tpu.train.finetune import calibrate_multilabel_threshold
+
+        probs = np.asarray([[0.3, 0.1], [0.35, 0.05]], np.float32)
+        targets = np.asarray([[1.0, 0.0], [1.0, 0.0]], np.float32)
+        t, _ = calibrate_multilabel_threshold(probs, targets)
+        assert t == 0.5
+
+    def test_tie_breaks_toward_half(self):
+        """Separable scores straddling 0.5: several thresholds give
+        F1=1.0; the one closest to 0.5 must win for serving stability."""
+        from ics_tpu.train.finetune import calibrate_multilabel_threshold
+
+        rng = np.random.default_rng(1)
+        n, c = 30, 2
+        targets = (rng.random((n, c)) < 0.5).astype(np.float32)
+        probs = np.where(targets >= 0.5, 0.9, 0.1).astype(np.float32)
+        t, cal = calibrate_multilabel_threshold(probs, targets)
+        assert t == 0.5
+        assert cal["f1_micro"] == 1.0
+
+
 class _ConstLogits:
     """Stub model: ignores pixels, returns a fixed logits row per batch
     index — lets evaluate_multilabel's tp/fp/fn aggregation be checked
@@ -299,6 +351,10 @@ async def test_job_trains_and_serves_multilabel(ml_app):
         assert row["metricas"]["multi_rotulo"] is True
         ml = row["metricas"]["eval_multilabel"]
         assert ml is None or {"f1_micro", "exact_match"} <= set(ml)
+        # calibrated serving threshold travels in metricas (None only
+        # when the job had no eval split)
+        limiar = row["metricas"].get("limiar")
+        assert limiar is None or 0.05 <= limiar <= 0.95
 
         # serving: sigmoid scores + >=0.5 suggestion set
         esp = await _login(c, username="multi@x.com", password="SenhaBoa1")
@@ -312,8 +368,9 @@ async def test_job_trains_and_serves_multilabel(ml_app):
         body = r.json()
         assert body["multi_rotulo"] is True
         assert isinstance(body["opcoes_sugeridas"], list)
+        assert 0.05 <= body["limiar"] <= 0.95
         for o in body["opcoes_sugeridas"]:
-            assert o["score"] >= 0.5
+            assert o["score"] >= body["limiar"]
         # sigmoid scores are independent per class — with 2 classes the
         # top-2 need not sum to 1 (softmax would force exactly 1)
         scores = [o["score"] for o in body["opcoes"]]
