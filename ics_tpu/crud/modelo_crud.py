@@ -155,6 +155,18 @@ def sugestoes_por_imagens(
         .all()
     )
     opcao_texto: dict[str, str] = {}
+    modelo_meta: dict[str, dict] = {}
+
+    def _meta(id_mod) -> dict:
+        # multi-label models threshold the suggested set with their
+        # calibrated limiar (train/job.py metricas) — cached per model
+        if id_mod is None:
+            return {}
+        key = str(id_mod)
+        if key not in modelo_meta:
+            mod = db.get(ModeloTreinado, key)
+            modelo_meta[key] = (mod.metricas or {}) if mod else {}
+        return modelo_meta[key]
 
     def render(row: SugestaoModelo) -> dict:
         texto = None
@@ -163,7 +175,7 @@ def sugestoes_por_imagens(
                 opc = db.get(Opcao, row.id_opc)
                 opcao_texto[row.id_opc] = opc.texto if opc else None
             texto = opcao_texto[row.id_opc]
-        return {
+        out = {
             "modelo": row.modelo,
             "versao": row.versao,
             "id_opc": str(row.id_opc) if row.id_opc else None,
@@ -171,6 +183,17 @@ def sugestoes_por_imagens(
             "score": row.score,
             "classes": row.classes,
         }
+        meta = _meta(row.id_mod)
+        if meta.get("multi_rotulo"):
+            limiar = float(meta.get("limiar") or 0.5)
+            out["multi_rotulo"] = True
+            out["limiar"] = limiar
+            out["sugeridas"] = [
+                c for c in (row.classes or [])
+                if isinstance(c, dict)
+                and float(c.get("score") or 0.0) >= limiar
+            ]
+        return out
 
     generic: dict[str, SugestaoModelo] = {}
     for row in rows:

@@ -380,6 +380,46 @@ async def test_job_trains_and_serves_multilabel(ml_app):
         )
 
 
+@pytest.mark.anyio
+async def test_paging_suggestion_carries_calibrated_set(ml_app):
+    """sugestoes_por_imagens: multi-label model rows render the
+    above-limiar suggested set next to the top-1 fields."""
+    from ics_tpu.crud import modelo_crud
+
+    db = ml_app.state.db
+    id_amb = ml_app.state.id_amb
+    op1, op2 = ml_app.state.opcoes
+    some_hash = next(iter(ml_app.state.blobs))
+    with db.session() as s:
+        row = modelo_crud.registrar_modelo(
+            s, id_amb=id_amb, nome_modelo="resnet_tiny", num_classes=2,
+            class_map={op1: 0, op2: 1}, dir_checkpoint="/tmp/x", passo=1,
+            metricas={"multi_rotulo": True, "limiar": 0.35},
+            ativar=True,
+        )
+        classes = [
+            {"id_opc": op1, "score": 0.9},
+            {"id_opc": op2, "score": 0.4},
+        ]
+        modelo_crud.registrar_sugestao(
+            s, some_hash, modelo="resnet_tiny", classes=classes,
+            score=0.9, id_amb=id_amb, id_mod=row.id_mod, id_opc=op1,
+            versao=row.versao,
+        )
+        s.commit()
+    with db.session() as s:
+        out = modelo_crud.sugestoes_por_imagens(
+            s, [some_hash], id_amb=id_amb
+        )
+    sug = out[some_hash]
+    assert sug["multi_rotulo"] is True
+    assert sug["limiar"] == 0.35
+    # 0.9 and 0.4 both clear the calibrated 0.35 threshold
+    assert [c["id_opc"] for c in sug["sugeridas"]] == [op1, op2]
+    # top-1 contract unchanged
+    assert sug["id_opc"] == op1 and sug["score"] == 0.9
+
+
 class TestFineTunerMultilabel:
     def test_train_step_runs_and_learns_shape(self):
         from ics_tpu.models.resnet import resnet_tiny
