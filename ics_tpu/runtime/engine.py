@@ -91,6 +91,15 @@ class InferenceEngine:
             "batches": 0, "images": 0, "total_device_ms": 0.0, "compiles": 0,
         }
 
+    def _top_k(self) -> int:
+        # multi-label: every class's sigmoid score is an independent
+        # decision, so truncating at TOP_K could silently drop options at
+        # or above the serving threshold — return ALL classes (ambiente
+        # option counts are small). Softmax serving keeps the top-k cap.
+        if self.multi_label:
+            return self.num_classes
+        return min(TOP_K, self.num_classes)
+
     # -- compiled step -----------------------------------------------------
     def _make_step(self):
         model = self.model
@@ -98,7 +107,7 @@ class InferenceEngine:
         dtype = self.dtype
         multi_label = self.multi_label
 
-        k = min(TOP_K, self.num_classes)
+        k = self._top_k()
 
         def step(folded, canvas_u8, sizes):
             x = preprocess_batch(
@@ -145,7 +154,7 @@ class InferenceEngine:
 
             self._coeff_steps[mode] = make_fused_decode_infer_step(
                 self.model, self.folded, self.spec, dtype=self.dtype,
-                mesh=self.mesh, top_k=min(TOP_K, self.num_classes),
+                mesh=self.mesh, top_k=self._top_k(),
                 mode=mode, multi_label=self.multi_label,
             )
         return self._coeff_steps[mode]

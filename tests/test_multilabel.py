@@ -502,3 +502,23 @@ class TestEngineMultilabel:
             np.testing.assert_allclose(want, got, atol=1e-3)
         # scores sorted descending (top_k contract preserved)
         assert (np.diff(sig_scores[0]) <= 1e-6).all()
+
+    def test_multilabel_returns_all_classes_beyond_top_k(self):
+        """num_classes > TOP_K: the sigmoid engine must return EVERY
+        class (each is an independent decision vs the serving limiar);
+        the softmax engine keeps the top-k cap."""
+        from ics_tpu.runtime.engine import TOP_K, InferenceEngine
+
+        n_cls = TOP_K + 3
+        kw = dict(num_classes=n_cls, precision="fp32", buckets=(2,),
+                  canvas=64)
+        sig = InferenceEngine("resnet_tiny", multi_label=True, **kw)
+        soft = InferenceEngine("resnet_tiny", **kw)
+        rng = np.random.default_rng(2)
+        canvas = rng.integers(0, 256, (2, 64, 64, 3), np.uint8)
+        sizes = np.full((2, 2), 64, np.int32)
+        sidx, sig_scores = sig.predict_staged(canvas, sizes)
+        _, soft_scores = soft.predict_staged(canvas, sizes)
+        assert sig_scores.shape == (2, n_cls)
+        assert sorted(sidx[0]) == list(range(n_cls))
+        assert soft_scores.shape == (2, TOP_K)
