@@ -357,6 +357,12 @@ async def classificar_imagem_tpu(request: Request):
             result["opcoes_sugeridas"] = [
                 o for o in opcoes_out if (o["score"] or 0.0) >= limiar
             ]
+        elif metricas.get("temperatura"):
+            # single-label: scores already ARE calibrated probabilities —
+            # the fitted softmax temperature was folded into the head at
+            # engine build (runtime/service.py get_trained); surface the
+            # T so clients know the scores are comparable across versions
+            result["temperatura"] = float(metricas["temperatura"])
 
     # persist the suggestion when the upload is a synced image
     if db.get(Imagem, content_hash) is not None:

@@ -473,12 +473,23 @@ class InferenceServicePool:
 
                 def build() -> InferenceService:
                     from ics_tpu.train.checkpoint import CheckpointManager
+                    from ics_tpu.train.finetune import fold_temperature
 
                     mgr = CheckpointManager(modelo_row.dir_checkpoint)
                     try:
                         restored = mgr.restore()
                     finally:
                         mgr.close()
+                    metricas = modelo_row.metricas or {}
+                    if not metricas.get("multi_rotulo"):
+                        # calibrated softmax temperature (train/job.py
+                        # metricas.temperatura) folded into the head
+                        # weights: zero-cost calibrated serving scores
+                        restored = dict(restored)
+                        restored["variables"] = fold_temperature(
+                            restored["variables"],
+                            metricas.get("temperatura"),
+                        )
 
                     def make_engine(kw):
                         kw = dict(kw)

@@ -244,22 +244,31 @@ def batch_iterator(
             rng.shuffle(order)
         for start in range(0, len(order), batch_size):
             idx = order[start:start + batch_size]
+            n_orig = len(idx)  # rows beyond this are repeat-padding
             while len(idx) < batch_size:  # pad to static batch
                 idx = np.concatenate([idx, idx[: batch_size - len(idx)]])
             images, labels = [], []
-            for i in idx:
+            n_real = 0
+            for pos, i in enumerate(idx):
                 ex = examples[int(i)]
                 try:
                     data = fetch_bytes(ex["content_hash"], ex["caminho_img"])
                     images.append(decode_image(data))
                     labels.append(ex["labels"] if multi else ex["label"])
+                    if pos < n_orig:
+                        # repeat-padded rows must NOT count as real: eval
+                        # consumers slice [:n_real] and a tail batch of 1
+                        # example repeated to the static shape would
+                        # otherwise weight that example batch_size times
+                        # (and could sneak a tiny split past calibration's
+                        # min-examples gate)
+                        n_real += 1
                 except Exception as exc:
                     logger.warning(
                         "pulando exemplo %s: %s", ex["content_hash"][:8], exc
                     )
             if not images:
                 continue
-            n_real = len(images)
             while len(images) < batch_size:
                 images.append(images[-1])
                 labels.append(labels[-1])

@@ -8,6 +8,7 @@ Pure-functional train step, jit-able single-chip or sharded over a mesh
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Optional
 
 import jax
@@ -518,6 +519,153 @@ def multilabel_metrics(probs, targets, threshold: float = 0.5) -> dict:
 # calibration needs enough positive labels to generalize: below this the
 # sweep just memorizes the eval split and 0.5 is the safer serving choice
 MIN_POSITIVES_FOR_CALIBRATION = 8
+
+
+def make_logits_eval_step(model, image_size: int = 224,
+                          resize_short: int = 256,
+                          compute_dtype=jnp.bfloat16):
+    """Single-label eval step: batch -> raw logits [B, C] (float32).
+
+    One forward pass serves accuracy AND temperature calibration — the
+    softmax/argmax happen on host over the collected logits."""
+    from ics_tpu.ops.preproc import preprocess_batch
+
+    @jax.jit
+    def step(variables, canvas_u8, sizes):
+        images = preprocess_batch(
+            canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
+            dtype=compute_dtype,
+        )
+        logits, _ = model.apply(variables, images, training=False)
+        return logits.astype(jnp.float32)
+
+    return step
+
+
+def collect_logits(model, variables, batches, image_size: int = 224,
+                   resize_short: int = 256, compute_dtype=jnp.bfloat16):
+    """Run the eval iterator (yielding ``(canvas, sizes, labels, n_real)``)
+    once and return ``(logits [N, C] float32, labels [N] int64)`` numpy
+    arrays over the valid rows — ``(None, None)`` when empty."""
+    step = make_logits_eval_step(model, image_size, resize_short,
+                                 compute_dtype)
+    logit_parts, label_parts = [], []
+    for canvas, sizes, labels, n_real in batches:
+        n = int(n_real)
+        if n <= 0:
+            continue
+        z = np.asarray(step(variables, canvas, sizes))
+        logit_parts.append(z[:n])
+        label_parts.append(np.asarray(labels, np.int64)[:n])
+    if not logit_parts:
+        return None, None
+    return np.concatenate(logit_parts), np.concatenate(label_parts)
+
+
+def _log_softmax_np(logits):
+    z = logits - logits.max(axis=-1, keepdims=True)
+    return z - np.log(np.sum(np.exp(z), axis=-1, keepdims=True))
+
+
+def nll_np(logits, labels, temperature: float = 1.0) -> float:
+    """Mean negative log-likelihood of ``labels`` under
+    ``softmax(logits / temperature)`` (numpy, numerically stable)."""
+    logp = _log_softmax_np(np.asarray(logits, np.float64) / float(temperature))
+    return float(-np.mean(logp[np.arange(len(labels)), labels]))
+
+
+def expected_calibration_error(probs, labels, bins: int = 10) -> float:
+    """ECE: confidence-binned |accuracy - mean confidence| weighted by bin
+    occupancy — the standard top-1 calibration metric (Guo et al. form)."""
+    probs = np.asarray(probs)
+    labels = np.asarray(labels)
+    conf = probs.max(axis=-1)
+    correct = (probs.argmax(axis=-1) == labels).astype(np.float64)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    n = len(labels)
+    ece = 0.0
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        mask = (conf > lo) & (conf <= hi) if lo > 0 else (conf <= hi)
+        k = int(mask.sum())
+        if k == 0:
+            continue
+        ece += (k / n) * abs(correct[mask].mean() - conf[mask].mean())
+    return float(ece)
+
+
+def calibrate_temperature(
+    logits, labels, min_examples: int = MIN_POSITIVES_FOR_CALIBRATION,
+) -> tuple[float, dict]:
+    """Fit the softmax temperature T minimizing eval-split NLL
+    (Guo et al. temperature scaling — the single-parameter, accuracy-
+    preserving calibration; argmax is invariant under T).
+
+    NLL is convex in the inverse temperature s = 1/T (log-sum-exp of
+    s-scaled logits), so a golden-section search over s converges to the
+    global optimum. Returns ``(T, metrics)`` with before/after NLL + ECE;
+    falls back to T=1 when the split is smaller than ``min_examples``
+    (fitting a parameter to a handful of rows is memorization) or when the
+    fit doesn't actually improve NLL."""
+    logits = np.asarray(logits, np.float64)
+    labels = np.asarray(labels)
+    nll_t1 = nll_np(logits, labels, 1.0)
+    probs_t1 = np.exp(_log_softmax_np(logits))
+    ece_t1 = expected_calibration_error(probs_t1, labels)
+    metrics = {
+        "nll_sem_calibracao": nll_t1,
+        "ece_sem_calibracao": ece_t1,
+        "nll": nll_t1,
+        "ece": ece_t1,
+        "exemplos": int(len(labels)),
+    }
+    if len(labels) < min_examples:
+        return 1.0, metrics
+
+    def f(s: float) -> float:  # NLL over inverse temperature
+        return nll_np(logits, labels, 1.0 / s)
+
+    lo, hi = 0.05, 20.0  # T in [0.05, 20]
+    phi = (math.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - phi * (b - a), a + phi * (b - a)
+    fc, fd = f(c), f(d)
+    for _ in range(80):  # interval shrinks ~1e-9x: far below fp noise
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - phi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + phi * (b - a)
+            fd = f(d)
+    s = (a + b) / 2.0
+    temperature = 1.0 / s
+    nll_t = nll_np(logits, labels, temperature)
+    if nll_t >= nll_t1 - 1e-9:  # no real improvement: keep the identity
+        return 1.0, metrics
+    probs_t = np.exp(_log_softmax_np(logits / temperature))
+    metrics["nll"] = nll_t
+    metrics["ece"] = expected_calibration_error(probs_t, labels)
+    return float(temperature), metrics
+
+
+def fold_temperature(variables: dict, temperature) -> dict:
+    """Fold a fitted softmax temperature into the classifier head:
+    ``softmax(logits / T) == softmax((W/T) x + b/T)`` exactly, so calibrated
+    serving costs zero extra FLOPs. No-op for T None/1. Returns a new
+    variables tree (inputs untouched — orbax-restored arrays are shared)."""
+    if not temperature or abs(float(temperature) - 1.0) < 1e-9:
+        return variables
+    inv = 1.0 / float(temperature)
+    head = {
+        k: (v * inv if k in ("w", "b") else v)
+        for k, v in variables["params"]["head"].items()
+    }
+    params = dict(variables["params"])
+    params["head"] = head
+    out = dict(variables)
+    out["params"] = params
+    return out
 
 
 def calibrate_multilabel_threshold(

@@ -34,7 +34,6 @@ from ics_tpu.train.data import (
 )
 from ics_tpu.train.finetune import (
     FineTuner,
-    evaluate,
     make_lr_schedule,
     make_optimizer,
 )
@@ -475,6 +474,8 @@ class TrainingJobManager:
             eval_metrics = None
             eval_calibrado = None
             limiar = None
+            temperatura = None
+            eval_calibracao = None
             if eval_examples:
                 eval_batches = batch_iterator(
                     eval_examples, fetch, batch_size=batch_size,
@@ -505,12 +506,28 @@ class TrainingJobManager:
                         # exact-match (strictest) at the SERVING threshold
                         eval_accuracy = eval_calibrado["exact_match"]
                 else:
-                    eval_accuracy, _ = evaluate(
+                    from ics_tpu.train.finetune import (
+                        calibrate_temperature,
+                        collect_logits,
+                    )
+
+                    logits, labels = collect_logits(
                         model, variables, eval_batches,
                         image_size=spec.image_size,
                         resize_short=spec.resize_short,
                         compute_dtype=dtype,
                     )
+                    if logits is not None:
+                        eval_accuracy = float(
+                            (logits.argmax(-1) == labels).mean()
+                        )
+                        # softmax temperature fitted on the eval split
+                        # (NLL golden-section; T=1 on tiny splits) —
+                        # serving folds it into the head weights
+                        # (runtime/service.py get_trained)
+                        temperatura, eval_calibracao = (
+                            calibrate_temperature(logits, labels)
+                        )
                 job.eval_accuracy = eval_accuracy
             if job.cancel_event.is_set():
                 # a 202'd cancel that landed during eval must still win —
@@ -545,6 +562,12 @@ class TrainingJobManager:
                         "eval_multilabel": eval_metrics,
                         "eval_multilabel_calibrado": eval_calibrado,
                         "limiar": limiar,
+                        # single-label: softmax temperature (Guo et al.)
+                        # fitted on the eval split; serving folds it into
+                        # the head so suggestion scores are calibrated
+                        # probabilities, not raw overconfident softmax
+                        "temperatura": temperatura,
+                        "eval_calibracao": eval_calibracao,
                     },
                     ativar=ativar,
                 )

@@ -185,6 +185,10 @@ async def test_train_register_serve_suggest(app):
         assert acc is not None and 0.0 <= acc <= 1.0
         assert modelos[0]["metricas"]["exemplos_eval"] == 1
         assert job["eval_accuracy"] == acc
+        # temperature calibration ran on the eval logits; a 1-example
+        # split falls back to the identity (min-examples gate)
+        assert modelos[0]["metricas"]["temperatura"] == 1.0
+        assert modelos[0]["metricas"]["eval_calibracao"]["exemplos"] == 1
 
         # 4. specialist classifies via TPU: response carries the ambiente's
         #    option labels + the weights version
