@@ -125,6 +125,10 @@ CONTRACTS: dict[tuple[str, str], dict] = {
                         ["file"]),
         "response": c.InferenciaTPUOut,
     },
+    ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"): {
+        "query": {"limite": "máx. de imagens (1-100, default 20)"},
+        "response": c.ImagensClassificacaoResponse,
+    },
     ("GET", "/classificacoes/contagem"): {
         "query": {"id_amb": "ambiente"}},
     ("GET", "/classificacoes/historico"): {

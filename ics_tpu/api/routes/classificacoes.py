@@ -111,6 +111,40 @@ async def inicializar_classificacao(request: Request):
     )
 
 
+@router.get("/ambiente/{id_amb}/priorizadas")
+async def imagens_priorizadas(request: Request):
+    """Active-learning page (net-new, no reference counterpart): the
+    user's unclassified images of the ambiente ranked by the trained
+    model's uncertainty, most uncertain first — labeling these teaches the
+    next fine-tune the most per human click.
+
+    Uncertainty is margin-based for softmax models and decision-boundary
+    proximity for ``multipla_escolha`` (sigmoid) models, persisted on each
+    suggestion row (``sugestoes_modelo.incerteza``) by classify-on-sync /
+    ``classificar-tpu``, so the ranking is a single indexed SQL query.
+    Empty until a trained model has scored the ambiente's images."""
+    db = request.state.db
+    usuario = auth_service.get_current_user(request)
+    id_amb = request.path_params["id_amb"]
+    id_con = _obter_id_con_usuario(db, usuario)
+    _require_acesso(db, id_con, id_amb)
+    try:
+        limite = int(request.query_params.get("limite", PAGE))
+    except (TypeError, ValueError):
+        raise HTTPException(422, "limite deve ser um inteiro.")
+    limite = max(1, min(limite, 100))
+    from ics_tpu.crud.modelo_crud import imagens_priorizadas as _priorizadas
+
+    ranked = _priorizadas(db, id_amb, id_con, limit=limite)
+    resposta = _montar_resposta_imagens(
+        db, [img for img, _ in ranked], id_con, tem_mais=False, id_amb=id_amb
+    )
+    for item, (_, incerteza) in zip(resposta["imagens"], ranked):
+        item["incerteza"] = incerteza
+    resposta["ordenado_por"] = "incerteza"
+    return JSONResponse(resposta)
+
+
 @router.get("/contagem")
 async def obter_contagem_classificacoes(request: Request):
     db = request.state.db

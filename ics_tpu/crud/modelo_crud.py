@@ -98,6 +98,47 @@ def inverse_class_map(row: ModeloTreinado) -> dict[int, str]:
     return {int(v): str(k) for k, v in (row.class_map or {}).items()}
 
 
+def calcular_incerteza(
+    classes: Optional[list[dict]],
+    multi_rotulo: bool = False,
+    limiar: float = 0.5,
+) -> Optional[float]:
+    """Model uncertainty in [0, 1] from a suggestion's score list — the
+    active-learning ranking key (higher = the specialist's label teaches
+    the model more).
+
+    Single-label (softmax): margin sampling, ``1 - (p1 - p2)`` over the
+    two highest scores (``1 - p1`` when only one class is known) — the
+    standard AL acquisition that is robust to top-k truncation, unlike
+    entropy over a truncated distribution.
+
+    Multi-label (independent sigmoids): proximity of the MOST ambiguous
+    class to the calibrated decision threshold, ``max_c (1 - 2|p_c -
+    limiar| / span)`` where span normalizes the asymmetric [0, limiar] /
+    [limiar, 1] sides — 1.0 exactly at the boundary, 0.0 at certainty.
+    """
+    scores = sorted(
+        (
+            float(c["score"])
+            for c in (classes or [])
+            if isinstance(c, dict) and c.get("score") is not None
+        ),
+        reverse=True,
+    )
+    if not scores:
+        return None
+    if multi_rotulo:
+        worst = 0.0
+        for p in scores:
+            span = limiar if p < limiar else (1.0 - limiar)
+            if span <= 0.0:
+                continue
+            worst = max(worst, 1.0 - abs(p - limiar) / span)
+        return min(max(worst, 0.0), 1.0)
+    margin = scores[0] - (scores[1] if len(scores) > 1 else 0.0)
+    return min(max(1.0 - margin, 0.0), 1.0)
+
+
 def registrar_sugestao(
     db: Session,
     id_img: str,
@@ -110,7 +151,11 @@ def registrar_sugestao(
     versao: Optional[int] = None,
 ) -> SugestaoModelo:
     """Upsert the (image, ambiente-or-generic, model) suggestion: a rerun
-    with newer weights replaces the stale suggestion instead of stacking."""
+    with newer weights replaces the stale suggestion instead of stacking.
+
+    ``incerteza`` is computed at write time (from the model's calibrated
+    threshold when multi-label) so the priorizadas page can ORDER BY it
+    in SQL on both dialects."""
     q = db.query(SugestaoModelo).filter(
         SugestaoModelo.id_img == str(id_img),
         SugestaoModelo.modelo == modelo,
@@ -133,9 +178,58 @@ def registrar_sugestao(
     row.versao = versao
     row.score = float(score) if score is not None else None
     row.classes = classes
+    multi, limiar = False, 0.5
+    if id_mod is not None:
+        mod = db.get(ModeloTreinado, str(id_mod))
+        meta = (mod.metricas or {}) if mod else {}
+        multi = bool(meta.get("multi_rotulo"))
+        limiar = float(meta.get("limiar") or 0.5)
+    row.incerteza = calcular_incerteza(classes, multi_rotulo=multi,
+                                       limiar=limiar)
     row.data_criado = tz.utcnow()
     db.flush()
     return row
+
+
+def imagens_priorizadas(
+    db: Session, id_amb: str, id_con: str, limit: int = 20
+) -> list[tuple]:
+    """Active-learning page: the user's UNCLASSIFIED images of the
+    ambiente ranked by model uncertainty (most uncertain first) — the
+    images whose human label most improves the next fine-tune.
+
+    Only ambiente-specific suggestions rank (the trained model's
+    uncertainty about ITS classes; a generic-model's 1000-way entropy says
+    nothing about the ambiente's options). Returns ``[(Imagem, incerteza),
+    ...]``; hash breaks ties so the order is total and stable."""
+    from ics_tpu.crud.classificacao_crud import buscar_conjuntos_ambiente
+
+    conjuntos_ids = buscar_conjuntos_ambiente(db, id_amb)
+    if not conjuntos_ids:
+        return []
+    marks = ", ".join("?" for _ in conjuntos_ids)
+    sql = f"""
+        SELECT imagens.*, s.incerteza AS _incerteza
+        FROM imagens
+        JOIN sugestoes_modelo s
+          ON s.id_img = imagens.content_hash AND s.id_amb = ?
+        WHERE imagens.id_cnj IN ({marks})
+          AND imagens.existe_no_nextcloud = 1
+          AND s.incerteza IS NOT NULL
+          AND imagens.content_hash NOT IN (
+              SELECT DISTINCT id_img FROM classificacoes
+              WHERE id_con = ? AND ativo = 1
+          )
+        ORDER BY s.incerteza DESC, imagens.content_hash
+        LIMIT ?
+    """
+    params = [str(id_amb)] + list(conjuntos_ids) + [str(id_con), int(limit)]
+    from ics_tpu.db.models import Imagem
+
+    return [
+        (Imagem.from_row(r), float(r["_incerteza"]))
+        for r in db.fetchall(sql, params)
+    ]
 
 
 def sugestoes_por_imagens(
@@ -182,6 +276,7 @@ def sugestoes_por_imagens(
             "texto_opcao": texto,
             "score": row.score,
             "classes": row.classes,
+            "incerteza": row.incerteza,
         }
         meta = _meta(row.id_mod)
         if meta.get("multi_rotulo"):

@@ -1,0 +1,77 @@
+"""Model-suggestion uncertainty column (active-learning ranking key).
+
+Adds ``sugestoes_modelo.incerteza`` + its ``(id_amb, incerteza)`` index and
+backfills existing rows from their stored score lists so the priorizadas
+page ranks the whole corpus, not just post-upgrade suggestions.
+"""
+
+import json
+
+revision = "0004_sugestao_incerteza"
+down_revision = "0003_model_registry"
+
+
+def upgrade(session) -> None:
+    from ics_tpu.crud.modelo_crud import calcular_incerteza
+
+    # IF-NOT-EXISTS guard: a fresh upgrade_head run creates the table from
+    # the CURRENT model (m0003 create_table_sql), which already carries the
+    # column — the same pattern m0002 uses for sync_status
+    if getattr(session, "dialect", "sqlite") == "postgres":
+        cols = {
+            r["column_name"]
+            for r in session.fetchall(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = 'sugestoes_modelo'"
+            )
+        }
+    else:
+        cols = {
+            r["name"]
+            for r in session.fetchall("PRAGMA table_info(sugestoes_modelo)")
+        }
+    if "incerteza" not in cols:
+        session.execute(
+            "ALTER TABLE sugestoes_modelo ADD COLUMN incerteza REAL"
+        )
+    session.execute(
+        "CREATE INDEX IF NOT EXISTS idx_sugestao_amb_incerteza "
+        "ON sugestoes_modelo (id_amb, incerteza)"
+    )
+    # backfill: recompute from the persisted class/score lists with each
+    # model's calibration metadata (multi-label threshold)
+    meta_cache: dict = {}
+    rows = session.fetchall(
+        "SELECT id_sug, id_mod, classes FROM sugestoes_modelo"
+    )
+    for r in rows:
+        classes = r["classes"]
+        if isinstance(classes, str):
+            try:
+                classes = json.loads(classes)
+            except ValueError:
+                classes = None
+        multi, limiar = False, 0.5
+        if r["id_mod"]:
+            key = str(r["id_mod"])
+            if key not in meta_cache:
+                mod = session.fetchone(
+                    "SELECT metricas FROM modelos_treinados WHERE id_mod = ?",
+                    (key,),
+                )
+                meta = (mod or {}).get("metricas")
+                if isinstance(meta, str):
+                    try:
+                        meta = json.loads(meta)
+                    except ValueError:
+                        meta = None
+                meta_cache[key] = meta or {}
+            meta = meta_cache[key]
+            multi = bool(meta.get("multi_rotulo"))
+            limiar = float(meta.get("limiar") or 0.5)
+        inc = calcular_incerteza(classes, multi_rotulo=multi, limiar=limiar)
+        if inc is not None:
+            session.execute(
+                "UPDATE sugestoes_modelo SET incerteza = ? WHERE id_sug = ?",
+                (inc, r["id_sug"]),
+            )

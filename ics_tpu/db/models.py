@@ -282,6 +282,8 @@ class SugestaoModelo(Model):
     __tablename__ = "sugestoes_modelo"
     __table_args__ = (
         Index("idx_sugestao_img_amb", "id_img", "id_amb"),
+        # active-learning ranking: priorizadas pages ORDER BY incerteza DESC
+        Index("idx_sugestao_amb_incerteza", "id_amb", "incerteza"),
     )
     id_sug = Column(Uuid, primary_key=True, default=new_uuid)
     id_img = Column(
@@ -295,6 +297,9 @@ class SugestaoModelo(Model):
     versao = Column(Integer)
     score = Column(Float)                             # top-1 probability
     classes = Column(JSONB)                           # top-k details
+    # model uncertainty in [0, 1] (margin-based single-label; decision-
+    # boundary proximity multi-label) — the active-learning ranking key
+    incerteza = Column(Float)
     data_criado = Column(DateTime, nullable=False)
 
 

@@ -178,6 +178,7 @@ class TestMigrations:
             "0001_initial_schema",
             "0002_activity_id_watermark",
             "0003_model_registry",
+            "0004_sugestao_incerteza",
         ]
         with db.session() as s:
             assert "usuarios" in {

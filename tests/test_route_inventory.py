@@ -74,6 +74,7 @@ REFERENCE_ENDPOINTS = [
 # net-new TPU tier this framework adds on top of parity
 NET_NEW_ENDPOINTS = [
     ("POST", "/classificacoes/ambiente/{id_amb}/classificar-tpu"),
+    ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"),
     ("GET", "/inferencia/modelos"),
     ("POST", "/inferencia/classificar"),
     ("POST", "/treinamento/ambiente/{id_amb}"),
