@@ -140,6 +140,17 @@ CONTRACTS: dict[tuple[str, str], dict] = {
     ("GET", "/nextcloud/images"): {"query": dict(_PAGING),
                                    "response": n.ImageListResponse},
     ("GET", "/nextcloud/images/{file_path:path}"): {},
+    ("POST", "/images/buscar-similares"): {
+        "body": "multipart",
+        "request": _obj({"file": {"type": "string", "format": "binary"}},
+                        ["file"]),
+        "query": {"limite": "máx. de resultados (1-50, default 10)",
+                  "apenas_duplicatas": "true = só score >= limiar de "
+                                       "quase-duplicata"},
+    },
+    ("GET", "/images/{content_hash}/similares"): {
+        "query": {"limite": "máx. de resultados (1-50, default 10)"},
+    },
     ("POST", "/images/buscar-por-hash"): {
         "request": _obj({"hashes": {"type": "array",
                                     "items": {"type": "string"}}},
@@ -162,6 +173,9 @@ CONTRACTS: dict[tuple[str, str], dict] = {
     ("GET", "/inferencia/modelos"): {},
     ("GET", "/inferencia/status"): {},
     ("POST", "/inferencia/warmup"): {},
+    ("POST", "/inferencia/indexar"): {
+        "request": _obj({"limite": {"type": "integer"}}, []),
+    },
     ("POST", "/inferencia/classificar"): {
         "body": "multipart", "request": _UPLOAD,
         "query": {"modelo": "nome do modelo do registry"},

@@ -101,6 +101,87 @@ async def classificar_direto(request: Request):
     return JSONResponse({"total": len(results), "resultados": results})
 
 
+@router.post("/indexar")
+async def indexar_embeddings(request: Request):
+    """Backfill embeddings for synced images that lack one under the
+    default model (admin). Body: ``{"limite": N}`` caps the pass (default
+    500) — run repeatedly until ``pendentes`` hits 0. Images whose bytes
+    can't be fetched/decoded are skipped and reported, not fatal.
+
+    Batches ride the engine's largest bucket, so the backfill runs at
+    full MXU throughput rather than image-at-a-time."""
+    usuario = require_admin(request)
+    service = _engine(request)
+    db = request.state.db
+    trainer = request.app.state.get("trainer")
+    fetch = getattr(trainer, "fetch_bytes", None) if trainer else None
+    if fetch is None:
+        raise HTTPException(
+            503, "Sem fonte de bytes (NextCloud não configurado)."
+        )
+    try:
+        body = await request.json()
+    except Exception:
+        body = {}
+    limite = int((body or {}).get("limite", 500))
+    limite = max(1, min(limite, 5000))
+    engine = service.engine
+    modelo = engine.model_name
+
+    from ics_tpu.crud import auditoria_crud
+    from ics_tpu.crud.embedding_crud import (
+        contar_embeddings,
+        hashes_sem_embedding,
+        upsert_embedding,
+    )
+    from ics_tpu.runtime.decode import decode_image, stage_batch
+
+    pend = hashes_sem_embedding(db, modelo, limit=limite)
+
+    def run_batches() -> tuple[int, int]:
+        done = falhas = 0
+        batch = max(engine.buckets)
+        for start in range(0, len(pend), batch):
+            chunk = pend[start:start + batch]
+            images, hashes = [], []
+            for item in chunk:
+                try:
+                    data = fetch(item["content_hash"], item["caminho_img"])
+                    images.append(decode_image(data))
+                    hashes.append(item["content_hash"])
+                except Exception:
+                    falhas += 1
+            if not images:
+                continue
+            canvas, sizes = stage_batch(images, canvas=None)
+            feats = engine.embed_staged(canvas, sizes)
+            with request.app.state.db.session() as s:
+                for h, vec in zip(hashes, feats):
+                    upsert_embedding(s, h, modelo, vec)
+                s.commit()
+            done += len(hashes)
+        return done, falhas
+
+    loop = asyncio.get_running_loop()
+    indexadas, falhas = await loop.run_in_executor(None, run_batches)
+    total = contar_embeddings(db, modelo)
+    restantes = len(hashes_sem_embedding(db, modelo, limit=1))
+    auditoria_crud.registrar_evento(
+        db, "indexar_embeddings", usuario.id_usu,
+        {"modelo": modelo, "indexadas": indexadas, "falhas": falhas},
+    )
+    db.commit()
+    return JSONResponse(
+        {
+            "modelo": modelo,
+            "indexadas": indexadas,
+            "falhas": falhas,
+            "total_indexadas": total,
+            "pendentes": restantes,
+        }
+    )
+
+
 @router.post("/profiler/start")
 async def profiler_start(request: Request):
     require_admin(request)

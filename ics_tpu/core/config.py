@@ -137,6 +137,11 @@ class Settings(BaseModel):
     # DISJOINT from serving's — training never touches serving's chips
     TPU_TRAIN_DEVICES: str = ""
     TPU_CLASSIFY_ON_SYNC: bool = True    # suggest labels for synced images
+    # similarity tier: embed newly-synced images inline (off by default —
+    # /inferencia/indexar backfills on demand) and the cosine score at or
+    # above which a match counts as a near-duplicate
+    TPU_EMBED_ON_SYNC: bool = False
+    TPU_DUPLICATE_THRESHOLD: float = 0.98
     # replica-level serving + request hedging (SURVEY §5 failure detection):
     # partition the visible chips into N independent engine replicas; a
     # request whose replica hasn't answered within TPU_HEDGE_MS is duplicated

@@ -303,6 +303,26 @@ class SugestaoModelo(Model):
     data_criado = Column(DateTime, nullable=False)
 
 
+class EmbeddingImagem(Model):
+    """L2-normalized backbone embedding of an image (net-new TPU tier).
+
+    Written by the indexing route / embed-on-sync hook; powers the
+    similarity-search endpoints (``/images/buscar-similares``) via an
+    on-device cosine top-k over the corpus matrix. The vector is stored
+    as base64 of little-endian float16 (the ORM stores rich values as
+    TEXT by design — portable across both dialects)."""
+
+    __tablename__ = "embeddings_imagem"
+    id_img = Column(
+        String(64), foreign_key="imagens.content_hash", ondelete="CASCADE",
+        primary_key=True,
+    )
+    modelo = Column(String(64), primary_key=True)
+    dim = Column(Integer, nullable=False)
+    vetor = Column(Text, nullable=False)
+    data_criado = Column(DateTime, nullable=False)
+
+
 class SyncStatus(Model):
     """Singleton row (id=1) holding sync watermarks + circuit-breaker state."""
 
@@ -374,4 +394,5 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     ("gc_treinamento", "Limpeza de checkpoints de treinamento"),
     ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
     ("importar_modelo_treinado", "Importação de modelo treinado"),
+    ("indexar_embeddings", "Indexação de embeddings de similaridade"),
 ]

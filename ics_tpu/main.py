@@ -184,6 +184,17 @@ def _make_classify_on_sync(app: App):
                     ),
                 )
                 s.commit()
+            if settings.TPU_EMBED_ON_SYNC:
+                # similarity tier rides the same ingestion front: the
+                # image's embedding is current the moment sync lands it
+                from ics_tpu.crud.embedding_crud import upsert_embedding
+
+                vec = await service.embed_bytes(data)
+                with db.session() as s:
+                    upsert_embedding(
+                        s, content_hash, service.engine.model_name, vec
+                    )
+                    s.commit()
         except Exception:  # never let suggestions break the sync engine
             logger.exception(
                 "classify-on-sync failed for %s", content_hash[:12]

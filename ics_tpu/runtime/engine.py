@@ -191,6 +191,62 @@ class InferenceEngine:
         self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
         return idx, scores
 
+    # -- embeddings ----------------------------------------------------------
+    @property
+    def embed_dim(self) -> int:
+        """Backbone feature width = the classifier head's input dim."""
+        return int(self.folded["head"]["w"].shape[0])
+
+    def _get_embed_step(self):
+        """Compiled embed step: canvas -> L2-normalized backbone features.
+
+        Features are extracted generically by swapping the classifier head
+        for the identity (every zoo family ends with ``head.apply(folded
+        ['head'], feats)`` on a Dense head, so ``w=I, b=0`` makes
+        ``apply_folded`` return the penultimate features verbatim) — one
+        mechanism for all model families, no per-model feature plumbing.
+        The DxD identity matmul is noise next to the backbone."""
+        if getattr(self, "_embed_step", None) is None:
+            d = self.embed_dim
+            eye = jax.device_put(jnp.eye(d, dtype=self.dtype))
+            zeros = jax.device_put(jnp.zeros((d,), self.dtype))
+            folded_embed = dict(self.folded)
+            folded_embed["head"] = {"w": eye, "b": zeros}
+            model = self.model
+            spec = self.spec
+            dtype = self.dtype
+
+            def step(folded, canvas_u8, sizes):
+                x = preprocess_batch(
+                    canvas_u8, sizes, out_size=spec.image_size,
+                    resize_short=spec.resize_short, dtype=dtype,
+                )
+                feats = model.apply_folded(folded, x).astype(jnp.float32)
+                norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+                return feats / jnp.maximum(norm, 1e-8)
+
+            self._embed_folded = folded_embed
+            self._embed_step = jax.jit(step)
+        return self._embed_step
+
+    def embed_staged(
+        self, canvas: np.ndarray, sizes: np.ndarray
+    ) -> np.ndarray:
+        """canvas uint8 [N<=bucket, C, C, 3] -> L2-normalized features
+        [N, D] float32 (cosine similarity = plain dot product)."""
+        n = canvas.shape[0]
+        bucket = self.bucket_for(n)
+        if n < bucket:
+            canvas = np.concatenate(
+                [canvas, np.zeros((bucket - n, *canvas.shape[1:]), np.uint8)]
+            )
+            sizes = np.concatenate(
+                [sizes, np.full((bucket - n, 2), 256, np.int32)]
+            )
+        step = self._get_embed_step()
+        feats = step(self._embed_folded, canvas, sizes)
+        return np.asarray(feats)[:n]
+
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:

@@ -197,6 +197,11 @@ class HedgedInferenceService:
             await asyncio.gather(*(self.classify_bytes(b) for b in blobs))
         )
 
+    async def embed_bytes(self, data: bytes):
+        """Round-robin over replicas (no hedging: embeddings are rare,
+        deterministic work — spreading load beats duplicating it)."""
+        return await self.replicas[self._next()].embed_bytes(data)
+
     def latency_percentiles(self) -> dict:
         merged: list[float] = []
         for r in self.replicas:

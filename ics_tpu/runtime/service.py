@@ -332,6 +332,22 @@ class InferenceService:
             await asyncio.gather(*(self.classify_bytes(b) for b in blobs))
         )
 
+    async def embed_bytes(self, data: bytes) -> np.ndarray:
+        """bytes -> L2-normalized backbone embedding [D] float32.
+
+        Similarity queries are rare next to classification traffic, so
+        this stages a batch-of-1 directly (no dedicated batcher lane);
+        decode and the device step both run off the event loop."""
+        loop = asyncio.get_running_loop()
+        image = await loop.run_in_executor(None, decode_image, data)
+        canvas, sizes = await loop.run_in_executor(
+            None, lambda: stage_batch([image], canvas=None)
+        )
+        feats = await loop.run_in_executor(
+            None, self.engine.embed_staged, canvas, sizes
+        )
+        return feats[0]
+
     def _record_latency(self, ms: float) -> None:
         self._latencies_ms.append(ms)
         if len(self._latencies_ms) > 10_000:

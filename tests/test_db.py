@@ -33,8 +33,9 @@ def _now():
 class TestSchema:
     def test_all_16_tables_plus_registry(self, db):
         # TipoUsuario..SyncStatus — 16 reference-parity tables plus the
-        # net-new TPU tier (modelos_treinados, sugestoes_modelo)
-        assert len(MODEL_REGISTRY) == 18
+        # net-new TPU tier (modelos_treinados, sugestoes_modelo,
+        # embeddings_imagem)
+        assert len(MODEL_REGISTRY) == 19
         with db.session() as s:
             names = {
                 r["name"]
@@ -179,6 +180,7 @@ class TestMigrations:
             "0002_activity_id_watermark",
             "0003_model_registry",
             "0004_sugestao_incerteza",
+            "0005_embeddings",
         ]
         with db.session() as s:
             assert "usuarios" in {

@@ -77,6 +77,9 @@ NET_NEW_ENDPOINTS = [
     ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"),
     ("GET", "/inferencia/modelos"),
     ("POST", "/inferencia/classificar"),
+    ("POST", "/inferencia/indexar"),
+    ("POST", "/images/buscar-similares"),
+    ("GET", "/images/{content_hash}/similares"),
     ("POST", "/treinamento/ambiente/{id_amb}"),
     ("GET", "/treinamento/jobs"),
     ("GET", "/treinamento/modelos"),
