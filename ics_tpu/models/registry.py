@@ -114,6 +114,24 @@ def _ensure_populated() -> None:
     except ImportError:
         pass
     try:
+        from ics_tpu.models import swin
+
+        register_model(
+            "swin_tiny", swin.swin_tiny, 224, 256,
+            "Swin-T — hierarchical windowed attention "
+            "(timm-checkpoint-compatible)",
+        )
+        register_model(
+            "swin_small", swin.swin_small, 224, 256,
+            "Swin-S — deeper Swin variant",
+        )
+        register_model(
+            "swin_micro", swin.swin_micro, 64, 64,
+            "Swin micro (2 stages @64px) — dev/CI windowed-attention model",
+        )
+    except ImportError:
+        pass
+    try:
         from ics_tpu.models import mobilenetv3
 
         register_model(

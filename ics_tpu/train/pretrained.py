@@ -466,12 +466,67 @@ def _map_convnext(model, flat):
     return {"params": params, "state": {}}
 
 
+def _map_swin(model, flat):
+    """timm ``swin_*_patch4_window7_224`` naming (swin v1,
+    ``timm/models/swin_transformer``): ``layers.{s}.blocks.{b}`` +
+    ``layers.{s}.downsample``; the relative bias table imports verbatim
+    (same (2w-1)^2 x heads layout, index precomputed identically)."""
+    params: dict = {
+        "patch_embed": {
+            "w": _conv_w(flat, "patch_embed.proj.weight"),
+            "b": _need(flat, "patch_embed.proj.bias"),
+        },
+        "patch_norm": _ln(flat, "patch_embed.norm"),
+        "stages": [],
+        "merges": [],
+        "ln": _ln(flat, "norm"),
+        "head": _linear(flat, "head.fc")
+        if "head.fc.weight" in flat else _linear(flat, "head"),
+    }
+    for si, stage in enumerate(model.stages):
+        blocks = []
+        for bi in range(len(stage)):
+            pfx = f"layers.{si}.blocks.{bi}"
+            blocks.append(
+                {
+                    "ln1": _ln(flat, f"{pfx}.norm1"),
+                    "attn": {
+                        "qkv": _linear(flat, f"{pfx}.attn.qkv"),
+                        "proj": _linear(flat, f"{pfx}.attn.proj"),
+                        "rel_bias": _need(
+                            flat,
+                            f"{pfx}.attn.relative_position_bias_table",
+                        ),
+                    },
+                    "ln2": _ln(flat, f"{pfx}.norm2"),
+                    "fc1": _linear(flat, f"{pfx}.mlp.fc1"),
+                    "fc2": _linear(flat, f"{pfx}.mlp.fc2"),
+                }
+            )
+        params["stages"].append(blocks)
+        if si < len(model.merges):
+            dpfx = f"layers.{si}.downsample"
+            params["merges"].append(
+                {
+                    "norm": _ln(flat, f"{dpfx}.norm"),
+                    "reduction": {
+                        "w": np.asarray(
+                            flat[f"{dpfx}.reduction.weight"], np.float32
+                        ).T,  # torch Linear [out, in] -> [in, out]
+                    },
+                }
+            )
+    return {"params": params, "state": {}}
+
+
 _FAMILIES = (
     ("resnet", _map_resnet, "fc.weight"),
     ("vit", _map_vit, "head.weight"),
     ("mobilenetv3", _map_mobilenetv3, "classifier.3.weight"),
     ("efficientnet", _map_efficientnet, "classifier.1.weight"),
     ("convnext", _map_convnext, "classifier.2.weight"),
+    # newer timm wraps the swin head in ClassifierHead (head.fc.*)
+    ("swin", _map_swin, ("head.fc.weight", "head.weight")),
 )
 
 
@@ -531,10 +586,14 @@ def load_pretrained(
         variables.setdefault("state", {})
     else:
         mapper, head_key = _family(model_name)
-        if head_key not in flat:
+        candidates = (
+            head_key if isinstance(head_key, tuple) else (head_key,)
+        )
+        head_key = next((k for k in candidates if k in flat), None)
+        if head_key is None:
             raise PretrainedFormatError(
-                f"checkpoint sem '{head_key}' — não parece o layout "
-                f"torchvision/timm esperado para {model_name}"
+                f"checkpoint sem {'/'.join(candidates)} — não parece o "
+                f"layout torchvision/timm esperado para {model_name}"
             )
         ckpt_classes = int(np.asarray(flat[head_key]).shape[0])
         model = spec.build(num_classes=ckpt_classes)

@@ -202,13 +202,119 @@ class TestConvNeXt:
         assert 27_000_000 < n < 30_000_000, n
 
 
+class TestSwin:
+    @pytest.fixture(scope="class")
+    def micro(self):
+        from ics_tpu.models.swin import swin_micro
+
+        model = swin_micro(num_classes=10)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_forward_and_fold(self, micro):
+        model, variables = micro
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
+        logits, _ = model.apply(variables, x, training=True)
+        assert logits.shape == (2, 10)
+        assert bool(jnp.all(jnp.isfinite(logits)))
+        logits_f = model.apply_folded(model.fold(variables), x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_f), rtol=1e-3, atol=1e-3
+        )
+
+    def test_window_partition_roundtrip(self):
+        from ics_tpu.models.swin import _window_merge, _window_partition
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 8, 8, 5))
+        wins = _window_partition(x, 4)
+        assert wins.shape == (3 * 4, 16, 5)
+        back = _window_merge(wins, 4, 8, 3)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_relative_position_index(self):
+        from ics_tpu.models.swin import _relative_position_index
+
+        idx = _relative_position_index(7)
+        assert idx.shape == (49, 49)
+        assert idx.min() >= 0 and idx.max() < (2 * 7 - 1) ** 2
+        # zero offset (i == j) maps to the table's center entry
+        center = (7 - 1) * (2 * 7 - 1) + (7 - 1)
+        assert (np.diag(idx) == center).all()
+        # same relative offset -> same index (translation invariance):
+        # (0,0)->(1,1) and (2,3)->(3,4) are both offset (+1,+1)
+        assert idx[0, 8] == idx[2 * 7 + 3, 3 * 7 + 4]
+
+    def test_shift_mask_structure(self):
+        from ics_tpu.models.swin import _shift_attn_mask
+
+        mask = _shift_attn_mask(grid=4, window=2, shift=1)
+        assert mask.shape == (4, 4, 4)
+        # attention to self is never masked
+        assert (np.diagonal(mask, axis1=1, axis2=2) == 0).all()
+        # window 0 (top-left) lies inside one contiguous region: no mask
+        assert (mask[0] == 0).all()
+        # the bottom-right window mixes shifted regions: some pairs masked
+        assert (mask[-1] < 0).any()
+        # masking is symmetric (i sees j <=> j sees i)
+        np.testing.assert_array_equal(mask, np.transpose(mask, (0, 2, 1)))
+
+    def test_gradients_flow(self, micro):
+        model, variables = micro
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3)) * 0.1
+        labels = jnp.array([0, 7])
+
+        def loss_fn(params):
+            logits, _ = model.apply({"params": params, "state": {}}, x,
+                                    training=True)
+            onehot = jax.nn.one_hot(labels, 10)
+            return -jnp.mean(
+                jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1)
+            )
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        # the swin-specific params learn: relative bias table + merge
+        g_bias = grads["stages"][0][0]["attn"]["rel_bias"]
+        g_merge = grads["merges"][0]["reduction"]["w"]
+        assert float(jnp.abs(g_bias).sum()) > 0
+        assert float(jnp.abs(g_merge).sum()) > 0
+
+    def test_swin_tiny_param_count(self):
+        from ics_tpu.models.swin import swin_tiny
+
+        model = swin_tiny(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        # timm swin_tiny_patch4_window7_224: 28.29M
+        assert 27_500_000 < n < 29_000_000, n
+
+    def test_engine_serving_and_embedding(self):
+        from ics_tpu.runtime.engine import InferenceEngine
+
+        engine = InferenceEngine(
+            "swin_micro", num_classes=10, precision="fp32",
+            buckets=(2,), canvas=64,
+        )
+        canvas = np.random.default_rng(0).integers(
+            0, 255, (2, 64, 64, 3)
+        ).astype(np.uint8)
+        sizes = np.full((2, 2), 64, np.int32)
+        idx, scores = engine.predict_staged(canvas, sizes)
+        assert idx.shape == (2, 5) and scores.shape == (2, 5)
+        feats = engine.embed_staged(canvas, sizes)
+        assert feats.shape == (2, engine.embed_dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=-1), 1.0, atol=1e-4
+        )
+
+
 class TestLargeVariantsRegistered:
     def test_registry_has_round3_additions(self):
         from ics_tpu.models.registry import list_models
 
         models = list_models()
         for name in ("convnext_tiny", "convnext_small", "vit_l16",
-                     "resnet152", "vit_b16_h6d128", "vit_l16_h8d128"):
+                     "resnet152", "vit_b16_h6d128", "vit_l16_h8d128",
+                     "swin_tiny", "swin_small"):
             assert name in models, models
 
     def test_vit_l16_shape(self):

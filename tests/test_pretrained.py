@@ -290,6 +290,122 @@ class TestTorchGold:
         got = blk.apply(params, jnp.asarray(x), use_flash=False)
         np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
 
+    def test_swin_shifted_block_matches_torch(self):
+        """SW-MSA gold: hand-built torch block following the published
+        Swin v1 algorithm (cyclic shift, window partition, relative
+        position bias, region mask) — catches layout/indexing drift in
+        the JAX shifted-window machinery that structural tests can't."""
+        from ics_tpu.models.swin import SwinBlock
+
+        dim, heads, window, shift, grid = 16, 2, 4, 2, 8
+        torch.manual_seed(3)
+
+        class TorchSwinBlock(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = tnn.LayerNorm(dim, eps=1e-5)
+                self.qkv = tnn.Linear(dim, dim * 3)
+                self.proj = tnn.Linear(dim, dim)
+                self.rel_bias = tnn.Parameter(
+                    torch.randn((2 * window - 1) ** 2, heads) * 0.02
+                )
+                self.norm2 = tnn.LayerNorm(dim, eps=1e-5)
+                self.fc1 = tnn.Linear(dim, dim * 4)
+                self.fc2 = tnn.Linear(dim * 4, dim)
+                coords = torch.stack(
+                    torch.meshgrid(
+                        torch.arange(window), torch.arange(window),
+                        indexing="ij",
+                    )
+                ).flatten(1)
+                rel = coords[:, :, None] - coords[:, None, :]
+                rel = rel.permute(1, 2, 0).contiguous()
+                rel[:, :, 0] += window - 1
+                rel[:, :, 1] += window - 1
+                rel[:, :, 0] *= 2 * window - 1
+                self.register_buffer("rel_index", rel.sum(-1))
+                img = torch.zeros(1, grid, grid, 1)
+                cnt = 0
+                bounds = (slice(0, -window), slice(-window, -shift),
+                          slice(-shift, None))
+                for hs in bounds:
+                    for ws in bounds:
+                        img[:, hs, ws, :] = cnt
+                        cnt += 1
+                mw = self._partition(img).squeeze(-1)
+                am = mw.unsqueeze(1) - mw.unsqueeze(2)
+                am = am.masked_fill(am != 0, -1e4).masked_fill(am == 0, 0.0)
+                self.register_buffer("attn_mask", am)
+
+            @staticmethod
+            def _partition(x):
+                b, h, w, c = x.shape
+                x = x.view(b, h // window, window, w // window, window, c)
+                return x.permute(0, 1, 3, 2, 4, 5).reshape(
+                    -1, window * window, c
+                )
+
+            def forward(self, x):
+                b = x.shape[0]
+                shortcut = x
+                y = self.norm1(x)
+                y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+                wins = self._partition(y)
+                bn, ww, _ = wins.shape
+                qkv = self.qkv(wins).reshape(
+                    bn, ww, 3, heads, dim // heads
+                ).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                attn = (q @ k.transpose(-2, -1)) * (dim // heads) ** -0.5
+                bias = self.rel_bias[self.rel_index.view(-1)].view(
+                    ww, ww, heads
+                ).permute(2, 0, 1)
+                attn = attn + bias.unsqueeze(0)
+                n_w = self.attn_mask.shape[0]
+                attn = attn.view(bn // n_w, n_w, heads, ww, ww) + (
+                    self.attn_mask.unsqueeze(0).unsqueeze(2)
+                )
+                attn = attn.view(bn, heads, ww, ww).softmax(dim=-1)
+                y = (attn @ v).transpose(1, 2).reshape(bn, ww, dim)
+                y = self.proj(y)
+                n = grid // window
+                y = y.view(b, n, n, window, window, dim)
+                y = y.permute(0, 1, 3, 2, 4, 5).reshape(b, grid, grid, dim)
+                y = torch.roll(y, (shift, shift), dims=(1, 2))
+                x = shortcut + y
+                y = self.norm2(x)
+                return x + self.fc2(tnn.functional.gelu(self.fc1(y)))
+
+        tb = TorchSwinBlock().eval()
+
+        def lin(m):
+            return {"w": m.weight.detach().numpy().T.copy(),
+                    "b": m.bias.detach().numpy().copy()}
+
+        def ln(m):
+            return {"gamma": m.weight.detach().numpy().copy(),
+                    "beta": m.bias.detach().numpy().copy()}
+
+        params = jax.tree_util.tree_map(jnp.asarray, {
+            "ln1": ln(tb.norm1),
+            "attn": {
+                "qkv": lin(tb.qkv),
+                "proj": lin(tb.proj),
+                "rel_bias": tb.rel_bias.detach().numpy().copy(),
+            },
+            "ln2": ln(tb.norm2),
+            "fc1": lin(tb.fc1),
+            "fc2": lin(tb.fc2),
+        })
+        blk = SwinBlock(dim, heads, window, shift, grid)
+        x = np.random.default_rng(4).standard_normal(
+            (2, grid, grid, dim)
+        ).astype(np.float32)
+        with torch.no_grad():
+            ref = tb(torch.tensor(x)).numpy()
+        got = blk.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5, rtol=1e-4)
+
     def test_convnext_block_matches_torch(self):
         """torchvision CNBlock: dw conv w/ bias, LN, Linear pair, exact
         GELU, [C,1,1] layer_scale."""
@@ -647,12 +763,45 @@ def _export_convnext(model, variables):
     return out
 
 
+def _export_swin(model, variables):
+    p = variables["params"]
+    out = {
+        "patch_embed.proj.weight": _inv_conv(p["patch_embed"]["w"]),
+        "patch_embed.proj.bias": np.asarray(p["patch_embed"]["b"]),
+    }
+    _inv_ln(out, p["patch_norm"], "patch_embed.norm")
+    for si, blocks in enumerate(p["stages"]):
+        for bi, bp in enumerate(blocks):
+            pfx = f"layers.{si}.blocks.{bi}"
+            _inv_ln(out, bp["ln1"], f"{pfx}.norm1")
+            _inv_linear(out, bp["attn"]["qkv"], f"{pfx}.attn.qkv")
+            _inv_linear(out, bp["attn"]["proj"], f"{pfx}.attn.proj")
+            out[f"{pfx}.attn.relative_position_bias_table"] = np.asarray(
+                bp["attn"]["rel_bias"]
+            )
+            _inv_ln(out, bp["ln2"], f"{pfx}.norm2")
+            _inv_linear(out, bp["fc1"], f"{pfx}.mlp.fc1")
+            _inv_linear(out, bp["fc2"], f"{pfx}.mlp.fc2")
+        if si < len(p["merges"]):
+            dpfx = f"layers.{si}.downsample"
+            _inv_ln(out, p["merges"][si]["norm"], f"{dpfx}.norm")
+            out[f"{dpfx}.reduction.weight"] = np.ascontiguousarray(
+                np.asarray(p["merges"][si]["reduction"]["w"]).T
+            )
+    _inv_ln(out, p["ln"], "norm")
+    # newer timm ClassifierHead layout (head.fc.*) — the mapper accepts
+    # both; export the newer one so THAT branch gets exercised
+    _inv_linear(out, p["head"], "head.fc")
+    return out
+
+
 _EXPORTERS = {
     "resnet": _export_resnet,
     "vit": _export_vit,
     "mobilenetv3": _export_mobilenetv3,
     "efficientnet": _export_efficientnet,
     "convnext": _export_convnext,
+    "swin": _export_swin,
 }
 
 
