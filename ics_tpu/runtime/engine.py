@@ -208,8 +208,18 @@ class InferenceEngine:
         The DxD identity matmul is noise next to the backbone."""
         if getattr(self, "_embed_step", None) is None:
             d = self.embed_dim
-            eye = jax.device_put(jnp.eye(d, dtype=self.dtype))
-            zeros = jax.device_put(jnp.zeros((d,), self.dtype))
+            if self.mesh is not None:
+                # backbone leaves are committed to the mesh; the identity
+                # head must be placed there too (replicated) or jit
+                # rejects the mixed-commitment argument tree
+                from ics_tpu.parallel.mesh import replicated_sharding
+
+                rep = replicated_sharding(self.mesh)
+                eye = jax.device_put(jnp.eye(d, dtype=self.dtype), rep)
+                zeros = jax.device_put(jnp.zeros((d,), self.dtype), rep)
+            else:
+                eye = jax.device_put(jnp.eye(d, dtype=self.dtype))
+                zeros = jax.device_put(jnp.zeros((d,), self.dtype))
             folded_embed = dict(self.folded)
             folded_embed["head"] = {"w": eye, "b": zeros}
             model = self.model
@@ -226,7 +236,25 @@ class InferenceEngine:
                 return feats / jnp.maximum(norm, 1e-8)
 
             self._embed_folded = folded_embed
-            self._embed_step = jax.jit(step)
+            if self.mesh is not None:
+                # DP embed: batch shards over 'data' (bulk indexing runs
+                # at full-mesh throughput), params replicated
+                from ics_tpu.parallel.mesh import batch_sharding
+
+                folded_sh = jax.tree_util.tree_map(
+                    lambda _: rep, folded_embed
+                )
+                self._embed_step = jax.jit(
+                    step,
+                    in_shardings=(
+                        folded_sh,
+                        batch_sharding(self.mesh, 4),
+                        batch_sharding(self.mesh, 2),
+                    ),
+                    out_shardings=batch_sharding(self.mesh, 2),
+                )
+            else:
+                self._embed_step = jax.jit(step)
         return self._embed_step
 
     def embed_staged(

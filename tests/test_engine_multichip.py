@@ -25,6 +25,28 @@ class TestMeshServing:
         assert idx.shape == (8, 5)
         assert np.all(np.isfinite(scores))
 
+    def test_sharded_embedding_matches_single_device(self):
+        """DP embed under a mesh (bulk indexing path): identity head
+        replicated onto the mesh, batch sharded over 'data', result
+        identical to the single-device extraction."""
+        mesh = make_mesh(shape=(8,), axes=("data",))
+        kwargs = dict(
+            model_name="resnet_tiny", num_classes=16, precision="fp32",
+            buckets=(8,), canvas=64, seed=5,
+        )
+        sharded = InferenceEngine(**kwargs, mesh=mesh)
+        single = InferenceEngine(**kwargs)
+        rng = np.random.default_rng(2)
+        canvas = rng.integers(0, 256, (8, 64, 64, 3), np.uint8)
+        sizes = np.full((8, 2), 64, np.int32)
+        feats_s = sharded.embed_staged(canvas.copy(), sizes.copy())
+        feats_1 = single.embed_staged(canvas, sizes)
+        assert feats_s.shape == (8, sharded.embed_dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(feats_s, axis=-1), 1.0, atol=1e-4
+        )
+        np.testing.assert_allclose(feats_s, feats_1, rtol=1e-4, atol=1e-5)
+
     def test_sharded_matches_single_device(self):
         mesh = make_mesh(shape=(8,), axes=("data",))
         kwargs = dict(
