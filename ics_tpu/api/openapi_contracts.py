@@ -129,6 +129,10 @@ CONTRACTS: dict[tuple[str, str], dict] = {
         "query": {"limite": "máx. de imagens (1-100, default 20)"},
         "response": c.ImagensClassificacaoResponse,
     },
+    ("GET",
+     "/classificacoes/ambiente/{id_amb}/sugerir-vizinhos/{content_hash}"): {
+        "query": {"k": "vizinhos no voto (1-50, default 10)"},
+    },
     ("GET", "/classificacoes/contagem"): {
         "query": {"id_amb": "ambiente"}},
     ("GET", "/classificacoes/historico"): {

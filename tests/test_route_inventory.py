@@ -75,6 +75,7 @@ REFERENCE_ENDPOINTS = [
 NET_NEW_ENDPOINTS = [
     ("POST", "/classificacoes/ambiente/{id_amb}/classificar-tpu"),
     ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"),
+    ("GET", "/classificacoes/ambiente/{id_amb}/sugerir-vizinhos/{hash}"),
     ("GET", "/inferencia/modelos"),
     ("POST", "/inferencia/classificar"),
     ("POST", "/inferencia/indexar"),
