@@ -430,8 +430,18 @@ async def classificar_imagem_tpu(request: Request):
     if modelo_row is not None and pool is not None:
         service = await pool.get_trained(modelo_row)
 
+    # ?tta=true: flip-averaged probabilities (steadier suggestion scores
+    # at 2x device FLOPs; calibration folds still apply — the head is
+    # shared by both crops)
+    tta = (
+        str(request.query_params.get("tta", "")).lower()
+        in ("1", "true", "sim")
+    )
     try:
-        result = await service.classify_bytes(files[0].data)
+        if tta:
+            result = await service.classify_bytes_tta(files[0].data)
+        else:
+            result = await service.classify_bytes(files[0].data)
     except (OSError, ValueError):
         # decode failures only; infra errors propagate to the 500 handler
         raise HTTPException(422, "Imagem inválida ou não decodificável.")

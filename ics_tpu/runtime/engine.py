@@ -191,6 +191,62 @@ class InferenceEngine:
         self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
         return idx, scores
 
+    # -- test-time augmentation ----------------------------------------------
+    def _get_tta_step(self):
+        """Compiled TTA step: average class probabilities over the image
+        and its horizontal flip — one fused graph (the flip is a reverse
+        on the width axis AFTER preproc, so decode/staging cost nothing
+        extra; the forward runs on a 2N batch)."""
+        if getattr(self, "_tta_step", None) is None:
+            model = self.model
+            spec = self.spec
+            dtype = self.dtype
+            multi_label = self.multi_label
+            k = self._top_k()
+
+            def step(folded, canvas_u8, sizes):
+                x = preprocess_batch(
+                    canvas_u8, sizes, out_size=spec.image_size,
+                    resize_short=spec.resize_short, dtype=dtype,
+                )
+                x2 = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+                logits = model.apply_folded(folded, x2).astype(jnp.float32)
+                if multi_label:
+                    probs = jax.nn.sigmoid(logits)
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                n = x.shape[0]
+                probs = (probs[:n] + probs[n:]) * 0.5
+                top_scores, top_idx = jax.lax.top_k(probs, k)
+                return top_idx, top_scores
+
+            self._tta_step = jax.jit(step)
+        return self._tta_step
+
+    def predict_staged_tta(
+        self, canvas: np.ndarray, sizes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Flip-averaged twin of :func:`predict_staged` (2x device FLOPs
+        for measurably steadier suggestion scores — opt-in per request)."""
+        n = canvas.shape[0]
+        bucket = self.bucket_for(n)
+        if n < bucket:
+            canvas = np.concatenate(
+                [canvas, np.zeros((bucket - n, *canvas.shape[1:]), np.uint8)]
+            )
+            sizes = np.concatenate(
+                [sizes, np.full((bucket - n, 2), 256, np.int32)]
+            )
+        step = self._get_tta_step()
+        t0 = time.perf_counter()
+        idx, scores = step(self.folded, canvas, sizes)
+        idx = np.asarray(idx)[:n]
+        scores = np.asarray(scores)[:n]
+        self._stats["batches"] += 1
+        self._stats["images"] += n
+        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        return idx, scores
+
     # -- embeddings ----------------------------------------------------------
     @property
     def embed_dim(self) -> int:

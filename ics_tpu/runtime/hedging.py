@@ -202,6 +202,11 @@ class HedgedInferenceService:
         deterministic work — spreading load beats duplicating it)."""
         return await self.replicas[self._next()].embed_bytes(data)
 
+    async def classify_bytes_tta(self, data: bytes) -> dict:
+        """Round-robin like embed_bytes (opt-in, rare, already 2x FLOPs
+        — hedging would quadruple the work)."""
+        return await self.replicas[self._next()].classify_bytes_tta(data)
+
     def latency_percentiles(self) -> dict:
         merged: list[float] = []
         for r in self.replicas:

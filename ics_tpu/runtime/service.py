@@ -332,6 +332,33 @@ class InferenceService:
             await asyncio.gather(*(self.classify_bytes(b) for b in blobs))
         )
 
+    async def classify_bytes_tta(self, data: bytes) -> dict:
+        """Flip-averaged classification (test-time augmentation): steadier
+        scores at 2x device FLOPs. Opt-in and rare next to plain traffic,
+        so it stages a batch-of-1 directly instead of holding a dedicated
+        batcher lane open."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        loop = asyncio.get_running_loop()
+        image = await loop.run_in_executor(None, decode_image, data)
+        canvas, sizes = await loop.run_in_executor(
+            None, lambda: stage_batch([image], canvas=None)
+        )
+        idx, scores = await loop.run_in_executor(
+            None, self.engine.predict_staged_tta, canvas, sizes
+        )
+        dt_ms = (_time.perf_counter() - t0) * 1000
+        self._record_latency(dt_ms)
+        return {
+            "top_classes": [int(i) for i in idx[0]],
+            "scores": [float(s) for s in scores[0]],
+            "latency_ms": round(dt_ms, 3),
+            "model": self.engine.model_name,
+            "decode": "host",
+            "tta": True,
+        }
+
     async def embed_bytes(self, data: bytes) -> np.ndarray:
         """bytes -> L2-normalized backbone embedding [D] float32.
 
