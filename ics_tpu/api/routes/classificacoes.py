@@ -182,8 +182,14 @@ async def sugerir_por_vizinhos(request: Request):
     multi = bool(ambiente is not None and ambiente.multipla_escolha)
     modelo = service.engine.model_name
     index = _embedding_index(request, modelo)
-    result = knn_sugerir(
-        db, index, id_amb, content_hash, k=k, multi_label=multi
+    import asyncio
+
+    # the vote's device top-k + label join run off the event loop
+    result = await asyncio.get_running_loop().run_in_executor(
+        None,
+        lambda: knn_sugerir(
+            db, index, id_amb, content_hash, k=k, multi_label=multi
+        ),
     )
     if result is None:
         raise HTTPException(

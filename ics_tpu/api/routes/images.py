@@ -47,6 +47,8 @@ def _parse_limite(request: Request, default: int = 10, cap: int = 50) -> int:
 
 
 def _render_similares(db, matches: list[dict]) -> list[dict]:
+    from urllib.parse import quote
+
     out = []
     for m in matches:
         img = db.get(Imagem, m["content_hash"])
@@ -57,7 +59,10 @@ def _render_similares(db, matches: list[dict]) -> list[dict]:
                 "content_hash": img.content_hash,
                 "nome_img": img.nome_img,
                 "caminho_img": img.caminho_img,
-                "download_url": "/nextcloud/images/" + img.caminho_img.lstrip("/"),
+                # same percent-quoted proxy URL contract as the paging
+                # payload (classificacoes._download_url)
+                "download_url": "/nextcloud/images/"
+                + quote(img.caminho_img.lstrip("/"), safe="/"),
                 "score": round(m["score"], 6),
             }
         )
@@ -94,10 +99,16 @@ async def buscar_imagens_similares(request: Request):
     index = _embedding_index(request, modelo)
     min_score = settings.TPU_DUPLICATE_THRESHOLD if apenas_dup else None
     content_hash = sha256_hex(files[0].data)
+    import asyncio
+
     # a query that IS a synced image excludes itself (its own stored
-    # embedding would trivially top the list at ~1.0)
-    matches = index.search(
-        query, k=limite, exclude=content_hash, min_score=min_score
+    # embedding would trivially top the list at ~1.0); the device top-k
+    # (and a possible index refresh) runs off the event loop
+    matches = await asyncio.get_running_loop().run_in_executor(
+        None,
+        lambda: index.search(
+            query, k=limite, exclude=content_hash, min_score=min_score
+        ),
     )
     return JSONResponse(
         {"hash_consulta": content_hash, "modelo": modelo}
@@ -129,7 +140,11 @@ async def similares_por_hash(request: Request):
             "Use POST /inferencia/indexar.",
         )
     index = _embedding_index(request, modelo)
-    matches = index.search(vec, k=limite, exclude=content_hash)
+    import asyncio
+
+    matches = await asyncio.get_running_loop().run_in_executor(
+        None, lambda: index.search(vec, k=limite, exclude=content_hash)
+    )
     return JSONResponse(
         {"content_hash": content_hash, "modelo": modelo}
         | _render_payload(db, matches)
