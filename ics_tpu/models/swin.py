@@ -96,8 +96,17 @@ class WindowAttention:
             ),
         }
 
-    def apply(self, params, x, mask=None):
-        """x [Bn, ww, C]; mask [nW, ww, ww] additive or None."""
+    def apply(self, params, x, mask=None, scores_in_dtype: bool = False):
+        """x [Bn, ww, C]; mask [nW, ww, ww] additive or None.
+
+        ``scores_in_dtype=True`` (inference path) keeps the materialized
+        [Bn, H, ww, ww] score/softmax tensor in the COMPUTE dtype instead
+        of f32 — that tensor's HBM traffic dominates Swin's step time
+        (measured: 87% of swin_tiny is attention; bf16 scores are +40%
+        whole-model, scripts/profile_swin.log) and a 49-term softmax in
+        bf16 deviates below weight-rounding noise (docs/benchmarks.md).
+        Training keeps f32 scores: gradients through the softmax are the
+        numerically delicate part of attention."""
         bn, ww, _ = x.shape
         qkv = self.qkv.apply(params["qkv"], x)
         qkv = qkv.reshape(bn, ww, 3, self.num_heads, self.head_dim)
@@ -105,18 +114,19 @@ class WindowAttention:
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
         )                                               # [Bn, H, ww, hd]
         scale = self.head_dim ** -0.5
+        score_dtype = x.dtype if scores_in_dtype else jnp.float32
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", q * scale, k,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=score_dtype,
         )
-        bias = params["rel_bias"].astype(jnp.float32)[self._rel_index]
+        bias = params["rel_bias"].astype(score_dtype)[self._rel_index]
         attn = attn + bias.transpose(2, 0, 1)[None]     # [1, H, ww, ww]
         if mask is not None:
             n_windows = mask.shape[0]
             attn = attn.reshape(
                 bn // n_windows, n_windows, self.num_heads, ww, ww
             )
-            attn = attn + mask[None, :, None]
+            attn = attn + mask.astype(score_dtype)[None, :, None]
             attn = attn.reshape(bn, self.num_heads, ww, ww)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -153,7 +163,7 @@ class SwinBlock:
             "fc2": self.fc2.init(k3),
         }
 
-    def apply(self, params, x):
+    def apply(self, params, x, scores_in_dtype: bool = False):
         """x [B, H, W, C] -> same shape."""
         b = x.shape[0]
         shortcut = x
@@ -161,7 +171,8 @@ class SwinBlock:
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
         windows = _window_partition(y, self.window)
-        windows = self.attn.apply(params["attn"], windows, self._mask)
+        windows = self.attn.apply(params["attn"], windows, self._mask,
+                                  scores_in_dtype=scores_in_dtype)
         y = _window_merge(windows, self.window, self.grid, b)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
@@ -254,17 +265,19 @@ class SwinTransformer:
         }
         return {"params": params, "state": {}}
 
-    def _forward(self, params, x):
+    def _forward(self, params, x, scores_in_dtype: bool = False):
         y = self.patch_embed.apply(params["patch_embed"], x)  # [B,g,g,C]
         y = self.patch_norm.apply(params["patch_norm"], y)
         for si, (stage, sp) in enumerate(zip(self.stages, params["stages"])):
             for blk, bp in zip(stage, sp):
                 if getattr(self, "remat", False):
                     y = jax.checkpoint(
-                        lambda bp_, y_, blk=blk: blk.apply(bp_, y_)
+                        lambda bp_, y_, blk=blk: blk.apply(
+                            bp_, y_, scores_in_dtype
+                        )
                     )(bp, y)
                 else:
-                    y = blk.apply(bp, y)
+                    y = blk.apply(bp, y, scores_in_dtype)
             if si < len(self.merges):
                 y = self.merges[si].apply(params["merges"][si], y)
         y = self.ln.apply(params["ln"], y)
@@ -272,13 +285,17 @@ class SwinTransformer:
         return self.head.apply(params["head"], y)
 
     def apply(self, variables, x, training: bool = False):
+        # training keeps f32 scores (gradient numerics); pure-eval apply
+        # could follow the dtype too, but eval shares the train graph
         return self._forward(variables["params"], x), variables.get("state", {})
 
     def fold(self, variables):
         return variables["params"]
 
     def apply_folded(self, folded, x):
-        return self._forward(folded, x)
+        # inference: score/softmax tensor in the compute dtype (bf16
+        # serving) — the measured +40% (see WindowAttention.apply)
+        return self._forward(folded, x, scores_in_dtype=True)
 
 
 def swin_tiny(num_classes: int = 1000, image_size: int = 224) -> SwinTransformer:

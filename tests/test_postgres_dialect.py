@@ -128,6 +128,77 @@ class TestOrmOnPostgres:
         # idempotent
         assert migrate.upgrade_head(db) == []
 
+    def test_similarity_tier_sql(self, db):
+        """Round-3 raw SQL (priorizadas JOIN, embeddings work queue) over
+        the PG wire: placeholders, JOIN aliasing and NOT IN subqueries all
+        translate."""
+        import numpy as np
+
+        from ics_tpu.crud.embedding_crud import (
+            hashes_sem_embedding,
+            upsert_embedding,
+        )
+        from ics_tpu.crud.modelo_crud import (
+            imagens_priorizadas,
+            registrar_sugestao,
+        )
+        from ics_tpu.db import seed
+        from ics_tpu.db.models import (
+            Ambiente,
+            AmbienteConjuntoImagens,
+            ConjuntoImagens,
+            Imagem,
+        )
+
+        db.create_all()
+        seed.seed_all(db)
+        now = tz.utcnow()
+        with db.session() as s:
+            adm = s.fetchone(
+                "SELECT id_adm FROM usuarios_administradores LIMIT 1"
+            )
+            cnj = ConjuntoImagens(
+                nome_conj="pgx", caminho_conj="/pgx", file_id="21",
+                imagens_sincronizadas=True, data_proc=now, data_sinc=now,
+            )
+            s.add(cnj)
+            s.flush()
+            amb = Ambiente(
+                titulo_amb="PG", descricao_questionario="d",
+                data_criado=now, id_adm=adm["id_adm"],
+            )
+            s.add(amb)
+            s.flush()
+            s.add(AmbienteConjuntoImagens(
+                id_amb=amb.id_amb, id_cnj=cnj.id_cnj, data_associado=now,
+            ))
+            for i in range(3):
+                s.add(Imagem(
+                    content_hash=f"{i:02d}" + "e" * 62, nome_img=f"{i}.jpg",
+                    caminho_img=f"pgx/{i}.jpg", data_proc=now,
+                    data_sinc=now, id_cnj=cnj.id_cnj,
+                ))
+            s.flush()
+            registrar_sugestao(
+                s, "00" + "e" * 62, modelo="m",
+                classes=[{"classe": 0, "score": 0.6},
+                         {"classe": 1, "score": 0.4}],
+                score=0.6, id_amb=str(amb.id_amb),
+            )
+            upsert_embedding(
+                s, "01" + "e" * 62, "m", np.zeros(4, np.float32)
+            )
+            s.commit()
+            ranked = imagens_priorizadas(
+                s, str(amb.id_amb), "c" * 36, limit=10
+            )
+            assert [r[0].content_hash for r in ranked] == ["00" + "e" * 62]
+            assert ranked[0][1] == pytest.approx(0.8)  # 1 - margin(0.2)
+            pend = hashes_sem_embedding(s, "m")
+            assert {p["content_hash"] for p in pend} == {
+                "00" + "e" * 62, "02" + "e" * 62
+            }
+
     def test_drop_all(self, db):
         db.create_all()
         db.drop_all()
