@@ -288,6 +288,127 @@ async def importar_modelo(request: Request):
     return JSONResponse(_modelo_out(row), 201)
 
 
+@router.post("/modelos/{id_mod}/sugerir")
+async def sugerir_em_lote(request: Request):
+    """Bulk suggestion refresh (admin): classify every synced image of the
+    model's ambiente that lacks a suggestion from THIS version and persist
+    the results. Closes the promotion gap — classify-on-sync only sees
+    newly synced images, so after promoting v(N) the corpus would keep
+    v(N-1) suggestions until each image was re-uploaded.
+
+    Body ``{"limite": N}`` caps the pass (default 500); repeat until
+    ``pendentes`` hits 0. Batches run at the engine's largest bucket."""
+    import asyncio
+
+    db = request.state.db
+    admin = require_admin(request)
+    row = modelo_crud.get_modelo(db, request.path_params["id_mod"])
+    if row is None:
+        raise HTTPException(404, "Modelo treinado não encontrado.")
+    pool = request.app.state.get("engine_pool")
+    if pool is None:
+        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
+    trainer = request.app.state.get("trainer")
+    fetch = getattr(trainer, "fetch_bytes", None) if trainer else None
+    if fetch is None:
+        raise HTTPException(
+            503, "Sem fonte de bytes (NextCloud não configurado)."
+        )
+    raw = await request.body()
+    body = (await request.json()) if raw else {}
+    limite = max(1, min(int((body or {}).get("limite", 500)), 5000))
+
+    service = await pool.get_trained(row)
+    engine = service.engine
+    inv = modelo_crud.inverse_class_map(row)
+    metricas = row.metricas or {}
+    pend = modelo_crud.imagens_sem_sugestao(
+        db, str(row.id_amb), row.versao, limit=limite
+    )
+
+    from ics_tpu.db.models import Opcao
+    from ics_tpu.runtime.decode import decode_image, stage_batch
+
+    texto_cache: dict[str, str] = {}
+
+    def run_batches() -> tuple[int, int]:
+        feitas = falhas = 0
+        batch = max(engine.buckets)
+        for start in range(0, len(pend), batch):
+            chunk = pend[start:start + batch]
+            images, hashes = [], []
+            for item in chunk:
+                try:
+                    data = fetch(item["content_hash"], item["caminho_img"])
+                    images.append(decode_image(data))
+                    hashes.append(item["content_hash"])
+                except Exception:
+                    falhas += 1
+            if not images:
+                continue
+            canvas, sizes = stage_batch(images, canvas=None)
+            idx, scores = engine.predict_staged(canvas, sizes)
+            with request.app.state.db.session() as s:
+                for h, row_idx, row_scores in zip(hashes, idx, scores):
+                    opcoes_out = []
+                    for cls, sc in zip(row_idx, row_scores):
+                        id_opc = inv.get(int(cls))
+                        if id_opc is None:
+                            continue  # padding class beyond the options
+                        if id_opc not in texto_cache:
+                            opc = s.get(Opcao, id_opc)
+                            texto_cache[id_opc] = opc.texto if opc else None
+                        opcoes_out.append(
+                            {
+                                "id_opc": id_opc,
+                                "texto_opcao": texto_cache[id_opc],
+                                "score": float(sc),
+                            }
+                        )
+                    if not opcoes_out:
+                        falhas += 1
+                        continue
+                    modelo_crud.registrar_sugestao(
+                        s, h,
+                        modelo=row.nome_modelo,
+                        classes=opcoes_out,
+                        score=opcoes_out[0]["score"],
+                        id_amb=str(row.id_amb),
+                        id_mod=str(row.id_mod),
+                        id_opc=opcoes_out[0]["id_opc"],
+                        versao=row.versao,
+                    )
+                    feitas += 1
+                s.commit()
+        return feitas, falhas
+
+    loop = asyncio.get_running_loop()
+    sugeridas, falhas = await loop.run_in_executor(None, run_batches)
+    restantes = len(
+        modelo_crud.imagens_sem_sugestao(
+            db, str(row.id_amb), row.versao, limit=1
+        )
+    )
+    auditoria_crud.registrar_evento(
+        db, "sugestoes_em_lote", admin.id_usu,
+        {
+            "id_mod": str(row.id_mod), "versao": row.versao,
+            "sugeridas": sugeridas, "falhas": falhas,
+        },
+    )
+    db.commit()
+    return JSONResponse(
+        {
+            "id_mod": str(row.id_mod),
+            "versao": row.versao,
+            "multi_rotulo": bool(metricas.get("multi_rotulo")),
+            "sugeridas": sugeridas,
+            "falhas": falhas,
+            "pendentes": restantes,
+        }
+    )
+
+
 @router.post("/modelos/{id_mod}/ativar")
 async def ativar_modelo_treinado(request: Request):
     """Promote a registry version to serving for its ambiente (admin)."""

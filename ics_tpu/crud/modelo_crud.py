@@ -191,6 +191,36 @@ def registrar_sugestao(
     return row
 
 
+def imagens_sem_sugestao(
+    db: Session, id_amb: str, versao: int, limit: int = 500
+) -> list[dict]:
+    """Synced, still-present images of the ambiente's conjuntos lacking a
+    suggestion from the given model VERSION — the bulk-refresh work queue
+    (a promotion leaves the corpus annotated by the previous version until
+    each image is re-seen). Returns [{content_hash, caminho_img}]."""
+    from ics_tpu.crud.classificacao_crud import buscar_conjuntos_ambiente
+
+    conjuntos_ids = buscar_conjuntos_ambiente(db, id_amb)
+    if not conjuntos_ids:
+        return []
+    marks = ", ".join("?" for _ in conjuntos_ids)
+    rows = db.fetchall(
+        f"""
+        SELECT content_hash, caminho_img FROM imagens
+        WHERE id_cnj IN ({marks})
+          AND existe_no_nextcloud = 1
+          AND content_hash NOT IN (
+              SELECT id_img FROM sugestoes_modelo
+              WHERE id_amb = ? AND versao = ?
+          )
+        ORDER BY data_proc, content_hash
+        LIMIT ?
+        """,
+        list(conjuntos_ids) + [str(id_amb), int(versao), int(limit)],
+    )
+    return [dict(r) for r in rows]
+
+
 def imagens_priorizadas(
     db: Session, id_amb: str, id_con: str, limit: int = 20
 ) -> list[tuple]:

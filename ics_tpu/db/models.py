@@ -395,4 +395,5 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     ("ativar_modelo_treinado", "Promoção de modelo treinado para serving"),
     ("importar_modelo_treinado", "Importação de modelo treinado"),
     ("indexar_embeddings", "Indexação de embeddings de similaridade"),
+    ("sugestoes_em_lote", "Sugestões de modelo geradas em lote"),
 ]

@@ -222,6 +222,31 @@ async def test_train_register_serve_suggest(app):
         assert sugestoes[0]["versao"] == 1
         assert sugestoes[0]["texto_opcao"] in {"gato", "cão"}
 
+        # 5b. bulk suggestion refresh: every other image of the ambiente
+        #     gets a version-1 suggestion in one admin call
+        c.cookies.clear()
+        id_mod0 = modelos[0]["id_mod"]
+        r = await c.post(
+            f"/treinamento/modelos/{id_mod0}/sugerir", headers=admin
+        )
+        assert r.status_code == 200, r.text
+        lote = r.json()
+        # 10 seeded images, 1 already suggested by classificar-tpu
+        assert lote["sugeridas"] == 9
+        assert lote["pendentes"] == 0 and lote["versao"] == 1
+        # idempotent: nothing left to suggest
+        r = await c.post(
+            f"/treinamento/modelos/{id_mod0}/sugerir", headers=admin
+        )
+        assert r.json()["sugeridas"] == 0
+        # the paging payload now carries a suggestion for EVERY image
+        r = await c.get(
+            f"/classificacoes/ambiente/{id_amb}/inicializar", headers=esp
+        )
+        for img in r.json()["imagens"]:
+            assert img["sugestao_modelo"] is not None
+            assert img["sugestao_modelo"]["versao"] == 1
+
         # 6. audit trail records the training + versioned inference
         c.cookies.clear()  # cookie-first auth: drop the specialist cookie
         r = await c.get("/auditoria/logs?page_size=100", headers=admin)
@@ -229,6 +254,7 @@ async def test_train_register_serve_suggest(app):
         eventos = {log["nome_evento"] for log in r.json()["logs"]}
         assert "iniciar_treinamento" in eventos
         assert "inferencia_tpu" in eventos
+        assert "sugestoes_em_lote" in eventos
 
         # 7. export the version, import it into a SECOND ambiente with the
         #    same option texts, and serve from the imported weights there
