@@ -94,7 +94,15 @@ class EmbeddingIndex:
         min_score: Optional[float] = None,
     ) -> list[dict]:
         """L2-normalized query [D] -> [{content_hash, score}] best-first."""
+        from ics_tpu.utils.metrics import registry as metrics_registry
+
         self.refresh()
+        metrics_registry.counter(
+            "similarity_searches_total", "embedding cosine top-k searches"
+        ).inc()
+        metrics_registry.gauge(
+            "embedding_index_vectors", "vectors in the similarity index"
+        ).set(self._n)
         if self._n == 0 or self._matrix is None:
             return []
         # always extract K_MAX on device and slice on host: one compiled

@@ -143,3 +143,62 @@ async def test_sync_stores_and_surfaces_suggestions(app):
             assert sug["modelo"] == "resnet_tiny"
             assert sug["classes"]
     await client.aclose()
+
+
+@pytest.mark.anyio
+async def test_embed_on_sync_indexes_embeddings(tmp_path):
+    """TPU_EMBED_ON_SYNC: the ingestion hook also writes an L2-normalized
+    embedding per synced image — the similarity index is current the
+    moment sync lands the bytes (no backfill pass needed)."""
+    import numpy as np
+
+    from ics_tpu.core.config import reload_settings
+    from ics_tpu.crud.embedding_crud import carregar_corpus
+    from ics_tpu.main import _make_classify_on_sync, create_app
+
+    reload_settings(
+        TPU_ENABLE_INFERENCE="true",
+        TPU_MESH_SHAPE="1",
+        TPU_DEFAULT_MODEL="resnet_tiny",
+        TPU_NUM_CLASSES="16",
+        TPU_PRECISION="fp32",
+        TPU_CANVAS="64",
+        TPU_BATCH_BUCKETS="4",
+        TPU_BATCH_DEADLINE_US="5000",
+        TPU_WARMUP_ON_STARTUP="false",
+        TPU_DEVICE_DECODE="false",
+        TPU_EMBED_ON_SYNC="true",
+    )
+    try:
+        db = Database(f"sqlite:///{tmp_path}/eos.db")
+        app = create_app(db=db)
+        await app.startup()
+        state = FakeState()
+        state.add_folder("fotos")
+        state.add_image("fotos", "a.jpg", make_jpeg(7))
+        state.add_image("fotos", "b.jpg", make_jpeg(8))
+        client = NextCloudClient(
+            base_url="http://fake.test", username="tester", password="pw",
+            user_path="/files/tester", max_retries=2, retry_delay=0.01,
+            transport=httpx.ASGITransport(app=make_fake_nextcloud(state)),
+        )
+        sync = NextCloudSyncService(
+            db, client=client, on_image_bytes=_make_classify_on_sync(app)
+        )
+        await sync.sync_initial()
+        for _ in range(100):
+            await asyncio.sleep(0.1)
+            with db.session() as s:
+                hashes, mat = carregar_corpus(s, "resnet_tiny")
+            if len(hashes) >= 2:
+                break
+        assert len(hashes) == 2
+        norms = np.linalg.norm(mat.astype(np.float32), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=5e-3)
+        # suggestions were written too (the hook does both)
+        with db.session() as s:
+            assert s.query(SugestaoModelo).count() == 2
+        await client.aclose()
+        await app.shutdown()
+    finally:
+        reload_settings()
