@@ -191,3 +191,118 @@ def efficientnet_b4(num_classes: int = 1000) -> EfficientNet:
 
 def efficientnet_b0(num_classes: int = 1000) -> EfficientNet:
     return EfficientNet(width_mult=1.0, depth_mult=1.0, num_classes=num_classes)
+
+
+# --------------------------------------------------------------------------
+# EfficientNetV2 (Tan & Le 2021): fused-MBConv early stages — the k3
+# full conv replaces expand-1x1 + depthwise-k3, trading parameters for
+# MXU-friendly dense convs exactly where depthwise is most bandwidth-bound
+# (large spatial extents). torchvision ``efficientnet_v2_s`` layout.
+# --------------------------------------------------------------------------
+
+# block kind, expand, out_ch, kernel, stride, repeats (v2-S)
+V2_S_SPEC = [
+    ("fused", 1, 24, 3, 1, 2),
+    ("fused", 4, 48, 3, 2, 4),
+    ("fused", 4, 64, 3, 2, 4),
+    ("mb", 4, 128, 3, 2, 6),
+    ("mb", 6, 160, 3, 1, 9),
+    ("mb", 6, 256, 3, 2, 15),
+]
+
+
+class FusedMBConv:
+    """Fused MBConv: k3 dense conv does expand+spatial in one MXU op.
+
+    torchvision naming: ``block.0`` = (conv, bn, silu); with expansion a
+    ``block.1`` = (1x1 project conv, bn, NO activation) follows."""
+
+    def __init__(self, in_ch, out_ch, kernel, stride, expand):
+        mid = in_ch * expand
+        if expand != 1:
+            self.expand = ConvBN(in_ch, mid, kernel, stride,
+                                 padding=kernel // 2)
+            self.project = ConvBN(mid, out_ch, 1)
+        else:
+            self.expand = None
+            self.project = ConvBN(in_ch, out_ch, kernel, stride,
+                                  padding=kernel // 2)
+        self._act_on_project = expand == 1
+        self.use_residual = stride == 1 and in_ch == out_ch
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        p = {"proj": self.project.init(k2)}
+        if self.expand:
+            p["exp"] = self.expand.init(k1)
+        return p
+
+    def init_state(self):
+        s = {"proj": self.project.init_state()}
+        if self.expand:
+            s["exp"] = self.expand.init_state()
+        return s
+
+    def apply(self, params, state, x, training):
+        new_state = {}
+        y = x
+        if self.expand:
+            y, new_state["exp"] = self.expand.apply(
+                params["exp"], state["exp"], y, training
+            )
+            y = jax.nn.silu(y)
+        y, new_state["proj"] = self.project.apply(
+            params["proj"], state["proj"], y, training
+        )
+        if self._act_on_project:
+            y = jax.nn.silu(y)
+        if self.use_residual:
+            y = y + x
+        return y, new_state
+
+    def fold(self, params, state):
+        f = {"proj": self.project.fold(params["proj"], state["proj"])}
+        if self.expand:
+            f["exp"] = self.expand.fold(params["exp"], state["exp"])
+        return f
+
+    def apply_folded(self, folded, x):
+        y = x
+        if self.expand:
+            y = jax.nn.silu(self.expand.apply_folded(folded["exp"], y))
+        y = self.project.apply_folded(folded["proj"], y)
+        if self._act_on_project:
+            y = jax.nn.silu(y)
+        return y + x if self.use_residual else y
+
+
+class EfficientNetV2:
+    def __init__(self, spec=None, stem_ch: int = 24, head_ch: int = 1280,
+                 num_classes: int = 1000):
+        self.spec = spec or V2_S_SPEC
+        self.stem = ConvBN(3, stem_ch, 3, 2, padding=1)
+        self.blocks: list = []
+        in_ch = stem_ch
+        for kind, expand, out_ch, kernel, stride, repeats in self.spec:
+            for r in range(repeats):
+                s = stride if r == 0 else 1
+                if kind == "fused":
+                    blk = FusedMBConv(in_ch, out_ch, kernel, s, expand)
+                else:
+                    blk = MBConv(in_ch, out_ch, kernel, s, expand)
+                self.blocks.append(blk)
+                in_ch = out_ch
+        self.conv_head = ConvBN(in_ch, head_ch, 1)
+        self.head = Dense(head_ch, num_classes)
+        self.num_classes = num_classes
+
+    # init/apply/fold are structurally identical to EfficientNet's
+    init = EfficientNet.init
+    apply = EfficientNet.apply
+    fold = EfficientNet.fold
+    apply_folded = EfficientNet.apply_folded
+
+
+def efficientnet_v2_s(num_classes: int = 1000) -> EfficientNetV2:
+    """EfficientNetV2-S (21.5M params; torchvision-weight-compatible)."""
+    return EfficientNetV2(num_classes=num_classes)

@@ -151,5 +151,11 @@ def _ensure_populated() -> None:
             "efficientnet_b0", efficientnet.efficientnet_b0, 224, 256,
             "EfficientNet-B0 — light variant",
         )
+        register_model(
+            "efficientnet_v2_s", efficientnet.efficientnet_v2_s, 384, 384,
+            "EfficientNetV2-S — fused-MBConv early stages (dense k3 convs "
+            "on the MXU where depthwise is bandwidth-bound); "
+            "torchvision-checkpoint-compatible",
+        )
     except ImportError:
         pass

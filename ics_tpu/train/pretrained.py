@@ -420,6 +420,57 @@ def _map_efficientnet(model, flat):
     return {"params": params, "state": state}
 
 
+def _map_efficientnet_v2(model, flat):
+    """torchvision ``efficientnet_v2_s`` naming: features.0 stem,
+    features.{1..6} the six stages (fused stages have block.0 [+ block.1
+    project]; MBConv stages the v1 0/1/2/3 layout), features.7 head conv,
+    classifier.1 the Linear."""
+    from ics_tpu.models.efficientnet import FusedMBConv
+
+    params: dict = {"blocks": []}
+    state: dict = {"blocks": []}
+    params["stem"], state["stem"] = _convbn(
+        flat, "features.0.0", "features.0.1"
+    )
+    flat_idx = 0
+    for s, (kind, expand, _, _, _, repeats) in enumerate(model.spec, start=1):
+        for r in range(repeats):
+            blk = model.blocks[flat_idx]
+            pfx = f"features.{s}.{r}.block"
+            bp, bs = {}, {}
+            if isinstance(blk, FusedMBConv):
+                if blk.expand is not None:
+                    bp["exp"], bs["exp"] = _convbn(
+                        flat, f"{pfx}.0.0", f"{pfx}.0.1"
+                    )
+                    bp["proj"], bs["proj"] = _convbn(
+                        flat, f"{pfx}.1.0", f"{pfx}.1.1"
+                    )
+                else:
+                    bp["proj"], bs["proj"] = _convbn(
+                        flat, f"{pfx}.0.0", f"{pfx}.0.1"
+                    )
+            else:
+                bp["exp"], bs["exp"] = _convbn(
+                    flat, f"{pfx}.0.0", f"{pfx}.0.1"
+                )
+                bp["dw"], bs["dw"] = _convbn(
+                    flat, f"{pfx}.1.0", f"{pfx}.1.1"
+                )
+                bp["se"] = _se(flat, f"{pfx}.2.fc1", f"{pfx}.2.fc2")
+                bp["proj"], bs["proj"] = _convbn(
+                    flat, f"{pfx}.3.0", f"{pfx}.3.1"
+                )
+            params["blocks"].append(bp)
+            state["blocks"].append(bs)
+            flat_idx += 1
+    params["conv_head"], state["conv_head"] = _convbn(
+        flat, "features.7.0", "features.7.1"
+    )
+    params["head"] = _linear(flat, "classifier.1")
+    return {"params": params, "state": state}
+
+
 def _map_convnext(model, flat):
     """torchvision ``convnext_*`` naming: features.0 stem, odd indices are
     block stages, even are (LN, 2x2 conv) downsamples; classifier.0/.2."""
@@ -523,6 +574,8 @@ _FAMILIES = (
     ("resnet", _map_resnet, "fc.weight"),
     ("vit", _map_vit, "head.weight"),
     ("mobilenetv3", _map_mobilenetv3, "classifier.3.weight"),
+    # v2 must precede the v1 prefix match
+    ("efficientnet_v2", _map_efficientnet_v2, "classifier.1.weight"),
     ("efficientnet", _map_efficientnet, "classifier.1.weight"),
     ("convnext", _map_convnext, "classifier.2.weight"),
     # newer timm wraps the swin head in ClassifierHead (head.fc.*)

@@ -22,6 +22,7 @@ CONFIGS = {
     "vit_s16": (128, 256, 20),
     "efficientnet_b0": (128, 256, 20),
     "mobilenetv3_small": (128, 256, 20),
+    "efficientnet_v2_s": (64, 512, 15),
     "swin_tiny": (128, 256, 20),
     "swin_small": (128, 256, 20),
 }

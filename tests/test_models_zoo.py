@@ -137,6 +137,48 @@ class TestEfficientNet:
         # torchvision efficientnet_b4: 19.34M
         assert 17_000_000 < n < 21_500_000, n
 
+    def test_v2_s_param_count_exact(self):
+        from ics_tpu.models.efficientnet import efficientnet_v2_s
+
+        model = efficientnet_v2_s(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        assert n == 21_458_488  # torchvision efficientnet_v2_s, exact
+
+    def test_v2_tiny_forward_and_fold(self):
+        from ics_tpu.models.efficientnet import EfficientNetV2
+
+        # one fused (no-expand), one fused (expand), one MBConv stage
+        spec = [
+            ("fused", 1, 16, 3, 1, 1),
+            ("fused", 4, 24, 3, 2, 1),
+            ("mb", 4, 32, 3, 2, 1),
+        ]
+        model = EfficientNetV2(spec=spec, stem_ch=16, head_ch=64,
+                               num_classes=7)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 0.1
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (2, 7)
+        folded = model.fold(variables)
+        logits_f = model.apply_folded(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_f), rtol=1e-3, atol=1e-3
+        )
+        # training mode updates BN state and grads flow through both kinds
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "state": variables["state"]}, x,
+                training=True,
+            )
+            return jnp.sum(out ** 2)
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        assert float(
+            jnp.abs(grads["blocks"][0]["proj"]["conv"]["w"]).sum()
+        ) > 0
+
 
 class TestRegistryComplete:
     def test_all_baseline_models_registered(self):

@@ -737,6 +737,42 @@ def _export_efficientnet(model, variables):
     return out
 
 
+def _export_efficientnet_v2(model, variables):
+    from ics_tpu.models.efficientnet import FusedMBConv
+
+    p, s = variables["params"], variables["state"]
+    out = {}
+    _inv_convbn(out, p["stem"], s["stem"], "features.0.0", "features.0.1")
+    idx = 0
+    for st, (_, _, _, _, _, repeats) in enumerate(model.spec, start=1):
+        for r in range(repeats):
+            blk = model.blocks[idx]
+            pfx = f"features.{st}.{r}.block"
+            bp, bs = p["blocks"][idx], s["blocks"][idx]
+            if isinstance(blk, FusedMBConv):
+                if blk.expand is not None:
+                    _inv_convbn(out, bp["exp"], bs["exp"],
+                                f"{pfx}.0.0", f"{pfx}.0.1")
+                    _inv_convbn(out, bp["proj"], bs["proj"],
+                                f"{pfx}.1.0", f"{pfx}.1.1")
+                else:
+                    _inv_convbn(out, bp["proj"], bs["proj"],
+                                f"{pfx}.0.0", f"{pfx}.0.1")
+            else:
+                _inv_convbn(out, bp["exp"], bs["exp"],
+                            f"{pfx}.0.0", f"{pfx}.0.1")
+                _inv_convbn(out, bp["dw"], bs["dw"],
+                            f"{pfx}.1.0", f"{pfx}.1.1")
+                _inv_se(out, bp["se"], f"{pfx}.2.fc1", f"{pfx}.2.fc2")
+                _inv_convbn(out, bp["proj"], bs["proj"],
+                            f"{pfx}.3.0", f"{pfx}.3.1")
+            idx += 1
+    _inv_convbn(out, p["conv_head"], s["conv_head"],
+                "features.7.0", "features.7.1")
+    _inv_linear(out, p["head"], "classifier.1")
+    return out
+
+
 def _export_convnext(model, variables):
     p = variables["params"]
     out = {
@@ -799,6 +835,7 @@ _EXPORTERS = {
     "resnet": _export_resnet,
     "vit": _export_vit,
     "mobilenetv3": _export_mobilenetv3,
+    "efficientnet_v2": _export_efficientnet_v2,  # before the v1 prefix
     "efficientnet": _export_efficientnet,
     "convnext": _export_convnext,
     "swin": _export_swin,
