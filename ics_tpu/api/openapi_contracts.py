@@ -197,6 +197,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
             "pesos_iniciais": "string", "augmentar": "boolean",
             "mixup_alpha": "number", "suavizacao_rotulo": "number",
             "agenda_lr": "string", "treinar_apenas_cabeca": "boolean",
+            "otimizador": "string", "ema_decaimento": "number",
         }),
     },
     ("GET", "/treinamento/jobs"): {},

@@ -106,6 +106,15 @@ async def iniciar_treinamento(request: Request):
             422, "Parâmetro inválido: agenda_lr deve ser 'cosseno' ou "
                  "'constante'"
         )
+    otimizador = body.get("otimizador", "sgd")
+    if not isinstance(otimizador, str):
+        raise HTTPException(
+            422, "Parâmetro inválido: otimizador deve ser 'sgd' ou 'adamw'"
+        )
+    try:
+        ema_decaimento = float(body.get("ema_decaimento") or 0.0)
+    except (TypeError, ValueError) as exc:
+        raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     retomar_de = body.get("retomar_de")
     if retomar_de is not None and not isinstance(retomar_de, str):
         raise HTTPException(422, "Parâmetro inválido: retomar_de deve ser o id de um job")
@@ -137,6 +146,8 @@ async def iniciar_treinamento(request: Request):
             suavizacao_rotulo=suavizacao_rotulo,
             agenda_lr=agenda_lr,
             treinar_apenas_cabeca=treinar_apenas_cabeca,
+            otimizador=otimizador,
+            ema_decaimento=ema_decaimento,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

@@ -100,6 +100,16 @@ def _ensure_populated() -> None:
     register_model(
         "resnet152", resnet.resnet152, 224, 256, "ResNet-152 v1.5",
     )
+    register_model(
+        "resnext50_32x4d", resnet.resnext50_32x4d, 224, 256,
+        "ResNeXt-50 32x4d — grouped 3x3s at 2x inner width "
+        "(torchvision-checkpoint-compatible)",
+    )
+    register_model(
+        "wide_resnet50_2", resnet.wide_resnet50_2, 224, 256,
+        "Wide-ResNet-50-2 — 2x inner bottleneck width, dense convs "
+        "(MXU-friendly width scaling; torchvision-checkpoint-compatible)",
+    )
     try:
         from ics_tpu.models import convnext
 

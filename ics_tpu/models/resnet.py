@@ -27,17 +27,22 @@ from ics_tpu.nn.layers import Dense, global_avg_pool, max_pool
 class Bottleneck:
     expansion = 4
 
-    def __init__(self, in_ch, width, stride=1):
+    def __init__(self, in_ch, width, stride=1, groups=1, base_width=64):
         out_ch = width * self.expansion
-        self.cbr1 = _ConvBN(in_ch, width, 1)
+        # torchvision convention: the 1x1/3x3 inner width scales with
+        # base_width and groups — ResNeXt-50 32x4d (groups=32, base 4) and
+        # Wide-ResNet-50-2 (base 128) reuse this block unchanged
+        # (torchvision models/resnet.py Bottleneck).
+        inner = int(width * (base_width / 64.0)) * groups
+        self.cbr1 = _ConvBN(in_ch, inner, 1)
         # v1.5: stride on the 3x3. Explicit symmetric padding (=k//2, the
         # torch convention) instead of SAME: at stride 2 XLA's SAME pads
         # (1,2) while torch-trained checkpoints (torchvision resnet50
         # layer*.0.conv2) assume (1,1) — same output shape, different
         # alignment. Explicit padding keeps imported pretrained weights
         # numerically faithful (train/pretrained.py).
-        self.cbr2 = _ConvBN(width, width, 3, stride, padding=1)
-        self.cbr3 = _ConvBN(width, out_ch, 1)
+        self.cbr2 = _ConvBN(inner, inner, 3, stride, padding=1, groups=groups)
+        self.cbr3 = _ConvBN(inner, out_ch, 1)
         self.downsample = (
             _ConvBN(in_ch, out_ch, 1, stride)
             if stride != 1 or in_ch != out_ch
@@ -174,9 +179,17 @@ class BasicBlock:
 
 class ResNet:
     def __init__(self, block_counts=(3, 4, 6, 3), num_classes=1000, in_ch=3,
-                 use_s2d_stem: bool = False, block_cls=Bottleneck):
+                 use_s2d_stem: bool = False, block_cls=Bottleneck,
+                 groups: int = 1, base_width: int = 64):
         self.use_s2d_stem = use_s2d_stem
         self.block_cls = block_cls
+        self.groups = groups
+        self.base_width = base_width
+        if block_cls is BasicBlock and (groups != 1 or base_width != 64):
+            raise ValueError(
+                "basic blocks only support groups=1, base_width=64 "
+                "(torchvision convention)"
+            )
         # padding=3 (torch convention) not SAME — see Bottleneck.cbr2 note
         self.stem = _ConvBN(in_ch, 64, 7, 2, padding=3)
         self.stages: list[list] = []
@@ -186,7 +199,15 @@ class ResNet:
             stride = 1 if stage_idx == 0 else 2
             blocks = []
             for b in range(count):
-                blocks.append(block_cls(ch, width, stride if b == 0 else 1))
+                if block_cls is Bottleneck:
+                    blocks.append(block_cls(
+                        ch, width, stride if b == 0 else 1,
+                        groups=groups, base_width=base_width,
+                    ))
+                else:
+                    blocks.append(
+                        block_cls(ch, width, stride if b == 0 else 1)
+                    )
                 ch = width * block_cls.expansion
             self.stages.append(blocks)
         self.head = Dense(ch, num_classes, init="kaiming")
@@ -273,6 +294,11 @@ class ResNet:
             raise ValueError(
                 "pallas_chains packs bottleneck (cbr1/2/3) weights; "
                 "basic-block ResNets have no fused-chain path"
+            )
+        if pallas_chains and (self.groups != 1 or self.base_width != 64):
+            raise ValueError(
+                "pallas_chains assumes dense 3x3 convs; grouped/wide "
+                "bottlenecks (ResNeXt/Wide-ResNet) have no fused-chain path"
             )
         if pallas_chains:
             # OPT-IN fused stride-1 bottleneck chains (ops/pallas_bottleneck)
@@ -378,6 +404,21 @@ def resnet_tiny(num_classes: int = 1000) -> ResNet:
     """One bottleneck per stage — dev/CI model for exercising the full
     serving stack (engine/batcher/mesh) cheaply on CPU. Not a zoo model."""
     return ResNet(block_counts=(1, 1, 1, 1), num_classes=num_classes)
+
+
+def resnext50_32x4d(num_classes: int = 1000) -> ResNet:
+    """ResNeXt-50 32x4d: 32-group 3x3s at 2x inner width — same FLOP class
+    as ResNet-50, higher accuracy (torchvision-weight-compatible). TPU
+    note: XLA lowers grouped convs as batched dense dots; each group is a
+    [H·W, 4]x[9·4, 4]-class matmul, narrower on the MXU than ResNet-50's
+    dense 3x3 — expect throughput below resnet50 despite equal FLOPs."""
+    return ResNet((3, 4, 6, 3), num_classes, groups=32, base_width=4)
+
+
+def wide_resnet50_2(num_classes: int = 1000) -> ResNet:
+    """Wide-ResNet-50-2: 2x inner bottleneck width (base_width=128), dense
+    convs — MXU-friendly width scaling (torchvision-weight-compatible)."""
+    return ResNet((3, 4, 6, 3), num_classes, base_width=128)
 
 
 def resnet101(num_classes: int = 1000) -> ResNet:

@@ -75,6 +75,16 @@ def main(argv=None) -> int:
              "(default) or constant",
     )
     parser.add_argument(
+        "--otimizador", default="sgd", choices=["sgd", "adamw"],
+        help="update rule: momentum SGD (conv default) or AdamW (the "
+             "standard recipe for ViT/Swin/ConvNeXt fine-tunes)",
+    )
+    parser.add_argument(
+        "--ema-decaimento", type=float, default=0.0,
+        help="EMA of the weights with this decay (e.g. 0.999); the shadow "
+             "weights become the registered/served model. 0 disables",
+    )
+    parser.add_argument(
         "--apenas-cabeca", action="store_true",
         help="linear probe: train only the classifier head on frozen "
              "backbone features (eval-mode BN) — the right recipe for "
@@ -120,6 +130,8 @@ def main(argv=None) -> int:
         suavizacao_rotulo=args.suavizacao_rotulo,
         agenda_lr=args.agenda_lr,
         treinar_apenas_cabeca=args.apenas_cabeca,
+        otimizador=args.otimizador,
+        ema_decaimento=args.ema_decaimento,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

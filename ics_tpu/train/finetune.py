@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,18 +57,88 @@ def multilabel_exact_match(logits, targets):
 
 
 def make_optimizer(lr=0.01, momentum: float = 0.9,
-                   weight_decay: float = 1e-4):
+                   weight_decay: Optional[float] = None,
+                   kind: str = "sgd"):
     """``lr`` may be a float or an optax schedule (callable step -> lr).
 
-    Standard recipe: no weight decay on norm scales/shifts or biases
-    (1-D params) — decaying them degrades accuracy."""
+    ``kind`` selects the update rule: ``"sgd"`` (momentum SGD, the conv
+    recipe) or ``"adamw"`` (decoupled-decay Adam — the standard recipe for
+    the transformer families: ViT/Swin/ConvNeXt). ``weight_decay=None``
+    picks the per-kind default (1e-4 SGD, 0.05 AdamW).
+
+    Standard recipe either way: no weight decay on norm scales/shifts or
+    biases (1-D params) — decaying them degrades accuracy."""
     def wd_mask(params):
         return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay, mask=wd_mask),
-        optax.sgd(lr, momentum=momentum),
+    if kind == "sgd":
+        wd = 1e-4 if weight_decay is None else float(weight_decay)
+        return optax.chain(
+            optax.add_decayed_weights(wd, mask=wd_mask),
+            optax.sgd(lr, momentum=momentum),
+        )
+    if kind == "adamw":
+        wd = 0.05 if weight_decay is None else float(weight_decay)
+        return optax.adamw(lr, weight_decay=wd, mask=wd_mask)
+    raise ValueError(
+        f"otimizador desconhecido: {kind!r} (esperado 'sgd' ou 'adamw')"
     )
+
+
+class EmaState(NamedTuple):
+    """State of :func:`ema_params_transform` — the shadow parameter tree."""
+
+    ema: Any
+
+
+def ema_params_transform(decay: float):
+    """Terminal optax transform maintaining an exponential moving average of
+    the POST-update parameters inside the optimizer state.
+
+    Carrying the shadow tree in ``opt_state`` (instead of threading an
+    extra argument through every step variant) means checkpointing, resume
+    (``retomar_de``), the sharded DP path (opt_state replicates) and every
+    jitted step signature work unchanged. The EMA initializes AT the
+    initial params (for fine-tunes those are pretrained weights — a good
+    anchor), so no bias correction is needed. Passes ``updates`` through
+    untouched; compose LAST in the chain."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError(
+            f"ema_decay fora de (0, 1): {decay!r}"
+        )
+
+    def init_fn(params):
+        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_params_transform requer params no update")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            state.ema, new_params,
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_ema_params(opt_state):
+    """Extract the EMA shadow tree from a (possibly nested) optimizer state;
+    ``None`` when the optimizer carries no :class:`EmaState`."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = find_ema_params(sub)
+            if found is not None:
+                return found
+    elif isinstance(opt_state, dict):
+        for sub in opt_state.values():
+            found = find_ema_params(sub)
+            if found is not None:
+                return found
+    return None
 
 
 def make_lr_schedule(lr: float, total_steps: int, kind: str = "cosseno",
@@ -296,7 +366,8 @@ class FineTuner:
                  checkpoint_dir: Optional[str] = None,
                  remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
                  augment: Optional[Any] = None, seed: int = 0,
-                 linear_probe: bool = False, multi_label: bool = False):
+                 linear_probe: bool = False, multi_label: bool = False,
+                 ema_decay: float = 0.0):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -312,6 +383,18 @@ class FineTuner:
         self._linear_probe = bool(linear_probe)
         if linear_probe:
             self.optimizer = make_probe_optimizer(self.optimizer)
+        # EMA of the post-update params, carried inside opt_state (see
+        # ema_params_transform). Wrapped OUTSIDE the probe wrapper so the
+        # shadow tree always covers the FULL params tree (frozen subtrees
+        # stay fixed at their init values — decay-mixing equal values is a
+        # no-op). NOTE: enabling/disabling EMA changes the opt_state tree,
+        # so retomar_de cannot cross the EMA on/off boundary (same caveat
+        # as the probe boundary above).
+        self._ema_decay = float(ema_decay)
+        if self._ema_decay:
+            self.optimizer = optax.chain(
+                self.optimizer, ema_params_transform(self._ema_decay)
+            )
         # multi-label (multipla_escolha): multi-hot [B, C] targets +
         # sigmoid BCE in every step variant; serving must mirror with
         # sigmoid scores (runtime/engine.py multi_label flag)

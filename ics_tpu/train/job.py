@@ -34,6 +34,7 @@ from ics_tpu.train.data import (
 )
 from ics_tpu.train.finetune import (
     FineTuner,
+    find_ema_params,
     make_lr_schedule,
     make_optimizer,
 )
@@ -258,9 +259,19 @@ class TrainingJobManager:
         suavizacao_rotulo: float = 0.0,
         agenda_lr: str = "cosseno",
         treinar_apenas_cabeca: bool = False,
+        otimizador: str = "sgd",
+        ema_decaimento: float = 0.0,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
+        # validate up front (422 at the route, not a failed job); the real
+        # optimizer is rebuilt in the worker with the LR schedule
+        make_optimizer(lr=lr, kind=otimizador)
+        ema_decaimento = float(ema_decaimento)
+        if ema_decaimento and not (0.0 < ema_decaimento < 1.0):
+            raise ValueError(
+                f"ema_decaimento fora de (0, 1): {ema_decaimento!r}"
+            )
         fetch = fetch_bytes or self.fetch_bytes
         if fetch is None:
             raise TrainingUnavailable(
@@ -303,7 +314,9 @@ class TrainingJobManager:
                  "mixup_alpha": float(mixup_alpha),
                  "suavizacao_rotulo": float(suavizacao_rotulo),
                  "agenda_lr": agenda_lr,
-                 "treinar_apenas_cabeca": bool(treinar_apenas_cabeca)},
+                 "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),
+                 "otimizador": otimizador,
+                 "ema_decaimento": ema_decaimento},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -321,7 +334,7 @@ class TrainingJobManager:
                   compute_dtype, ativar, seed, eval_fraction, remat,
                   usar_sugestoes, sugestao_min_score, retomar_de,
                   pesos_iniciais, augment, agenda_lr,
-                  treinar_apenas_cabeca),
+                  treinar_apenas_cabeca, otimizador, ema_decaimento),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -339,7 +352,9 @@ class TrainingJobManager:
              retomar_de: Optional[str] = None,
              pesos_iniciais: Optional[str] = None,
              augment=None, agenda_lr: str = "cosseno",
-             treinar_apenas_cabeca: bool = False) -> None:
+             treinar_apenas_cabeca: bool = False,
+             otimizador: str = "sgd",
+             ema_decaimento: float = 0.0) -> None:
         try:
             job.status = "executando"
             # multipla_escolha ambientes train multi-label automatically:
@@ -407,7 +422,8 @@ class TrainingJobManager:
             tuner = FineTuner(
                 model,
                 optimizer=make_optimizer(
-                    lr=make_lr_schedule(lr, max_steps, kind=agenda_lr)
+                    lr=make_lr_schedule(lr, max_steps, kind=agenda_lr),
+                    kind=otimizador,
                 ),
                 image_size=spec.image_size,
                 resize_short=spec.resize_short,
@@ -419,6 +435,7 @@ class TrainingJobManager:
                 seed=seed,
                 linear_probe=treinar_apenas_cabeca,
                 multi_label=multi_label,
+                ema_decay=ema_decaimento,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed
@@ -447,7 +464,7 @@ class TrainingJobManager:
             )
 
             try:
-                variables, _, history = tuner.run(
+                variables, opt_state, history = tuner.run(
                     variables, batches, max_steps=max_steps,
                     checkpoint_every=max(max_steps // 2, 1),
                     on_step=job.history.append,  # live progress
@@ -470,6 +487,25 @@ class TrainingJobManager:
                 )
                 return
             final = history[-1] if history else {}
+            if ema_decaimento and history:
+                # serve/eval the EMA shadow weights (the standard "EMA as
+                # final model" recipe): swap them into variables and write
+                # them as the LATEST checkpoint (step+1, with the unchanged
+                # opt_state so retomar_de's restore template still matches
+                # — a resume continues from the EMA point, documented in
+                # docs/treinamento). Serving's get_trained restores latest,
+                # so the registered version serves the EMA weights.
+                ema = find_ema_params(opt_state)
+                if ema is not None:
+                    variables = dict(variables)
+                    variables["params"] = ema
+                    ema_step = int(final.get("step", 0)) + 1
+                    tuner.checkpoint.save(
+                        ema_step, variables, opt_state,
+                        {"step": int(final.get("step", 0)),
+                         "ema_final": True},
+                    )
+                    job.params["ema_final"] = True
             eval_accuracy = None
             eval_metrics = None
             eval_calibrado = None
@@ -555,6 +591,8 @@ class TrainingJobManager:
                         "exemplos_eval": len(eval_examples),
                         "historico": history[-20:],
                         "exemplos": len(examples),
+                        "otimizador": otimizador,
+                        "ema_decaimento": ema_decaimento or None,
                         # serving reads these: sigmoid scores + the
                         # calibrated >=limiar suggestion set instead of
                         # softmax/top-1 (limiar None -> 0.5 default)

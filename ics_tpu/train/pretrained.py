@@ -572,6 +572,11 @@ def _map_swin(model, flat):
 
 _FAMILIES = (
     ("resnet", _map_resnet, "fc.weight"),
+    # same torchvision key scheme as resnet (layerN.M.convJ/bnJ/fc); the
+    # mapper walks the model's own block structure, so grouped/wide inner
+    # widths come out right from the checkpoint shapes
+    ("resnext", _map_resnet, "fc.weight"),
+    ("wide_resnet", _map_resnet, "fc.weight"),
     ("vit", _map_vit, "head.weight"),
     ("mobilenetv3", _map_mobilenetv3, "classifier.3.weight"),
     # v2 must precede the v1 prefix match

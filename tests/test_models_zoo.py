@@ -369,3 +369,50 @@ class TestLargeVariantsRegistered:
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
         logits = model.apply_folded(model.fold(variables), x)
         assert logits.shape == (1, 10)
+
+
+class TestResNetVariants:
+    def test_registry_has_resnext_and_wide(self):
+        from ics_tpu.models.registry import list_models
+
+        models = list_models()
+        for name in ("resnext50_32x4d", "wide_resnet50_2"):
+            assert name in models, models
+
+    def test_resnext50_32x4d_param_count_exact(self):
+        from ics_tpu.models.resnet import resnext50_32x4d
+
+        model = resnext50_32x4d(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        assert n == 25_028_904  # torchvision resnext50_32x4d, exact
+
+    def test_wide_resnet50_2_param_count_exact(self):
+        from ics_tpu.models.resnet import wide_resnet50_2
+
+        model = wide_resnet50_2(num_classes=1000)
+        n = param_count(model.init(jax.random.PRNGKey(0))["params"])
+        assert n == 68_883_240  # torchvision wide_resnet50_2, exact
+
+    def test_grouped_forward_fold_smoke(self):
+        from ics_tpu.models.resnet import ResNet
+
+        # tiny grouped/wide config (same inner-width formula as the real
+        # variants) — folded path must match training-mode inference
+        model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5,
+                       groups=4, base_width=16)
+        variables = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        ref, _ = model.apply(variables, x, training=False)
+        got = model.apply_folded(model.fold(variables), x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4
+        )
+
+    def test_grouped_rejects_pallas_chains(self):
+        from ics_tpu.models.resnet import ResNet
+
+        model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5,
+                       groups=4, base_width=16)
+        variables = model.init(jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="grouped/wide"):
+            model.fold(variables, pallas_chains=True)

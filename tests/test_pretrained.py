@@ -67,15 +67,18 @@ def _state_np(module):
 
 class _TorchBottleneck(tnn.Module):
     # attribute names match torchvision.models.resnet.Bottleneck so the
-    # state_dict keys are the real thing
-    def __init__(self, in_ch, width, stride=1):
+    # state_dict keys are the real thing; groups/base_width follow the
+    # torchvision inner-width formula (ResNeXt / Wide-ResNet variants)
+    def __init__(self, in_ch, width, stride=1, groups=1, base_width=64):
         super().__init__()
         out_ch = width * 4
-        self.conv1 = tnn.Conv2d(in_ch, width, 1, bias=False)
-        self.bn1 = tnn.BatchNorm2d(width)
-        self.conv2 = tnn.Conv2d(width, width, 3, stride, padding=1, bias=False)
-        self.bn2 = tnn.BatchNorm2d(width)
-        self.conv3 = tnn.Conv2d(width, out_ch, 1, bias=False)
+        inner = int(width * (base_width / 64.0)) * groups
+        self.conv1 = tnn.Conv2d(in_ch, inner, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(inner)
+        self.conv2 = tnn.Conv2d(inner, inner, 3, stride, padding=1,
+                                bias=False, groups=groups)
+        self.bn2 = tnn.BatchNorm2d(inner)
+        self.conv3 = tnn.Conv2d(inner, out_ch, 1, bias=False)
         self.bn3 = tnn.BatchNorm2d(out_ch)
         self.downsample = None
         if stride != 1 or in_ch != out_ch:
@@ -93,7 +96,8 @@ class _TorchBottleneck(tnn.Module):
 
 
 class _TorchResNet(tnn.Module):
-    def __init__(self, block_counts=(1, 1, 1, 1), num_classes=5):
+    def __init__(self, block_counts=(1, 1, 1, 1), num_classes=5,
+                 groups=1, base_width=64):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
@@ -106,7 +110,8 @@ class _TorchResNet(tnn.Module):
             blocks = []
             for b in range(count):
                 blocks.append(
-                    _TorchBottleneck(ch, width, stride if b == 0 else 1)
+                    _TorchBottleneck(ch, width, stride if b == 0 else 1,
+                                     groups=groups, base_width=base_width)
                 )
                 ch = width * 4
             layers.append(tnn.Sequential(*blocks))
@@ -214,6 +219,34 @@ class TestTorchGold:
         flat = _state_np(tm)
 
         model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+        variables = pt._map_resnet(model, flat)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got, _ = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-4)
+
+        folded = model.fold(variables)
+        got_f = model.apply_folded(folded, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got_f), ref, atol=5e-4, rtol=1e-3)
+
+    def test_resnext_grouped_bottleneck_matches_torch(self):
+        """ResNeXt/Wide family: grouped 3x3 + scaled inner width through
+        the same torchvision key scheme and _map_resnet mapper (groups=4,
+        base_width=16 keeps the CI model tiny — the formula is the same
+        one resnext50_32x4d/wide_resnet50_2 use)."""
+        from ics_tpu.models.resnet import ResNet
+
+        rng = np.random.default_rng(7)
+        tm = _TorchResNet(groups=4, base_width=16)
+        with torch.no_grad():
+            _randomize_bn(tm, rng)
+        tm.eval()
+        flat = _state_np(tm)
+
+        model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5,
+                       groups=4, base_width=16)
         variables = pt._map_resnet(model, flat)
 
         x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
@@ -833,6 +866,10 @@ def _export_swin(model, variables):
 
 _EXPORTERS = {
     "resnet": _export_resnet,
+    # same torchvision key scheme; the exporter walks the model's own
+    # block tree, so grouped/wide inner widths export correctly
+    "resnext": _export_resnet,
+    "wide_resnet": _export_resnet,
     "vit": _export_vit,
     "mobilenetv3": _export_mobilenetv3,
     "efficientnet_v2": _export_efficientnet_v2,  # before the v1 prefix

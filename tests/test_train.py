@@ -286,3 +286,132 @@ class TestLinearProbe:
         )
         assert len(history) == 2
         assert all(np.isfinite(h["loss"]) for h in history)
+
+
+class TestOptimizerKinds:
+    def test_adamw_trains_and_moves_params(self):
+        from ics_tpu.models.resnet import resnet_tiny
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        tuner = FineTuner(
+            model, optimizer=make_optimizer(lr=1e-3, kind="adamw"),
+            image_size=32, resize_short=32, compute_dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        before = np.asarray(variables["params"]["stem"]["conv"]["w"])
+        out_vars, _, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 2)
+        )
+        assert not np.allclose(
+            before, np.asarray(out_vars["params"]["stem"]["conv"]["w"])
+        )
+        assert all(np.isfinite(h["loss"]) for h in history)
+
+    def test_unknown_kind_rejected(self):
+        with pytest.raises(ValueError, match="otimizador"):
+            make_optimizer(kind="lion")
+
+    def test_adamw_decay_skips_1d_params(self):
+        """With zero grads, AdamW's decoupled decay must shrink matrices
+        but leave biases/norm params (1-D) untouched."""
+        import optax
+
+        params = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
+        opt = make_optimizer(lr=0.1, kind="adamw", weight_decay=0.5)
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        updates, _ = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.max(jnp.abs(new["b"] - 1.0))) == 0.0
+        assert float(jnp.max(new["w"])) < 1.0
+
+
+class TestEma:
+    def test_ema_matches_manual_shadow(self):
+        """3 SGD steps on a scalar quadratic: the transform's shadow must
+        equal the hand-computed EMA of post-update params exactly."""
+        import optax
+
+        from ics_tpu.train.finetune import (
+            ema_params_transform,
+            find_ema_params,
+        )
+
+        decay = 0.9
+        opt = optax.chain(optax.sgd(0.1), ema_params_transform(decay))
+        params = {"x": jnp.asarray(4.0)}
+        state = opt.init(params)
+        manual_ema = 4.0
+        for _ in range(3):
+            grads = {"x": 2.0 * params["x"]}  # d/dx x^2
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            manual_ema = decay * manual_ema + (1 - decay) * float(params["x"])
+        shadow = find_ema_params(state)
+        assert shadow is not None
+        np.testing.assert_allclose(float(shadow["x"]), manual_ema, rtol=1e-6)
+
+    def test_ema_transform_rejects_bad_decay(self):
+        from ics_tpu.train.finetune import ema_params_transform
+
+        for bad in (0.0, 1.0, -0.5, 1.5):
+            with pytest.raises(ValueError):
+                ema_params_transform(bad)
+
+    def test_finetuner_ema_end_to_end(self):
+        """ema_decay: shadow tree exists in opt_state, differs from both the
+        init and the final raw params, and stays finite."""
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.train.finetune import find_ema_params
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        init_head = np.asarray(variables["params"]["head"]["w"])
+        tuner = FineTuner(
+            model, optimizer=make_optimizer(lr=0.05),
+            image_size=32, resize_short=32, compute_dtype=jnp.float32,
+            ema_decay=0.5,
+        )
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        out_vars, opt_state, _ = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 3)
+        )
+        shadow = find_ema_params(opt_state)
+        assert shadow is not None
+        ema_head = np.asarray(shadow["head"]["w"])
+        raw_head = np.asarray(out_vars["params"]["head"]["w"])
+        assert not np.allclose(ema_head, init_head)
+        assert not np.allclose(ema_head, raw_head)
+        # the shadow trails the raw weights toward the init (decay mixing)
+        assert np.all(np.isfinite(ema_head))
+
+    def test_finetuner_ema_on_mesh(self):
+        """Sharded DP path: the EmaState rides the replicated opt_state."""
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.parallel.mesh import make_mesh
+        from ics_tpu.train.finetune import find_ema_params
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        mesh = make_mesh((2,), ("data",), devices=jax.devices()[:2])
+        tuner = FineTuner(
+            model, image_size=32, resize_short=32,
+            compute_dtype=jnp.float32, mesh=mesh, ema_decay=0.9,
+        )
+        rng = np.random.default_rng(1)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        _, opt_state, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 2)
+        )
+        shadow = find_ema_params(jax.tree_util.tree_map(np.asarray, opt_state))
+        assert shadow is not None
+        assert all(np.isfinite(h["loss"]) for h in history)
