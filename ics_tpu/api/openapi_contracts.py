@@ -198,6 +198,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
             "mixup_alpha": "number", "suavizacao_rotulo": "number",
             "agenda_lr": "string", "treinar_apenas_cabeca": "boolean",
             "otimizador": "string", "ema_decaimento": "number",
+            "acumular_gradientes": "integer",
         }),
     },
     ("GET", "/treinamento/jobs"): {},

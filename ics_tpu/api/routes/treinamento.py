@@ -113,6 +113,10 @@ async def iniciar_treinamento(request: Request):
         )
     try:
         ema_decaimento = float(body.get("ema_decaimento") or 0.0)
+        # NOT `or 1`: a literal 0 must reach the >= 1 validation (422),
+        # not silently become the default
+        raw_accum = body.get("acumular_gradientes")
+        acumular_gradientes = 1 if raw_accum is None else int(raw_accum)
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     retomar_de = body.get("retomar_de")
@@ -148,6 +152,7 @@ async def iniciar_treinamento(request: Request):
             treinar_apenas_cabeca=treinar_apenas_cabeca,
             otimizador=otimizador,
             ema_decaimento=ema_decaimento,
+            acumular_gradientes=acumular_gradientes,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

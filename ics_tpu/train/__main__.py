@@ -85,6 +85,12 @@ def main(argv=None) -> int:
              "weights become the registered/served model. 0 disables",
     )
     parser.add_argument(
+        "--acumular-gradientes", type=int, default=1,
+        help="apply the optimizer once every N micro-batches with the "
+             "averaged gradient (effective batch = batch_size x N); for "
+             "effective batches larger than HBM allows",
+    )
+    parser.add_argument(
         "--apenas-cabeca", action="store_true",
         help="linear probe: train only the classifier head on frozen "
              "backbone features (eval-mode BN) — the right recipe for "
@@ -132,6 +138,7 @@ def main(argv=None) -> int:
         treinar_apenas_cabeca=args.apenas_cabeca,
         otimizador=args.otimizador,
         ema_decaimento=args.ema_decaimento,
+        acumular_gradientes=args.acumular_gradientes,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):

@@ -123,6 +123,28 @@ def ema_params_transform(decay: float):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def make_grad_accum(optimizer, every: int):
+    """Wrap ``optimizer`` so updates apply once every ``every`` micro-steps
+    with the accumulated-average gradient (``optax.MultiSteps``) — the
+    standard recipe for effective batches larger than HBM allows.
+
+    The accumulator rides inside ``opt_state`` (same design as
+    :func:`ema_params_transform`): every jitted step variant, orbax
+    checkpointing, ``retomar_de`` and the sharded DP path work unchanged.
+    Non-apply micro-steps emit zero updates (params hold still); inner
+    transforms — LR-schedule counters, EMA — advance only on apply steps,
+    so wrap the FULL chain (EMA included) in this, last."""
+    every = int(every)
+    if every < 1:
+        raise ValueError(
+            f"acumular_gradientes deve ser >= 1: {every!r}"
+        )
+    if every == 1:
+        return optimizer
+    ms = optax.MultiSteps(optimizer, every_k_schedule=every)
+    return optax.GradientTransformation(ms.init, ms.update)
+
+
 def find_ema_params(opt_state):
     """Extract the EMA shadow tree from a (possibly nested) optimizer state;
     ``None`` when the optimizer carries no :class:`EmaState`."""
@@ -367,7 +389,7 @@ class FineTuner:
                  remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
                  augment: Optional[Any] = None, seed: int = 0,
                  linear_probe: bool = False, multi_label: bool = False,
-                 ema_decay: float = 0.0):
+                 ema_decay: float = 0.0, grad_accum: int = 1):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -395,6 +417,16 @@ class FineTuner:
             self.optimizer = optax.chain(
                 self.optimizer, ema_params_transform(self._ema_decay)
             )
+        # gradient accumulation wraps LAST (outside probe AND EMA): the
+        # inner chain then runs only on apply steps, so schedule counters
+        # advance per EFFECTIVE step and the EMA shadow moves at apply
+        # cadence. NOTE: grad_accum > 1 changes the opt_state tree, so
+        # retomar_de cannot cross an accumulation-factor change (same
+        # caveat as the probe/EMA boundaries above).
+        self._grad_accum = int(grad_accum)
+        if self._grad_accum != 1:
+            self.optimizer = make_grad_accum(self.optimizer,
+                                             self._grad_accum)
         # multi-label (multipla_escolha): multi-hot [B, C] targets +
         # sigmoid BCE in every step variant; serving must mirror with
         # sigmoid scores (runtime/engine.py multi_label flag)
@@ -437,7 +469,19 @@ class FineTuner:
     def run(self, variables, batches, max_steps: Optional[int] = None,
             checkpoint_every: int = 100, start_step: int = 0,
             on_step: Optional[Any] = None,
-            should_stop: Optional[Any] = None):
+            should_stop: Optional[Any] = None,
+            eval_every: Optional[int] = None,
+            eval_fn: Optional[Any] = None, patience: int = 0):
+        """``eval_fn(variables, opt_state, step) -> (metric, eval_variables)``
+        runs every ``eval_every`` steps (higher metric = better). The best
+        eval's variables are snapshotted to host in ``self.best``; with
+        ``patience > 0`` the loop stops after that many consecutive
+        non-improving evals (``self.stopped_early``). ``eval_variables``
+        lets the caller evaluate/snapshot a derived tree (e.g. the EMA
+        shadow) instead of the raw params."""
+        self.best: Optional[dict] = None
+        self.stopped_early = False
+        evals_since_best = 0
         opt_state = self.optimizer.init(variables["params"])
         if self.checkpoint is not None and self.checkpoint.latest_step() is not None:
             restored = self.checkpoint.restore(
@@ -480,6 +524,27 @@ class FineTuner:
             step_num += 1
             record = {"step": step_num, "loss": float(metrics["loss"]),
                       "accuracy": float(metrics["accuracy"])}
+            early_exhausted = False
+            if (eval_fn is not None and eval_every
+                    and step_num % eval_every == 0):
+                metric, eval_vars = eval_fn(variables, opt_state, step_num)
+                if metric is not None:
+                    record["eval"] = float(metric)
+                    if (self.best is None
+                            or float(metric) > self.best["metric"]):
+                        self.best = {
+                            "metric": float(metric), "step": step_num,
+                            # host snapshot: registration must not depend
+                            # on device buffers the loop keeps donating
+                            "variables": jax.tree_util.tree_map(
+                                np.asarray, eval_vars
+                            ),
+                        }
+                        evals_since_best = 0
+                    else:
+                        evals_since_best += 1
+                        early_exhausted = (patience > 0
+                                           and evals_since_best >= patience)
             history.append(record)
             if on_step is not None:
                 on_step(record)
@@ -487,6 +552,9 @@ class FineTuner:
                 self.checkpoint.save(
                     step_num, variables, opt_state, {"step": step_num}
                 )
+            if early_exhausted:
+                self.stopped_early = True
+                break
             if max_steps is not None and step_num - start_step >= max_steps:
                 break
             if should_stop is not None and should_stop():

@@ -261,6 +261,7 @@ class TrainingJobManager:
         treinar_apenas_cabeca: bool = False,
         otimizador: str = "sgd",
         ema_decaimento: float = 0.0,
+        acumular_gradientes: int = 1,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -271,6 +272,11 @@ class TrainingJobManager:
         if ema_decaimento and not (0.0 < ema_decaimento < 1.0):
             raise ValueError(
                 f"ema_decaimento fora de (0, 1): {ema_decaimento!r}"
+            )
+        acumular_gradientes = int(acumular_gradientes)
+        if acumular_gradientes < 1:
+            raise ValueError(
+                f"acumular_gradientes deve ser >= 1: {acumular_gradientes!r}"
             )
         fetch = fetch_bytes or self.fetch_bytes
         if fetch is None:
@@ -316,7 +322,8 @@ class TrainingJobManager:
                  "agenda_lr": agenda_lr,
                  "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),
                  "otimizador": otimizador,
-                 "ema_decaimento": ema_decaimento},
+                 "ema_decaimento": ema_decaimento,
+                 "acumular_gradientes": acumular_gradientes},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -334,7 +341,8 @@ class TrainingJobManager:
                   compute_dtype, ativar, seed, eval_fraction, remat,
                   usar_sugestoes, sugestao_min_score, retomar_de,
                   pesos_iniciais, augment, agenda_lr,
-                  treinar_apenas_cabeca, otimizador, ema_decaimento),
+                  treinar_apenas_cabeca, otimizador, ema_decaimento,
+                  acumular_gradientes),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -354,7 +362,8 @@ class TrainingJobManager:
              augment=None, agenda_lr: str = "cosseno",
              treinar_apenas_cabeca: bool = False,
              otimizador: str = "sgd",
-             ema_decaimento: float = 0.0) -> None:
+             ema_decaimento: float = 0.0,
+             acumular_gradientes: int = 1) -> None:
         try:
             job.status = "executando"
             # multipla_escolha ambientes train multi-label automatically:
@@ -422,7 +431,13 @@ class TrainingJobManager:
             tuner = FineTuner(
                 model,
                 optimizer=make_optimizer(
-                    lr=make_lr_schedule(lr, max_steps, kind=agenda_lr),
+                    # the schedule counter advances once per APPLY step
+                    # (make_grad_accum wraps the chain), so the curve spans
+                    # the EFFECTIVE step count, not the micro-step count
+                    lr=make_lr_schedule(
+                        lr, max(1, -(-max_steps // acumular_gradientes)),
+                        kind=agenda_lr,
+                    ),
                     kind=otimizador,
                 ),
                 image_size=spec.image_size,
@@ -436,6 +451,7 @@ class TrainingJobManager:
                 linear_probe=treinar_apenas_cabeca,
                 multi_label=multi_label,
                 ema_decay=ema_decaimento,
+                grad_accum=acumular_gradientes,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed

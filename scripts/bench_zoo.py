@@ -25,6 +25,9 @@ CONFIGS = {
     "efficientnet_v2_s": (64, 512, 15),
     "swin_tiny": (128, 256, 20),
     "swin_small": (128, 256, 20),
+    # round-3 late additions: same-FLOP-class resnet50 variants
+    "resnext50_32x4d": (128, 256, 20),
+    "wide_resnet50_2": (128, 256, 20),
 }
 
 

@@ -415,3 +415,99 @@ class TestEma:
         shadow = find_ema_params(jax.tree_util.tree_map(np.asarray, opt_state))
         assert shadow is not None
         assert all(np.isfinite(h["loss"]) for h in history)
+
+
+class TestGradAccum:
+    def test_accum_matches_full_batch(self):
+        """BN-free quadratic model: applying once with the mean of 2
+        micro-batch gradients must equal one plain step on the full batch
+        (optax.MultiSteps averages the accumulator)."""
+        import optax
+
+        from ics_tpu.train.finetune import make_grad_accum
+
+        w0 = jnp.asarray([1.0, -2.0])
+        x1 = jnp.asarray([[1.0, 0.5], [0.2, -1.0]])
+        x2 = jnp.asarray([[-0.3, 2.0], [1.5, 0.1]])
+        y1 = jnp.asarray([0.7, -0.4])
+        y2 = jnp.asarray([1.2, 0.0])
+
+        def loss(w, x, y):
+            return jnp.mean((x @ w - y) ** 2)
+
+        # accumulated: two micro-steps, apply on the second
+        opt = make_grad_accum(optax.sgd(0.1), 2)
+        w, state = w0, opt.init(w0)
+        for x, y in ((x1, y1), (x2, y2)):
+            g = jax.grad(loss)(w, x, y)
+            updates, state = opt.update(g, state, w)
+            w = optax.apply_updates(w, updates)
+        # reference: one step on the concatenated batch (same sample count
+        # per micro-batch => full-batch grad == mean of micro-grads)
+        ref_opt = optax.sgd(0.1)
+        g_full = jax.grad(loss)(
+            w0, jnp.concatenate([x1, x2]), jnp.concatenate([y1, y2])
+        )
+        ref_updates, _ = ref_opt.update(g_full, ref_opt.init(w0), w0)
+        w_ref = optax.apply_updates(w0, ref_updates)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   rtol=1e-6)
+
+    def test_params_hold_still_on_micro_steps(self):
+        import optax
+
+        from ics_tpu.train.finetune import make_grad_accum
+
+        opt = make_grad_accum(optax.sgd(0.1), 3)
+        w = jnp.asarray([1.0, 2.0])
+        state = opt.init(w)
+        for i in range(2):  # first 2 of 3 micro-steps: zero updates
+            updates, state = opt.update(jnp.ones_like(w), state, w)
+            assert float(jnp.max(jnp.abs(updates))) == 0.0, i
+
+    def test_invalid_and_identity_factors(self):
+        import optax
+
+        from ics_tpu.train.finetune import make_grad_accum
+
+        with pytest.raises(ValueError, match="acumular_gradientes"):
+            make_grad_accum(optax.sgd(0.1), 0)
+        base = optax.sgd(0.1)
+        assert make_grad_accum(base, 1) is base
+
+    def test_finetuner_accum_with_ema(self):
+        """grad_accum + EMA end-to-end: the accumulator wraps the chain,
+        find_ema_params still locates the shadow inside MultiStepsState,
+        and params only move on apply steps."""
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.train.finetune import find_ema_params
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        tuner = FineTuner(
+            model, optimizer=make_optimizer(lr=0.05),
+            image_size=32, resize_short=32, compute_dtype=jnp.float32,
+            ema_decay=0.5, grad_accum=2,
+        )
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        before = np.asarray(variables["params"]["head"]["w"])
+        # 1 micro-step: no apply yet -> params unchanged
+        out_vars, opt_state, _ = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 1)
+        )
+        np.testing.assert_array_equal(
+            before, np.asarray(out_vars["params"]["head"]["w"])
+        )
+        # 2 micro-steps: one apply -> params move, EMA shadow reachable
+        out_vars, opt_state, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 2)
+        )
+        assert not np.allclose(
+            before, np.asarray(out_vars["params"]["head"]["w"])
+        )
+        shadow = find_ema_params(opt_state)
+        assert shadow is not None
+        assert all(np.isfinite(h["loss"]) for h in history)

@@ -452,3 +452,49 @@ async def test_augmentation_route_params_validate(app):
         # no job was ever created by the rejected requests
         r = await c.get("/treinamento/jobs", headers=admin)
         assert r.json()["jobs"] == []
+
+
+@pytest.mark.anyio
+async def test_optimizer_route_params_validate(app):
+    """otimizador/ema_decaimento/acumular_gradientes 422 loudly up front
+    (validated in TrainingJobManager.start before any thread launches)."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "otimizador": "lion"},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "otimizador" in r.json()["detail"]
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "ema_decaimento": 1.5},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "ema_decaimento" in r.json()["detail"]
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "ema_decaimento": "x"},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "acumular_gradientes": 0},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "acumular_gradientes" in r.json()["detail"]
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "acumular_gradientes": "x"},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        # no job was ever created by the rejected requests
+        r = await c.get("/treinamento/jobs", headers=admin)
+        assert r.json()["jobs"] == []
