@@ -117,6 +117,12 @@ async def iniciar_treinamento(request: Request):
         # not silently become the default
         raw_accum = body.get("acumular_gradientes")
         acumular_gradientes = 1 if raw_accum is None else int(raw_accum)
+        # early stopping: paciencia=0 (default) disables; avaliar_cada
+        # defaults job-side to max_steps//5 when paciencia is on
+        raw_pac = body.get("paciencia")
+        paciencia = 0 if raw_pac is None else int(raw_pac)
+        raw_aval = body.get("avaliar_cada")
+        avaliar_cada = None if raw_aval is None else int(raw_aval)
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     retomar_de = body.get("retomar_de")
@@ -153,6 +159,8 @@ async def iniciar_treinamento(request: Request):
             otimizador=otimizador,
             ema_decaimento=ema_decaimento,
             acumular_gradientes=acumular_gradientes,
+            paciencia=paciencia,
+            avaliar_cada=avaliar_cada,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

@@ -44,6 +44,56 @@ logger = logging.getLogger(__name__)
 BytesProvider = Callable[[str, str], bytes]
 
 
+def _make_periodic_eval(model, spec, dtype, eval_cached, *,
+                        multi_label: bool, use_ema: bool):
+    """Build the ``FineTuner.run`` ``eval_fn`` for early stopping: a
+    jitted eval step created ONCE (re-creating it per eval would re-trace
+    every pass) over pre-decoded host batches. Returns
+    ``(metric, eval_variables)`` — accuracy for single-label, exact-match
+    at the fixed 0.5 threshold for multi-label. With EMA on, the SHADOW
+    weights are evaluated (they are what the job will register/serve)."""
+    import numpy as np
+
+    from ics_tpu.train.finetune import (
+        make_multilabel_eval_step,
+        make_preproc_eval_step,
+    )
+
+    if multi_label:
+        probs_step = make_multilabel_eval_step(
+            model, spec.image_size, spec.resize_short, dtype
+        )
+    else:
+        acc_step = make_preproc_eval_step(
+            model, spec.image_size, spec.resize_short, dtype
+        )
+
+    def eval_fn(variables, opt_state, step):
+        vs = variables
+        if use_ema:
+            shadow = find_ema_params(opt_state)
+            if shadow is not None:
+                vs = {"params": shadow, "state": variables["state"]}
+        correct = total = 0
+        for canvas_b, sizes_b, labels_b, n_real in eval_cached:
+            if multi_label:
+                probs = np.asarray(
+                    probs_step(vs, canvas_b, sizes_b)
+                )[:n_real]
+                pred = probs >= 0.5
+                want = np.asarray(labels_b)[:n_real] > 0.5
+                correct += int((pred == want).all(axis=-1).sum())
+                total += int(n_real)
+            else:
+                valid = jnp.arange(labels_b.shape[0]) < n_real
+                c, t = acc_step(vs, canvas_b, sizes_b, labels_b, valid)
+                correct += int(c)
+                total += int(t)
+        return ((correct / total) if total else None), vs
+
+    return eval_fn
+
+
 class TrainingUnavailable(RuntimeError):
     """No image-byte source configured — a deployment condition (503),
     not a transient job conflict (409)."""
@@ -262,6 +312,8 @@ class TrainingJobManager:
         otimizador: str = "sgd",
         ema_decaimento: float = 0.0,
         acumular_gradientes: int = 1,
+        paciencia: int = 0,
+        avaliar_cada: Optional[int] = None,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -277,6 +329,20 @@ class TrainingJobManager:
         if acumular_gradientes < 1:
             raise ValueError(
                 f"acumular_gradientes deve ser >= 1: {acumular_gradientes!r}"
+            )
+        paciencia = int(paciencia)
+        if paciencia < 0:
+            raise ValueError(f"paciencia deve ser >= 0: {paciencia!r}")
+        if avaliar_cada is not None:
+            avaliar_cada = int(avaliar_cada)
+            if avaliar_cada < 1:
+                raise ValueError(
+                    f"avaliar_cada deve ser >= 1: {avaliar_cada!r}"
+                )
+        if paciencia and not (0.0 < eval_fraction):
+            raise ValueError(
+                "paciencia requer eval_fraction > 0 (sem split de avaliação "
+                "não há métrica para monitorar)"
             )
         fetch = fetch_bytes or self.fetch_bytes
         if fetch is None:
@@ -323,7 +389,9 @@ class TrainingJobManager:
                  "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),
                  "otimizador": otimizador,
                  "ema_decaimento": ema_decaimento,
-                 "acumular_gradientes": acumular_gradientes},
+                 "acumular_gradientes": acumular_gradientes,
+                 "paciencia": paciencia,
+                 "avaliar_cada": avaliar_cada},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -342,7 +410,7 @@ class TrainingJobManager:
                   usar_sugestoes, sugestao_min_score, retomar_de,
                   pesos_iniciais, augment, agenda_lr,
                   treinar_apenas_cabeca, otimizador, ema_decaimento,
-                  acumular_gradientes),
+                  acumular_gradientes, paciencia, avaliar_cada),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -363,7 +431,9 @@ class TrainingJobManager:
              treinar_apenas_cabeca: bool = False,
              otimizador: str = "sgd",
              ema_decaimento: float = 0.0,
-             acumular_gradientes: int = 1) -> None:
+             acumular_gradientes: int = 1,
+             paciencia: int = 0,
+             avaliar_cada: Optional[int] = None) -> None:
         try:
             job.status = "executando"
             # multipla_escolha ambientes train multi-label automatically:
@@ -469,6 +539,27 @@ class TrainingJobManager:
                 train_examples = train_examples + pseudo
                 job.n_sugestoes = len(pseudo)
             job.n_examples = len(train_examples)
+            # early stopping (paciencia > 0): periodic eval on the held-out
+            # split; stop after `paciencia` consecutive non-improving evals
+            # and register the BEST snapshot. The eval split is decoded
+            # ONCE, up front, BEFORE the train prefetch starts — the bytes
+            # provider is single-threaded (private event loop) and periodic
+            # eval must never race the producer.
+            eval_fn = None
+            eval_every = None
+            if paciencia and eval_examples:
+                eval_cached = list(batch_iterator(
+                    eval_examples, fetch, batch_size=batch_size,
+                    canvas=canvas, shuffle=False, epochs=1,
+                    with_counts=True, num_classes=num_classes,
+                ))
+                eval_every = avaliar_cada or max(1, max_steps // 5)
+                eval_fn = _make_periodic_eval(
+                    model, spec, dtype, eval_cached,
+                    multi_label=multi_label,
+                    use_ema=bool(ema_decaimento),
+                )
+                job.params["avaliar_cada"] = eval_every
             # prefetch: decode the next batch on host while the device runs
             # the current step (train/data.py::prefetch)
             batches = prefetch(
@@ -485,6 +576,8 @@ class TrainingJobManager:
                     checkpoint_every=max(max_steps // 2, 1),
                     on_step=job.history.append,  # live progress
                     should_stop=job.cancel_event.is_set,
+                    eval_every=eval_every, eval_fn=eval_fn,
+                    patience=paciencia,
                 )
             finally:
                 # stop the producer BEFORE eval: the NextCloud bytes
@@ -503,7 +596,31 @@ class TrainingJobManager:
                 )
                 return
             final = history[-1] if history else {}
-            if ema_decaimento and history:
+            best = getattr(tuner, "best", None)
+            if best is not None:
+                # early stopping: register/serve the BEST periodic-eval
+                # snapshot, not the last step (with EMA on the snapshot
+                # already IS the shadow — eval_fn evaluated it). Written as
+                # the LATEST checkpoint (step+1, unchanged opt_state so the
+                # retomar_de restore template still matches); serving's
+                # get_trained restores latest, so the registered version
+                # serves the best weights.
+                variables = best["variables"]
+                tuner.checkpoint.save(
+                    int(final.get("step", 0)) + 1, variables, opt_state,
+                    {"step": int(final.get("step", 0)),
+                     "melhor_passo": int(best["step"]),
+                     "melhor_eval": float(best["metric"]),
+                     "ema_final": bool(ema_decaimento)},
+                )
+                job.params["melhor_passo"] = int(best["step"])
+                job.params["melhor_eval"] = float(best["metric"])
+                job.params["parou_cedo"] = bool(
+                    getattr(tuner, "stopped_early", False)
+                )
+                if ema_decaimento:
+                    job.params["ema_final"] = True
+            elif ema_decaimento and history:
                 # serve/eval the EMA shadow weights (the standard "EMA as
                 # final model" recipe): swap them into variables and write
                 # them as the LATEST checkpoint (step+1, with the unchanged
@@ -609,6 +726,15 @@ class TrainingJobManager:
                         "exemplos": len(examples),
                         "otimizador": otimizador,
                         "ema_decaimento": ema_decaimento or None,
+                        # early stopping (paciencia>0): which snapshot got
+                        # registered and whether the loop cut short
+                        "melhor_passo": (int(best["step"])
+                                         if best is not None else None),
+                        "melhor_eval": (float(best["metric"])
+                                        if best is not None else None),
+                        "parou_cedo": bool(
+                            getattr(tuner, "stopped_early", False)
+                        ),
                         # serving reads these: sigmoid scores + the
                         # calibrated >=limiar suggestion set instead of
                         # softmax/top-1 (limiar None -> 0.5 default)

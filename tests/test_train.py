@@ -511,3 +511,90 @@ class TestGradAccum:
         shadow = find_ema_params(opt_state)
         assert shadow is not None
         assert all(np.isfinite(h["loss"]) for h in history)
+
+
+class TestEarlyStopping:
+    """FineTuner.run periodic-eval hook: best snapshot + patience."""
+
+    def _tuner_and_batch(self):
+        from ics_tpu.models.resnet import resnet_tiny
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        tuner = FineTuner(
+            model, optimizer=make_optimizer(lr=0.05),
+            image_size=32, resize_short=32, compute_dtype=jnp.float32,
+        )
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        return tuner, variables, (canvas, sizes, labels)
+
+    def test_patience_stops_and_keeps_best(self):
+        """Decreasing metric sequence: stop after `patience` consecutive
+        non-improving evals; self.best holds the FIRST (peak) snapshot."""
+        tuner, variables, batch = self._tuner_and_batch()
+        metrics = iter([0.9, 0.5, 0.4, 0.3, 0.2, 0.1])
+        seen_steps = []
+
+        def eval_fn(vs, opt_state, step):
+            seen_steps.append(step)
+            return next(metrics), vs
+
+        _, _, history = tuner.run(
+            variables, iter([batch] * 10),
+            eval_every=1, eval_fn=eval_fn, patience=2,
+        )
+        # evals at steps 1 (best), 2, 3 -> 2 consecutive misses -> stop
+        assert seen_steps == [1, 2, 3]
+        assert len(history) == 3
+        assert tuner.stopped_early is True
+        assert tuner.best["metric"] == 0.9 and tuner.best["step"] == 1
+        # snapshot is a HOST copy of the eval variables
+        leaf = jax.tree_util.tree_leaves(tuner.best["variables"])[0]
+        assert isinstance(leaf, np.ndarray)
+        assert history[0]["eval"] == 0.9 and history[2]["eval"] == 0.4
+
+    def test_improving_metric_never_stops(self):
+        tuner, variables, batch = self._tuner_and_batch()
+        calls = iter([0.1, 0.2, 0.3, 0.4, 0.5])
+
+        def eval_fn(vs, opt_state, step):
+            return next(calls), vs
+
+        _, _, history = tuner.run(
+            variables, iter([batch] * 5),
+            eval_every=1, eval_fn=eval_fn, patience=2,
+        )
+        assert len(history) == 5
+        assert tuner.stopped_early is False
+        assert tuner.best["metric"] == 0.5 and tuner.best["step"] == 5
+
+    def test_none_metric_skipped(self):
+        """eval_fn may return None (empty eval split batch): no best update,
+        no patience consumption."""
+        tuner, variables, batch = self._tuner_and_batch()
+
+        def eval_fn(vs, opt_state, step):
+            return None, vs
+
+        _, _, history = tuner.run(
+            variables, iter([batch] * 3),
+            eval_every=1, eval_fn=eval_fn, patience=1,
+        )
+        assert len(history) == 3
+        assert tuner.stopped_early is False and tuner.best is None
+
+    def test_eval_every_spacing(self):
+        tuner, variables, batch = self._tuner_and_batch()
+        seen = []
+
+        def eval_fn(vs, opt_state, step):
+            seen.append(step)
+            return 1.0, vs
+
+        tuner.run(variables, iter([batch] * 6),
+                  eval_every=3, eval_fn=eval_fn, patience=0)
+        assert seen == [3, 6]
+        assert tuner.stopped_early is False

@@ -498,3 +498,76 @@ async def test_optimizer_route_params_validate(app):
         # no job was ever created by the rejected requests
         r = await c.get("/treinamento/jobs", headers=admin)
         assert r.json()["jobs"] == []
+
+
+@pytest.mark.anyio
+async def test_early_stopping_registers_best_snapshot(app):
+    """paciencia>0: periodic eval on the held-out split. The 1-example
+    eval metric is binary (0/1), so with paciencia=1 and avaliar_cada=1
+    the loop MUST stop by step 3 (step 1 sets best; the first equal-or-
+    worse eval exhausts patience) — deterministically short of
+    max_steps=8. The BEST snapshot is what gets registered."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        # validation first: negative paciencia / paciencia without an
+        # eval split / bad avaliar_cada are 422s before any thread starts
+        for bad in (
+            {"paciencia": -1},
+            {"paciencia": 2, "eval_fraction": 0.0},
+            {"paciencia": 2, "avaliar_cada": 0},
+            {"paciencia": "x"},
+        ):
+            r = await c.post(
+                f"/treinamento/ambiente/{id_amb}",
+                json={"modelo": "resnet_tiny", **bad}, headers=admin,
+            )
+            assert r.status_code == 422, (bad, r.text)
+        r = await c.get("/treinamento/jobs", headers=admin)
+        assert r.json()["jobs"] == []
+
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 8, "batch_size": 4,
+                  "epochs": 50, "canvas": 64, "paciencia": 1,
+                  "avaliar_cada": 1},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            job = r.json()
+            if job["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert job["status"] == "concluido", job
+        assert job["passos"] <= 3  # binary metric -> early stop by step 3
+        assert job["parou_cedo"] is True
+        assert job["melhor_passo"] >= 1
+        assert job["melhor_eval"] in (0.0, 1.0)
+        # every step's history record carries the periodic eval
+        assert all("eval" in h for h in job["historico"])
+
+        # the registry row carries the early-stopping provenance
+        r = await c.get(
+            f"/treinamento/modelos?id_amb={id_amb}", headers=admin
+        )
+        m = r.json()["modelos"][-1]
+        assert m["metricas"]["parou_cedo"] is True
+        assert m["metricas"]["melhor_passo"] == job["melhor_passo"]
+        assert m["metricas"]["melhor_eval"] == job["melhor_eval"]
+
+        # the registered checkpoint (best snapshot) actually serves
+        esp = await _login(c, "esp@x.com", "SenhaBoa1")
+        some_hash = app.state.unlabeled[0]
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/classificar-tpu",
+            files={"file": ("x.jpg", app.state.blobs[some_hash],
+                            "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["modelo_versao"] == m["versao"]
