@@ -725,6 +725,61 @@ def nll_np(logits, labels, temperature: float = 1.0) -> float:
     return float(-np.mean(logp[np.arange(len(labels)), labels]))
 
 
+def per_class_metrics(logits, labels, num_classes: int) -> dict:
+    """Confusion matrix + per-class precision/recall/F1/support from
+    single-label eval logits (net-new diagnostics — the reference has no
+    training tier; SURVEY.md §0). Rows of ``matriz_confusao`` are TRUE
+    classes, columns are PREDICTED (sklearn orientation). ``por_classe``
+    is ordered by class index so the caller can zip it with the inverse
+    class_map. f1_macro averages over classes WITH eval support only —
+    averaging in 0-support classes would punish datasets whose tiny eval
+    split missed a class."""
+    pred = np.asarray(logits).argmax(-1)
+    true = np.asarray(labels)
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    np.add.at(cm, (true, pred), 1)
+    tp = np.diag(cm).astype(np.float64)
+    support = cm.sum(axis=1)
+    predicted = cm.sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        precision = np.where(predicted > 0, tp / np.maximum(predicted, 1), 0.0)
+        recall = np.where(support > 0, tp / np.maximum(support, 1), 0.0)
+        denom = precision + recall
+        f1 = np.where(denom > 0, 2 * precision * recall / np.maximum(denom, 1e-12), 0.0)
+    seen = support > 0
+    por_classe = [
+        {"classe": i, "precisao": float(precision[i]),
+         "revocacao": float(recall[i]), "f1": float(f1[i]),
+         "suporte": int(support[i])}
+        for i in range(num_classes)
+    ]
+    return {
+        "matriz_confusao": cm.tolist(),
+        "por_classe": por_classe,
+        "f1_macro": float(f1[seen].mean()) if seen.any() else 0.0,
+    }
+
+
+def multilabel_per_class_metrics(probs, targets,
+                                 threshold: float = 0.5) -> list[dict]:
+    """Per-class precision/recall/F1/support for multi-label eval at the
+    serving threshold (complements ``multilabel_metrics``' micro view —
+    micro-F1 hides a class the model never predicts)."""
+    pred = np.asarray(probs) >= threshold
+    true = np.asarray(targets) >= 0.5
+    tp = (pred & true).sum(axis=0).astype(np.float64)
+    fp = (pred & ~true).sum(axis=0).astype(np.float64)
+    fn = (~pred & true).sum(axis=0).astype(np.float64)
+    out = []
+    for i in range(pred.shape[1]):
+        p = tp[i] / (tp[i] + fp[i]) if (tp[i] + fp[i]) else 0.0
+        r = tp[i] / (tp[i] + fn[i]) if (tp[i] + fn[i]) else 0.0
+        f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+        out.append({"classe": i, "precisao": float(p), "revocacao": float(r),
+                    "f1": float(f1), "suporte": int(tp[i] + fn[i])})
+    return out
+
+
 def expected_calibration_error(probs, labels, bins: int = 10) -> float:
     """ECE: confidence-binned |accuracy - mean confidence| weighted by bin
     occupancy — the standard top-1 calibration metric (Guo et al. form)."""

@@ -645,6 +645,7 @@ class TrainingJobManager:
             limiar = None
             temperatura = None
             eval_calibracao = None
+            eval_por_classe = None
             if eval_examples:
                 eval_batches = batch_iterator(
                     eval_examples, fetch, batch_size=batch_size,
@@ -674,6 +675,17 @@ class TrainingJobManager:
                         # the comparable scalar for multi-label is
                         # exact-match (strictest) at the SERVING threshold
                         eval_accuracy = eval_calibrado["exact_match"]
+                        from ics_tpu.train.finetune import (
+                            multilabel_per_class_metrics,
+                        )
+
+                        # per-class view at the SERVING threshold: which
+                        # options the model never fires on (micro hides it)
+                        eval_por_classe = {
+                            "por_classe": multilabel_per_class_metrics(
+                                probs, targets, limiar
+                            ),
+                        }
                 else:
                     from ics_tpu.train.finetune import (
                         calibrate_temperature,
@@ -697,6 +709,19 @@ class TrainingJobManager:
                         temperatura, eval_calibracao = (
                             calibrate_temperature(logits, labels)
                         )
+                        from ics_tpu.train.finetune import per_class_metrics
+
+                        # confusion matrix + per-class P/R/F1: which
+                        # options the model confuses (accuracy hides it)
+                        eval_por_classe = per_class_metrics(
+                            logits, labels, num_classes
+                        )
+                if eval_por_classe is not None:
+                    # label each row with its option id (class_map is
+                    # id_opc -> index; rows are index-ordered)
+                    inv = {i: opc for opc, i in class_map.items()}
+                    for row in eval_por_classe["por_classe"]:
+                        row["id_opc"] = inv.get(row["classe"])
                 job.eval_accuracy = eval_accuracy
             if job.cancel_event.is_set():
                 # a 202'd cancel that landed during eval must still win —
@@ -748,6 +773,10 @@ class TrainingJobManager:
                         # probabilities, not raw overconfident softmax
                         "temperatura": temperatura,
                         "eval_calibracao": eval_calibracao,
+                        # per-class diagnostics on the eval split: single-
+                        # label carries matriz_confusao + f1_macro; multi-
+                        # label the per-class P/R/F1 at the serving limiar
+                        "eval_por_classe": eval_por_classe,
                     },
                     ativar=ativar,
                 )

@@ -598,3 +598,58 @@ class TestEarlyStopping:
                   eval_every=3, eval_fn=eval_fn, patience=0)
         assert seen == [3, 6]
         assert tuner.stopped_early is False
+
+
+class TestPerClassMetrics:
+    def test_confusion_matrix_and_per_class(self):
+        """Hand-computed 3-class case: cm rows=true, cols=pred."""
+        from ics_tpu.train.finetune import per_class_metrics
+
+        # logits whose argmax is the 'pred' column below
+        labels = np.asarray([0, 0, 1, 1, 2, 2])
+        preds = [0, 1, 1, 1, 0, 2]
+        logits = np.full((6, 3), -10.0)
+        for i, p in enumerate(preds):
+            logits[i, p] = 10.0
+        m = per_class_metrics(logits, labels, 3)
+        assert m["matriz_confusao"] == [[1, 1, 0], [0, 2, 0], [1, 0, 1]]
+        c0, c1, c2 = m["por_classe"]
+        # class 0: tp=1, predicted=2, support=2
+        assert c0["precisao"] == 0.5 and c0["revocacao"] == 0.5
+        assert c0["suporte"] == 2
+        # class 1: tp=2, predicted=3, support=2
+        assert c1["precisao"] == pytest.approx(2 / 3)
+        assert c1["revocacao"] == 1.0
+        # class 2: tp=1, predicted=1, support=2
+        assert c2["precisao"] == 1.0 and c2["revocacao"] == 0.5
+        f1s = [
+            2 * c["precisao"] * c["revocacao"]
+            / (c["precisao"] + c["revocacao"])
+            for c in (c0, c1, c2)
+        ]
+        assert m["f1_macro"] == pytest.approx(sum(f1s) / 3)
+
+    def test_unseen_class_excluded_from_macro(self):
+        """A class with 0 eval support (tiny split) must not drag f1_macro
+        to 0 — it is excluded, not counted as failure."""
+        from ics_tpu.train.finetune import per_class_metrics
+
+        labels = np.asarray([0, 0])
+        logits = np.asarray([[5.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+        m = per_class_metrics(logits, labels, 3)
+        assert m["por_classe"][1]["suporte"] == 0
+        assert m["por_classe"][2]["suporte"] == 0
+        assert m["f1_macro"] == 1.0  # only class 0 seen, perfectly
+
+    def test_multilabel_per_class(self):
+        from ics_tpu.train.finetune import multilabel_per_class_metrics
+
+        probs = np.asarray([[0.9, 0.1], [0.8, 0.6], [0.2, 0.7]])
+        targets = np.asarray([[1, 0], [1, 1], [0, 0]])
+        rows = multilabel_per_class_metrics(probs, targets, 0.5)
+        # class 0: pred {0,1}, true {0,1} -> perfect, support 2
+        assert rows[0]["precisao"] == 1.0 and rows[0]["revocacao"] == 1.0
+        assert rows[0]["suporte"] == 2
+        # class 1: pred {1,2}, true {1} -> p=0.5, r=1.0, support 1
+        assert rows[1]["precisao"] == 0.5 and rows[1]["revocacao"] == 1.0
+        assert rows[1]["suporte"] == 1

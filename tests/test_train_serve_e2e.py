@@ -189,6 +189,13 @@ async def test_train_register_serve_suggest(app):
         # split falls back to the identity (min-examples gate)
         assert modelos[0]["metricas"]["temperatura"] == 1.0
         assert modelos[0]["metricas"]["eval_calibracao"]["exemplos"] == 1
+        # per-class diagnostics: 2x2 confusion matrix over the 1-example
+        # split, each class row labeled with its option id
+        pc = modelos[0]["metricas"]["eval_por_classe"]
+        cm = np.asarray(pc["matriz_confusao"])
+        assert cm.shape == (2, 2) and cm.sum() == 1
+        assert {r["id_opc"] for r in pc["por_classe"]} == set(app.state.opcoes)
+        assert sum(r["suporte"] for r in pc["por_classe"]) == 1
 
         # 4. specialist classifies via TPU: response carries the ambiente's
         #    option labels + the weights version
