@@ -123,6 +123,9 @@ async def iniciar_treinamento(request: Request):
         paciencia = 0 if raw_pac is None else int(raw_pac)
         raw_aval = body.get("avaliar_cada")
         avaliar_cada = None if raw_aval is None else int(raw_aval)
+        # layer-wise LR decay: head gets full LR, each block toward the
+        # input gets llrd x less (the pretrained fine-tune recipe)
+        llrd = float(body.get("llrd") or 0.0)
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     retomar_de = body.get("retomar_de")
@@ -161,6 +164,7 @@ async def iniciar_treinamento(request: Request):
             acumular_gradientes=acumular_gradientes,
             paciencia=paciencia,
             avaliar_cada=avaliar_cada,
+            llrd=llrd,
         )
     except KeyError:
         raise HTTPException(422, f"Modelo desconhecido: {modelo}.")

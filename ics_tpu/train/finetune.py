@@ -85,6 +85,104 @@ def make_optimizer(lr=0.01, momentum: float = 0.9,
     )
 
 
+# layer-wise LR decay: param subtrees that sit BEFORE the first block
+# (depth 0 — the most-generic features, smallest LR under LLRD)
+_LLRD_STEM_KEYS = {"stem", "stem_ln", "patch_embed", "patch_norm",
+                   "cls_token", "pos_embed"}
+# stage-boundary modules (convnext down[s] precedes stage s+1; swin
+# merges[s] follows stage s) — pinned between the adjacent stages
+_LLRD_BOUNDARY_KEYS = {"down", "merges"}
+
+
+def llrd_multipliers(params, decay: float):
+    """Per-leaf LR multiplier tree for layer-wise LR decay (Howard &
+    Ruder ULMFiT; the standard BERT/ViT fine-tune recipe): the head gets
+    the full LR, each block going TOWARD the input gets ``decay``× less —
+    pretrained early layers hold generic features and should move least.
+
+    Depth assignment is zoo-generic, driven by the shared param-tree
+    conventions (every family keeps its repeated units in a ``blocks``
+    list or a ``stages`` list-of-lists):
+
+    - stem/patch-embed/cls/pos subtrees -> depth 0
+    - ``blocks[i]`` -> depth i+1; ``stages[s][b]`` -> global block ordinal
+    - ``down[s]``/``merges[s]`` -> pinned at the stage boundary
+    - everything else (head, final norms, classifier convs) -> depth L+1
+      (multiplier 1.0)
+
+    multiplier(leaf) = decay ** (L + 1 - depth), L = total block count.
+    """
+    if not (0.0 < decay <= 1.0):
+        raise ValueError(f"llrd fora de (0, 1]: {decay!r}")
+    jtu = jax.tree_util
+    stages = params.get("stages") if isinstance(params, dict) else None
+    offs = [0]
+    if isinstance(stages, list):
+        for st in stages:
+            offs.append(offs[-1] + (len(st) if isinstance(st, list) else 1))
+    blocks = params.get("blocks") if isinstance(params, dict) else None
+    total = (offs[-1] if isinstance(stages, list)
+             else len(blocks) if isinstance(blocks, list) else 0)
+
+    def depth_of(path) -> int:
+        k0 = path[0].key if isinstance(path[0], jtu.DictKey) else None
+        if k0 in _LLRD_STEM_KEYS:
+            return 0
+        if k0 == "blocks" and len(path) > 1 \
+                and isinstance(path[1], jtu.SequenceKey):
+            return path[1].idx + 1
+        if k0 == "stages" and len(path) > 2 \
+                and isinstance(path[1], jtu.SequenceKey) \
+                and isinstance(path[2], jtu.SequenceKey):
+            return offs[path[1].idx] + path[2].idx + 1
+        if k0 in _LLRD_BOUNDARY_KEYS and len(path) > 1 \
+                and isinstance(path[1], jtu.SequenceKey):
+            s = path[1].idx
+            # down[s] precedes stage s+1, merges[s] follows stage s:
+            # both sit just before that next stage's first block
+            return offs[min(s + 1, len(offs) - 1)]
+        return total + 1  # head / final norms: full LR
+
+    return jtu.tree_map_with_path(
+        lambda path, p: float(decay) ** (total + 1 - depth_of(path)),
+        params,
+    )
+
+
+class LlrdState(NamedTuple):
+    """State of :func:`llrd_transform` — the static multiplier tree."""
+
+    mult: Any
+
+
+def llrd_transform(decay: float):
+    """Optax transform scaling each leaf's UPDATE by its LLRD multiplier.
+
+    Must compose AFTER the base optimizer (Adam normalizes away any
+    gradient pre-scaling — post-update scaling is the only placement that
+    works for both SGD and AdamW) and BEFORE the EMA transform (the
+    shadow must average the actually-applied params). The multiplier
+    tree is built from the params structure at ``init`` and rides in
+    ``opt_state`` (checkpoint/resume/sharding work unchanged; NOTE:
+    toggling LLRD changes the opt_state tree — ``retomar_de`` cannot
+    cross that boundary, same rule as probe/EMA/accum)."""
+
+    def init_fn(params):
+        return LlrdState(mult=jax.tree_util.tree_map(
+            jnp.asarray,
+            llrd_multipliers(params, decay),
+        ))
+
+    def update_fn(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u * m.astype(u.dtype), updates, state.mult
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class EmaState(NamedTuple):
     """State of :func:`ema_params_transform` — the shadow parameter tree."""
 
@@ -389,7 +487,8 @@ class FineTuner:
                  remat: Optional[bool] = None, mesh: Optional[Mesh] = None,
                  augment: Optional[Any] = None, seed: int = 0,
                  linear_probe: bool = False, multi_label: bool = False,
-                 ema_decay: float = 0.0, grad_accum: int = 1):
+                 ema_decay: float = 0.0, grad_accum: int = 1,
+                 llrd: float = 0.0):
         self.model = model
         # per-block rematerialization: backward recomputes block internals
         # instead of storing them — enables deeper models / larger batches
@@ -398,6 +497,16 @@ class FineTuner:
         if remat is not None:
             model.remat = bool(remat)
         self.optimizer = optimizer or make_optimizer()
+        # layer-wise LR decay (llrd in (0,1); 0/1 disables): scales each
+        # leaf's update by decay^(distance from the head) — composed right
+        # after the base rule (post-Adam; see llrd_transform) and inside
+        # probe/EMA/accum wrappers. NOTE: toggling changes the opt_state
+        # tree — retomar_de cannot cross the LLRD boundary.
+        self._llrd = float(llrd)
+        if self._llrd and self._llrd != 1.0:
+            self.optimizer = optax.chain(
+                self.optimizer, llrd_transform(self._llrd)
+            )
         # linear probe: head-only updates + eval-mode backbone (frozen BN
         # stats) — logistic regression on pretrained features, the right
         # recipe when the labeled set is tiny. NOTE: changes the opt_state

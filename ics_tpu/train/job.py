@@ -314,6 +314,7 @@ class TrainingJobManager:
         acumular_gradientes: int = 1,
         paciencia: int = 0,
         avaliar_cada: Optional[int] = None,
+        llrd: float = 0.0,
     ) -> TrainingJob:
         """Launch a job thread; raises RuntimeError if one is running."""
         get_model(model_name)  # fail fast on unknown model
@@ -333,6 +334,12 @@ class TrainingJobManager:
         paciencia = int(paciencia)
         if paciencia < 0:
             raise ValueError(f"paciencia deve ser >= 0: {paciencia!r}")
+        llrd = float(llrd)
+        if llrd and not (0.0 < llrd < 1.0):
+            raise ValueError(
+                f"llrd fora de (0, 1): {llrd!r} (0 desliga; valores "
+                "típicos 0.6-0.9)"
+            )
         if avaliar_cada is not None:
             avaliar_cada = int(avaliar_cada)
             if avaliar_cada < 1:
@@ -391,7 +398,8 @@ class TrainingJobManager:
                  "ema_decaimento": ema_decaimento,
                  "acumular_gradientes": acumular_gradientes,
                  "paciencia": paciencia,
-                 "avaliar_cada": avaliar_cada},
+                 "avaliar_cada": avaliar_cada,
+                 "llrd": llrd},
             )
             # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
             # its predecessor's dir) so gc_checkpoints' live-set protects
@@ -410,7 +418,7 @@ class TrainingJobManager:
                   usar_sugestoes, sugestao_min_score, retomar_de,
                   pesos_iniciais, augment, agenda_lr,
                   treinar_apenas_cabeca, otimizador, ema_decaimento,
-                  acumular_gradientes, paciencia, avaliar_cada),
+                  acumular_gradientes, paciencia, avaliar_cada, llrd),
             name=f"train-{job.id_job}",
             daemon=True,
         )
@@ -433,7 +441,8 @@ class TrainingJobManager:
              ema_decaimento: float = 0.0,
              acumular_gradientes: int = 1,
              paciencia: int = 0,
-             avaliar_cada: Optional[int] = None) -> None:
+             avaliar_cada: Optional[int] = None,
+             llrd: float = 0.0) -> None:
         try:
             job.status = "executando"
             # multipla_escolha ambientes train multi-label automatically:
@@ -522,6 +531,7 @@ class TrainingJobManager:
                 multi_label=multi_label,
                 ema_decay=ema_decaimento,
                 grad_accum=acumular_gradientes,
+                llrd=llrd,
             )
             train_examples, eval_examples = split_examples(
                 examples, eval_fraction=eval_fraction, seed=seed

@@ -653,3 +653,136 @@ class TestPerClassMetrics:
         # class 1: pred {1,2}, true {1} -> p=0.5, r=1.0, support 1
         assert rows[1]["precisao"] == 0.5 and rows[1]["revocacao"] == 1.0
         assert rows[1]["suporte"] == 1
+
+
+class TestLLRD:
+    def test_multiplier_depths_vit(self):
+        """ViT: stem subtrees decay^(L+1), blocks[i] decay^(L-i), head 1."""
+        from ics_tpu.models.vit import ViT
+        from ics_tpu.train.finetune import llrd_multipliers
+
+        model = ViT(image_size=32, patch_size=8, dim=16, depth=3,
+                    num_heads=2, num_classes=2)
+        params = model.init(jax.random.PRNGKey(0))["params"]
+        d = 0.5
+        m = llrd_multipliers(params, d)
+        L = len(params["blocks"])
+        # stem-family keys at depth 0
+        assert jax.tree_util.tree_leaves(m["patch_embed"])[0] == d ** (L + 1)
+        assert jax.tree_util.tree_leaves(m["cls_token"])[0] == d ** (L + 1)
+        # block i at depth i+1
+        for i in range(L):
+            leaf = jax.tree_util.tree_leaves(m["blocks"][i])[0]
+            assert leaf == pytest.approx(d ** (L - i)), i
+        # head + final ln at full LR
+        assert jax.tree_util.tree_leaves(m["head"])[0] == 1.0
+        assert jax.tree_util.tree_leaves(m["ln"])[0] == 1.0
+
+    def test_multiplier_depths_resnet_stages(self):
+        """ResNet: stages-of-lists get GLOBAL block ordinals."""
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.train.finetune import llrd_multipliers
+
+        model = resnet_tiny(num_classes=2)
+        params = model.init(jax.random.PRNGKey(0))["params"]
+        d = 0.5
+        m = llrd_multipliers(params, d)
+        L = sum(len(st) for st in params["stages"])
+        assert jax.tree_util.tree_leaves(m["stem"])[0] == d ** (L + 1)
+        # first block of first stage is depth 1; last block depth L
+        assert jax.tree_util.tree_leaves(m["stages"][0][0])[0] \
+            == pytest.approx(d ** L)
+        assert jax.tree_util.tree_leaves(m["stages"][-1][-1])[0] \
+            == pytest.approx(d ** 1)
+        assert jax.tree_util.tree_leaves(m["head"])[0] == 1.0
+        # monotone: depth strictly increases along the global ordinal
+        ords = [jax.tree_util.tree_leaves(m["stages"][s][b])[0]
+                for s in range(len(params["stages"]))
+                for b in range(len(params["stages"][s]))]
+        assert ords == sorted(ords)
+
+    def test_boundary_keys_pinned_between_stages(self):
+        from ics_tpu.models.convnext import convnext_tiny
+        from ics_tpu.train.finetune import llrd_multipliers
+
+        params = convnext_tiny(num_classes=2).init(
+            jax.random.PRNGKey(0)
+        )["params"]
+        d = 0.8
+        m = llrd_multipliers(params, d)
+        offs = [0]
+        for st in params["stages"]:
+            offs.append(offs[-1] + len(st))
+        L = offs[-1]
+        for s in range(len(params["down"])):
+            got = jax.tree_util.tree_leaves(m["down"][s])[0]
+            # down[s] precedes stage s+1: pinned just before its first block
+            assert got == pytest.approx(d ** (L + 1 - offs[s + 1])), s
+
+    def test_rejects_bad_decay(self):
+        from ics_tpu.train.finetune import llrd_multipliers
+
+        with pytest.raises(ValueError, match="llrd"):
+            llrd_multipliers({"head": {"w": np.zeros(2)}}, 0.0)
+        with pytest.raises(ValueError, match="llrd"):
+            llrd_multipliers({"head": {"w": np.zeros(2)}}, 1.5)
+
+    def test_adamw_head_moves_more_than_stem(self):
+        """The placement test: with AdamW (scale-invariant to gradient
+        pre-scaling) the head update must be ~1/llrd^(L+1) times the stem
+        update — proving the multiplier lands POST-Adam."""
+        from ics_tpu.models.resnet import resnet_tiny
+        from ics_tpu.train.finetune import llrd_transform
+
+        import optax
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        params = variables["params"]
+        opt = optax.chain(optax.adamw(0.01), llrd_transform(0.5))
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        # adam first-step update is ~ -lr * sign-ish (all grads equal) —
+        # so the RATIO isolates the multiplier exactly
+        head_u = float(jnp.abs(
+            jax.tree_util.tree_leaves(updates["head"])[0]
+        ).mean())
+        stem_u = float(jnp.abs(
+            jax.tree_util.tree_leaves(updates["stem"])[0]
+        ).mean())
+        L = sum(len(st) for st in params["stages"])
+        assert head_u / stem_u == pytest.approx(2.0 ** (L + 1), rel=1e-3)
+
+    def test_finetuner_llrd_end_to_end(self):
+        """Head moves, stem barely moves, loss finite; opt_state carries
+        the multiplier tree through checkpoint-compatible machinery."""
+        from ics_tpu.models.resnet import resnet_tiny
+
+        model = resnet_tiny(num_classes=2)
+        variables = model.init(jax.random.PRNGKey(0))
+        stem0 = np.asarray(
+            jax.tree_util.tree_leaves(variables["params"]["stem"])[0]
+        ).copy()
+        head0 = np.asarray(variables["params"]["head"]["w"]).copy()
+        tuner = FineTuner(
+            model, optimizer=make_optimizer(lr=0.1),
+            image_size=32, resize_short=32, compute_dtype=jnp.float32,
+            llrd=0.3,
+        )
+        rng = np.random.default_rng(0)
+        canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
+        sizes = np.full((4, 2), 48, np.int32)
+        labels = np.asarray([0, 1, 0, 1], np.int32)
+        out, _, history = tuner.run(
+            variables, iter([(canvas, sizes, labels)] * 3)
+        )
+        head_delta = float(np.abs(
+            np.asarray(out["params"]["head"]["w"]) - head0
+        ).max())
+        stem_delta = float(np.abs(np.asarray(
+            jax.tree_util.tree_leaves(out["params"]["stem"])[0]
+        ) - stem0).max())
+        assert head_delta > 0.0
+        assert stem_delta < head_delta * 0.1  # decay^(L+1) << 1
+        assert all(np.isfinite(h["loss"]) for h in history)
