@@ -125,6 +125,13 @@ CONTRACTS: dict[tuple[str, str], dict] = {
                         ["file"]),
         "response": c.InferenciaTPUOut,
     },
+    ("POST", "/classificacoes/ambiente/{id_amb}/explicar"): {
+        "body": "multipart",
+        "request": _obj({"file": {"type": "string", "format": "binary"}},
+                        ["file"]),
+        "query": {"id_opc": "explica esta opção do modelo ativo "
+                            "(default: a classe top do modelo)"},
+    },
     ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"): {
         "query": {"limite": "máx. de imagens (1-100, default 20)"},
         "response": c.ImagensClassificacaoResponse,

@@ -530,3 +530,76 @@ async def classificar_imagem_tpu(request: Request):
     )
     db.commit()
     return JSONResponse(result)
+
+
+@router.post("/ambiente/{id_amb}/explicar")
+async def explicar_classificacao(request: Request):
+    """Saliency explanation (net-new — the reference classifies but never
+    explains): WHY did the model suggest what it suggested. Returns the
+    top-k plus a 16x16 input-gradient saliency grid in [0, 1] (model-view
+    coordinates — clients overlay it on the square-resized image).
+
+    ``?id_opc=<uuid>`` explains a SPECIFIC option of the ambiente's
+    trained model ("where would the model look for 'cão'?") instead of
+    the model's own top class. Read-only: nothing is persisted."""
+    db = request.state.db
+    usuario = auth_service.get_current_user(request)
+    id_amb = request.path_params["id_amb"]
+    id_con = _obter_id_con_usuario(db, usuario)
+    _require_acesso(db, id_con, id_amb)
+    service = request.app.state.get("engine")
+    pool = request.app.state.get("engine_pool")
+    if service is None:
+        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
+    form = await request.form()
+    files = form.getfiles("file") or form.getfiles("files")
+    if not files:
+        raise HTTPException(422, "Envie a imagem no campo 'file'.")
+    from ics_tpu.crud import modelo_crud
+
+    modelo_row = modelo_crud.modelo_ativo(db, id_amb)
+    if modelo_row is not None and pool is not None:
+        service = await pool.get_trained(modelo_row)
+
+    class_idx = -1  # default: explain the model's own top class
+    id_opc_alvo = request.query_params.get("id_opc")
+    if id_opc_alvo:
+        if modelo_row is None:
+            raise HTTPException(
+                422,
+                "id_opc requer um modelo treinado ativo para o ambiente "
+                "(o modelo genérico não conhece as opções).",
+            )
+        class_map = modelo_row.class_map or {}
+        if str(id_opc_alvo) not in class_map:
+            raise HTTPException(
+                422,
+                f"Opção {id_opc_alvo} não faz parte do modelo ativo "
+                f"(versão {modelo_row.versao}).",
+            )
+        class_idx = int(class_map[str(id_opc_alvo)])
+
+    try:
+        result = await service.explain_bytes(files[0].data, class_idx)
+    except (OSError, ValueError):
+        raise HTTPException(422, "Imagem inválida ou não decodificável.")
+
+    if modelo_row is not None:
+        inv = modelo_crud.inverse_class_map(modelo_row)
+        opcoes_out = []
+        for cls_idx, score in zip(result["top_classes"], result["scores"]):
+            id_opc = inv.get(int(cls_idx))
+            if id_opc is None:
+                continue
+            opcao = db.get(Opcao, id_opc)
+            opcoes_out.append({
+                "id_opc": id_opc,
+                "texto_opcao": opcao.texto if opcao else None,
+                "score": score,
+            })
+        result["opcoes"] = opcoes_out
+        result["modelo_versao"] = modelo_row.versao
+        result["id_mod"] = str(modelo_row.id_mod)
+        if id_opc_alvo:
+            result["id_opc_explicado"] = str(id_opc_alvo)
+    return JSONResponse(result)

@@ -23,6 +23,9 @@ from ics_tpu.ops.preproc import preprocess_batch
 logger = logging.getLogger(__name__)
 
 TOP_K = 5
+# saliency maps come back on a fixed GxG grid regardless of image_size
+# (one response shape for the whole zoo; clients scale it over the image)
+EXPLAIN_GRID = 16
 
 
 def _cast_pytree(tree, dtype):
@@ -246,6 +249,92 @@ class InferenceEngine:
         self._stats["images"] += n
         self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
         return idx, scores
+
+    # -- explainability ------------------------------------------------------
+    def _get_explain_step(self):
+        """Compiled saliency step (net-new — the reference classifies but
+        never explains): forward + input-gradient in ONE fused graph.
+
+        The saliency of class c is |d logit_c / d x| reduced over channels
+        (max-abs — the standard vanilla-gradient map), computed against the
+        PREPROCESSED input so the map lives in model-view coordinates, then
+        bilinearly resized to a fixed ``EXPLAIN_GRID``² grid in-graph (any
+        image_size, one response shape) and min-max normalized to [0, 1].
+        ``class_idx < 0`` explains the model's own top class: the gradient
+        of ``max(logits)`` flows only through the argmax class, so no
+        second forward pass or host round-trip is needed."""
+        if getattr(self, "_explain_step", None) is None:
+            model = self.model
+            spec = self.spec
+            dtype = self.dtype
+            multi_label = self.multi_label
+            k = self._top_k()
+
+            def step(folded, canvas_u8, sizes, class_idx):
+                x = preprocess_batch(
+                    canvas_u8, sizes, out_size=spec.image_size,
+                    resize_short=spec.resize_short, dtype=dtype,
+                )
+
+                def target_of(xin):
+                    logits = model.apply_folded(
+                        folded, xin
+                    ).astype(jnp.float32)
+                    row = logits[0]
+                    picked = row[jnp.clip(class_idx, 0, row.shape[0] - 1)]
+                    target = jnp.where(
+                        class_idx >= 0, picked, jnp.max(row)
+                    )
+                    return target, logits
+
+                (_, logits), g = jax.value_and_grad(
+                    target_of, has_aux=True
+                )(x)
+                heat = jnp.max(jnp.abs(g[0].astype(jnp.float32)), axis=-1)
+                heat = jax.image.resize(
+                    heat, (EXPLAIN_GRID, EXPLAIN_GRID), "linear"
+                )
+                lo = jnp.min(heat)
+                hi = jnp.max(heat)
+                heat = (heat - lo) / jnp.maximum(hi - lo, 1e-12)
+                if multi_label:
+                    probs = jax.nn.sigmoid(logits)
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                top_scores, top_idx = jax.lax.top_k(probs, k)
+                return top_idx, top_scores, heat
+
+            self._explain_step = jax.jit(step)
+        return self._explain_step
+
+    def explain_staged(
+        self, canvas: np.ndarray, sizes: np.ndarray,
+        class_idx: int = -1,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One image (row 0) -> (top_idx [K], top_scores [K], heat [G, G]).
+
+        The batch is padded to the smallest bucket like every other lane;
+        only row 0's saliency is computed (the padding rows contribute
+        zero gradient to the row-0 target)."""
+        n = canvas.shape[0]
+        bucket = self.bucket_for(n)
+        if n < bucket:
+            canvas = np.concatenate(
+                [canvas, np.zeros((bucket - n, *canvas.shape[1:]), np.uint8)]
+            )
+            sizes = np.concatenate(
+                [sizes, np.full((bucket - n, 2), 256, np.int32)]
+            )
+        step = self._get_explain_step()
+        t0 = time.perf_counter()
+        idx, scores, heat = step(
+            self.folded, canvas, sizes, jnp.int32(class_idx)
+        )
+        self._stats["batches"] += 1
+        self._stats["images"] += 1
+        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        return (np.asarray(idx)[0], np.asarray(scores)[0],
+                np.asarray(heat))
 
     # -- embeddings ----------------------------------------------------------
     @property

@@ -202,6 +202,13 @@ class HedgedInferenceService:
         deterministic work — spreading load beats duplicating it)."""
         return await self.replicas[self._next()].embed_bytes(data)
 
+    async def explain_bytes(self, data: bytes, class_idx: int = -1) -> dict:
+        """Round-robin like embed_bytes (rare diagnostic traffic; a
+        saliency map is not latency-critical enough to hedge)."""
+        return await self.replicas[self._next()].explain_bytes(
+            data, class_idx
+        )
+
     async def classify_bytes_tta(self, data: bytes) -> dict:
         """Round-robin like embed_bytes (opt-in, rare, already 2x FLOPs
         — hedging would quadruple the work)."""

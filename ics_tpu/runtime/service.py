@@ -375,6 +375,38 @@ class InferenceService:
         )
         return feats[0]
 
+    async def explain_bytes(self, data: bytes,
+                            class_idx: int = -1) -> dict:
+        """bytes -> top-k + input-gradient saliency map (engine
+        ``explain_staged``). ``class_idx=-1`` explains the model's own top
+        class. Explanations are rare diagnostic traffic, so this stages a
+        batch-of-1 directly (no dedicated batcher lane); decode and the
+        device step run off the event loop."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        loop = asyncio.get_running_loop()
+        image = await loop.run_in_executor(None, decode_image, data)
+        canvas, sizes = await loop.run_in_executor(
+            None, lambda: stage_batch([image], canvas=None)
+        )
+        idx, scores, heat = await loop.run_in_executor(
+            None, lambda: self.engine.explain_staged(
+                canvas, sizes, class_idx
+            )
+        )
+        dt_ms = (_time.perf_counter() - t0) * 1000
+        self._record_latency(dt_ms)
+        return {
+            "top_classes": [int(i) for i in idx],
+            "scores": [float(s) for s in scores],
+            "mapa_saliencia": np.round(heat, 4).tolist(),
+            "grade": int(heat.shape[0]),
+            "metodo": "gradiente-entrada",
+            "latency_ms": round(dt_ms, 3),
+            "model": self.engine.model_name,
+        }
+
     def _record_latency(self, ms: float) -> None:
         self._latencies_ms.append(ms)
         if len(self._latencies_ms) > 10_000:

@@ -74,6 +74,7 @@ REFERENCE_ENDPOINTS = [
 # net-new TPU tier this framework adds on top of parity
 NET_NEW_ENDPOINTS = [
     ("POST", "/classificacoes/ambiente/{id_amb}/classificar-tpu"),
+    ("POST", "/classificacoes/ambiente/{id_amb}/explicar"),
     ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"),
     ("GET", "/classificacoes/ambiente/{id_amb}/sugerir-vizinhos/{hash}"),
     ("GET", "/inferencia/modelos"),

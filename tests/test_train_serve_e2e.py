@@ -215,6 +215,45 @@ async def test_train_register_serve_suggest(app):
         ids = {o["id_opc"] for o in body["opcoes"]}
         assert ids <= set(app.state.opcoes)
 
+        # 4b. saliency explanation on the trained model: 16x16 map in
+        #     [0,1], options labeled, specific-option and error paths
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 200, r.text
+        exp = r.json()
+        mapa = np.asarray(exp["mapa_saliencia"])
+        assert mapa.shape == (16, 16) and exp["grade"] == 16
+        assert mapa.min() >= 0.0 and mapa.max() <= 1.0 + 1e-6
+        assert exp["metodo"] == "gradiente-entrada"
+        assert exp["modelo_versao"] == 1
+        assert {o["texto_opcao"] for o in exp["opcoes"]} <= {"gato", "cão"}
+        # explain a SPECIFIC option
+        alvo = next(iter(app.state.opcoes))
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar?id_opc={alvo}",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["id_opc_explicado"] == alvo
+        # an option that is not part of the model -> 422
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar?id_opc=nao-existe",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 422
+        # garbage bytes -> 422
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar",
+            files={"file": ("x.jpg", b"not an image", "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 422
+
         # 5. suggestion persisted and surfaced in the paging payload
         r = await c.get(
             f"/classificacoes/ambiente/{id_amb}/inicializar", headers=esp
