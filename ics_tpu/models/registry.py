@@ -142,6 +142,21 @@ def _ensure_populated() -> None:
     except ImportError:
         pass
     try:
+        from ics_tpu.models import densenet
+
+        register_model(
+            "densenet121", densenet.densenet121, 224, 256,
+            "DenseNet-121 — dense connectivity (pre-act BN folded to FMA "
+            "pairs; torchvision-checkpoint-compatible, 7,978,856 params)",
+        )
+        register_model(
+            "densenet169", densenet.densenet169, 224, 256,
+            "DenseNet-169 — deeper dense-connectivity variant "
+            "(torchvision-checkpoint-compatible, 14,149,480 params)",
+        )
+    except ImportError:
+        pass
+    try:
         from ics_tpu.models import mobilenetv3
 
         register_model(

@@ -203,6 +203,20 @@ def max_pool(x, window: int = 3, stride: int = 2,
     )
 
 
+def avg_pool(x, window: int = 2, stride: int = 2):
+    """Non-padded average pooling (the torch AvgPool2d(k, s) convention
+    used by DenseNet transitions — count includes the full window)."""
+    y = lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return (y / float(window * window)).astype(x.dtype)
+
+
 def gelu(x, exact: bool = True):
     """GELU whose exactness follows the compute dtype.
 

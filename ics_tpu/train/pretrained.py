@@ -286,6 +286,54 @@ def _map_resnet(model, flat):
     return {"params": params, "state": state}
 
 
+def _bn(flat, prefix):
+    params = {
+        "gamma": _need(flat, f"{prefix}.weight"),
+        "beta": _need(flat, f"{prefix}.bias"),
+    }
+    state = {
+        "mean": _need(flat, f"{prefix}.running_mean"),
+        "var": _need(flat, f"{prefix}.running_var"),
+    }
+    return params, state
+
+
+def _map_densenet(model, flat):
+    """torchvision ``densenet*`` (``torchvision/models/densenet.py``
+    naming: features.denseblock{i}.denselayer{j}.norm/conv{1,2},
+    features.transition{i}, features.norm5, classifier)."""
+    params: dict = {"stages": [], "down": []}
+    state: dict = {"stages": [], "down": []}
+    params["stem"], state["stem"] = _convbn(
+        flat, "features.conv0", "features.norm0"
+    )
+    for i, layers in enumerate(model.stages, start=1):
+        sp, ss = [], []
+        for j in range(1, len(layers) + 1):
+            pfx = f"features.denseblock{i}.denselayer{j}"
+            bn1p, bn1s = _bn(flat, f"{pfx}.norm1")
+            bn2p, bn2s = _bn(flat, f"{pfx}.norm2")
+            sp.append({
+                "bn1": bn1p,
+                "conv1": {"w": _conv_w(flat, f"{pfx}.conv1.weight")},
+                "bn2": bn2p,
+                "conv2": {"w": _conv_w(flat, f"{pfx}.conv2.weight")},
+            })
+            ss.append({"bn1": bn1s, "bn2": bn2s})
+        params["stages"].append(sp)
+        state["stages"].append(ss)
+    for i in range(1, len(model.down) + 1):
+        pfx = f"features.transition{i}"
+        bnp, bns = _bn(flat, f"{pfx}.norm")
+        params["down"].append({
+            "bn": bnp, "conv": {"w": _conv_w(flat, f"{pfx}.conv.weight")},
+        })
+        state["down"].append({"bn": bns})
+    params["final_bn"], state["final_bn"] = _bn(flat, "features.norm5")
+    params["head"] = _linear(flat, "classifier")
+    return {"params": params, "state": state}
+
+
 def _resize_pos_embed(pos, num_patches: int, dim: int):
     """timm ``pos_embed`` [1, 1+G^2, D] -> [1, 1+num_patches, D].
 
@@ -577,6 +625,7 @@ _FAMILIES = (
     # widths come out right from the checkpoint shapes
     ("resnext", _map_resnet, "fc.weight"),
     ("wide_resnet", _map_resnet, "fc.weight"),
+    ("densenet", _map_densenet, "classifier.weight"),
     ("vit", _map_vit, "head.weight"),
     ("mobilenetv3", _map_mobilenetv3, "classifier.3.weight"),
     # v2 must precede the v1 prefix match

@@ -416,3 +416,66 @@ class TestResNetVariants:
         variables = model.init(jax.random.PRNGKey(0))
         with pytest.raises(ValueError, match="grouped/wide"):
             model.fold(variables, pallas_chains=True)
+
+
+class TestDenseNet:
+    def test_registry_and_exact_param_counts(self):
+        from ics_tpu.models.densenet import densenet121, densenet169
+        from ics_tpu.models.registry import list_models
+
+        models = list_models()
+        assert "densenet121" in models and "densenet169" in models
+
+        def count(tree):
+            import numpy as _np
+
+            return sum(
+                int(_np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree)
+            )
+
+        # torchvision-published exact counts at 1000 classes
+        v121 = densenet121(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v121["params"]) == 7_978_856
+        v169 = densenet169(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v169["params"]) == 14_149_480
+
+    def test_micro_forward_fold_and_train_state(self):
+        """Pre-activation family: fold turns each BN into (scale, bias);
+        folded forward must equal eval-mode apply exactly, and training
+        must move the running stats."""
+        import numpy as np
+
+        from ics_tpu.models.densenet import densenet_micro
+
+        model = densenet_micro(num_classes=5)
+        variables = model.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 64, 3)),
+            jnp.float32,
+        )
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (2, 5)
+        folded = model.fold(variables)
+        lf = model.apply_folded(folded, x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(lf), atol=1e-5, rtol=1e-5
+        )
+        _, new_state = model.apply(variables, x, training=True)
+        assert not np.allclose(
+            np.asarray(new_state["final_bn"]["mean"]),
+            np.asarray(variables["state"]["final_bn"]["mean"]),
+        )
+
+    def test_channel_growth_and_transitions(self):
+        """Dense connectivity bookkeeping: block i multiplies channels by
+        concat growth, transitions halve them — densenet121's documented
+        256/512/1024/1024 progression."""
+        from ics_tpu.models.densenet import densenet121
+
+        m = densenet121(num_classes=10)
+        assert [len(st) for st in m.stages] == [6, 12, 24, 16]
+        assert m.out_ch == 1024
+        # transition input channels: 64+6*32=256, 128+12*32=512,
+        # 256+24*32=1024
+        assert [t.bn.num_features for t in m.down] == [256, 512, 1024]

@@ -494,6 +494,93 @@ class TestTorchGold:
             atol=2e-5, rtol=1e-4,
         )
 
+    def test_densenet_matches_torch(self):
+        """DenseNet micro twin with REAL torchvision naming (features.
+        denseblock{i}.denselayer{j}.norm/conv{1,2}, transition, norm5):
+        pre-activation BN semantics, concat growth, avg-pool transition
+        and the standalone-BN fold all against torch numerics."""
+        from collections import OrderedDict
+
+        from ics_tpu.models.densenet import DenseNet
+
+        growth, init_f = 8, 16
+
+        class _TorchDenseLayer(tnn.Module):
+            def __init__(self, in_ch):
+                super().__init__()
+                self.norm1 = tnn.BatchNorm2d(in_ch)
+                self.conv1 = tnn.Conv2d(in_ch, 4 * growth, 1, bias=False)
+                self.norm2 = tnn.BatchNorm2d(4 * growth)
+                self.conv2 = tnn.Conv2d(4 * growth, growth, 3, padding=1,
+                                        bias=False)
+
+            def forward(self, x):
+                y = self.conv1(torch.relu(self.norm1(x)))
+                y = self.conv2(torch.relu(self.norm2(y)))
+                return torch.cat([x, y], 1)
+
+        class _TorchTransition(tnn.Module):
+            def __init__(self, in_ch, out_ch):
+                super().__init__()
+                self.norm = tnn.BatchNorm2d(in_ch)
+                self.conv = tnn.Conv2d(in_ch, out_ch, 1, bias=False)
+
+            def forward(self, x):
+                y = self.conv(torch.relu(self.norm(x)))
+                return torch.nn.functional.avg_pool2d(y, 2, 2)
+
+        class _TorchDenseNet(tnn.Module):
+            def __init__(self, block_config=(2, 2), num_classes=5):
+                super().__init__()
+                feats = OrderedDict()
+                feats["conv0"] = tnn.Conv2d(3, init_f, 7, 2, padding=3,
+                                            bias=False)
+                feats["norm0"] = tnn.BatchNorm2d(init_f)
+                feats["relu0"] = tnn.ReLU()
+                feats["pool0"] = tnn.MaxPool2d(3, 2, padding=1)
+                ch = init_f
+                for i, count in enumerate(block_config, start=1):
+                    block = OrderedDict()
+                    for j in range(1, count + 1):
+                        block[f"denselayer{j}"] = _TorchDenseLayer(ch)
+                        ch += growth
+                    feats[f"denseblock{i}"] = tnn.Sequential(block)
+                    if i < len(block_config):
+                        feats[f"transition{i}"] = _TorchTransition(
+                            ch, ch // 2
+                        )
+                        ch //= 2
+                feats["norm5"] = tnn.BatchNorm2d(ch)
+                self.features = tnn.Sequential(feats)
+                self.classifier = tnn.Linear(ch, num_classes)
+
+            def forward(self, x):
+                y = torch.relu(self.features(x))
+                return self.classifier(y.mean(dim=(2, 3)))
+
+        rng = np.random.default_rng(11)
+        tm = _TorchDenseNet()
+        with torch.no_grad():
+            _randomize_bn(tm, rng)
+        tm.eval()
+        flat = _state_np(tm)
+
+        model = DenseNet((2, 2), growth=growth, init_features=init_f,
+                         num_classes=5)
+        variables = pt._map_densenet(model, flat)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got, _ = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   atol=2e-4, rtol=1e-4)
+
+        folded = model.fold(variables)
+        got_f = model.apply_folded(folded, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got_f), ref,
+                                   atol=5e-4, rtol=1e-3)
+
     def test_depthwise_stride2_and_se_match_torch(self):
         """MobileNet/EfficientNet primitives: 5x5/s2 depthwise conv with
         symmetric padding, BN eps=1e-3, conv-style SE, hard activations."""
@@ -646,6 +733,14 @@ def _inv_convbn(out, params, state, conv, bn, bias=False):
     out[f"{bn}.bias"] = np.asarray(params["bn"]["beta"])
     out[f"{bn}.running_mean"] = np.asarray(state["bn"]["mean"])
     out[f"{bn}.running_var"] = np.asarray(state["bn"]["var"])
+
+
+def _inv_bn(out, params, state, prefix):
+    # standalone (pre-activation) BatchNorm — DenseNet norm1/norm2/norm5
+    out[f"{prefix}.weight"] = np.asarray(params["gamma"])
+    out[f"{prefix}.bias"] = np.asarray(params["beta"])
+    out[f"{prefix}.running_mean"] = np.asarray(state["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(state["var"])
 
 
 def _inv_linear(out, params, prefix):
@@ -864,8 +959,34 @@ def _export_swin(model, variables):
     return out
 
 
+def _export_densenet(model, variables):
+    """torchvision ``densenet*`` naming (features.denseblock{i}
+    .denselayer{j}.norm/conv{1,2}, transition{i}, norm5, classifier)."""
+    p, s = variables["params"], variables["state"]
+    out = {}
+    _inv_convbn(out, p["stem"], s["stem"], "features.conv0",
+                "features.norm0")
+    for i, layers in enumerate(model.stages, start=1):
+        for j in range(1, len(layers) + 1):
+            pfx = f"features.denseblock{i}.denselayer{j}"
+            lp, ls = p["stages"][i - 1][j - 1], s["stages"][i - 1][j - 1]
+            _inv_bn(out, lp["bn1"], ls["bn1"], f"{pfx}.norm1")
+            out[f"{pfx}.conv1.weight"] = _inv_conv(lp["conv1"]["w"])
+            _inv_bn(out, lp["bn2"], ls["bn2"], f"{pfx}.norm2")
+            out[f"{pfx}.conv2.weight"] = _inv_conv(lp["conv2"]["w"])
+    for i in range(1, len(model.down) + 1):
+        pfx = f"features.transition{i}"
+        _inv_bn(out, p["down"][i - 1]["bn"], s["down"][i - 1]["bn"],
+                f"{pfx}.norm")
+        out[f"{pfx}.conv.weight"] = _inv_conv(p["down"][i - 1]["conv"]["w"])
+    _inv_bn(out, p["final_bn"], s["final_bn"], "features.norm5")
+    _inv_linear(out, p["head"], "classifier")
+    return out
+
+
 _EXPORTERS = {
     "resnet": _export_resnet,
+    "densenet": _export_densenet,
     # same torchvision key scheme; the exporter walks the model's own
     # block tree, so grouped/wide inner widths export correctly
     "resnext": _export_resnet,
