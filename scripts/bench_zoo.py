@@ -28,6 +28,9 @@ CONFIGS = {
     # round-3 late additions: same-FLOP-class resnet50 variants
     "resnext50_32x4d": (128, 256, 20),
     "wide_resnet50_2": (128, 256, 20),
+    # dense-connectivity family (narrow 3x3s + concat growth)
+    "densenet121": (128, 256, 20),
+    "densenet169": (128, 256, 20),
 }
 
 
