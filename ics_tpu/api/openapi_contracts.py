@@ -213,6 +213,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
     ("POST", "/treinamento/jobs/{id_job}/cancelar"): {},
     ("GET", "/treinamento/modelos"): {"query": {"id_amb": "ambiente"}},
     ("POST", "/treinamento/modelos/{id_mod}/ativar"): {},
+    ("POST", "/treinamento/modelos/{id_mod}/avaliar"): {},
     ("POST", "/treinamento/modelos/{id_mod}/sugerir"): {
         "request": _obj({"limite": {"type": "integer"}}, []),
     },

@@ -437,6 +437,41 @@ async def sugerir_em_lote(request: Request):
     )
 
 
+@router.post("/modelos/{id_mod}/avaliar")
+async def reavaliar_modelo(request: Request):
+    """Re-evaluate a registry version against the ambiente's CURRENT
+    human labels (admin; 202 + job). Labels accumulate after training —
+    fresh accuracy + per-class diagnostics land in the job result and in
+    ``metricas.reavaliacao`` (the previous re-evaluation is kept as
+    ``reavaliacao_anterior``). Eval-only: weights unchanged, nothing is
+    promoted. One job at a time (409), like training."""
+    db = request.state.db
+    admin = require_admin(request)
+    trainer = _trainer(request)
+    id_mod = request.path_params["id_mod"]
+    from ics_tpu.core.config import settings
+    from ics_tpu.train.job import TrainingUnavailable
+
+    try:
+        job = trainer.start_evaluation(
+            id_mod,
+            canvas=int(settings.TPU_CANVAS),
+            compute_dtype=settings.TPU_PRECISION,
+        )
+    except KeyError:
+        raise HTTPException(404, "Modelo treinado não encontrado.")
+    except TrainingUnavailable as exc:
+        raise HTTPException(503, str(exc))
+    except RuntimeError as exc:
+        raise HTTPException(409, str(exc))
+    auditoria_crud.registrar_evento(
+        db, "reavaliar_modelo_treinado", admin.id_usu,
+        {"id_mod": str(id_mod), "id_job": job.id_job},
+    )
+    db.commit()
+    return JSONResponse(job.to_dict(), 202)
+
+
 @router.post("/modelos/{id_mod}/ativar")
 async def ativar_modelo_treinado(request: Request):
     """Promote a registry version to serving for its ambiente (admin)."""

@@ -396,4 +396,6 @@ AUDIT_EVENTS: list[tuple[str, str]] = [
     ("importar_modelo_treinado", "Importação de modelo treinado"),
     ("indexar_embeddings", "Indexação de embeddings de similaridade"),
     ("sugestoes_em_lote", "Sugestões de modelo geradas em lote"),
+    ("reavaliar_modelo_treinado",
+     "Reavaliação de modelo treinado nos rótulos atuais"),
 ]

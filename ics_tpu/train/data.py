@@ -24,7 +24,8 @@ BytesProvider = Callable[[str, str], bytes]  # (content_hash, caminho) -> bytes
 
 
 def labeled_examples(
-    db: Database, id_amb: str, multi_label: bool = False
+    db: Database, id_amb: str, multi_label: bool = False,
+    class_map: Optional[dict] = None,
 ) -> tuple[list[dict], dict[str, int]]:
     """All active (image, option) labels of an ambiente + option->class map.
 
@@ -36,13 +37,22 @@ def labeled_examples(
     ``multi_label=True`` (``multipla_escolha`` ambientes): every active
     option of an image becomes part of its multi-hot target; examples carry
     ``"labels": sorted list of class indices`` instead of ``"label"``.
+
+    ``class_map`` (optional): use a FIXED option->index map instead of the
+    ambiente's current option set — re-evaluating a registered model must
+    index labels exactly as that model was trained (options added since
+    are unknown to it; their labels are excluded, not remapped).
     """
     with db.session() as s:
-        opcoes = s.fetchall(
-            "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? ORDER BY texto",
-            [str(id_amb)],
-        )
-        class_map = {r["id_opc"]: i for i, r in enumerate(opcoes)}
+        if class_map is None:
+            opcoes = s.fetchall(
+                "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? "
+                "ORDER BY texto",
+                [str(id_amb)],
+            )
+            class_map = {r["id_opc"]: i for i, r in enumerate(opcoes)}
+        else:
+            class_map = {str(k): int(v) for k, v in class_map.items()}
         if multi_label:
             rows = s.fetchall(
                 """

@@ -269,6 +269,196 @@ class TrainingJobManager:
             )
         return p
 
+    # -- registry re-evaluation (tipo: avaliacao) -------------------------
+    def start_evaluation(
+        self,
+        id_mod: str,
+        fetch_bytes: Optional[BytesProvider] = None,
+        batch_size: int = 32,
+        canvas: int = 512,
+        compute_dtype: str = "bf16",
+    ) -> TrainingJob:
+        """Re-evaluate a REGISTERED model version against the ambiente's
+        CURRENT human labels (labels accumulate after training — fresh
+        numbers tell the operator whether the active version still fits,
+        or which version to promote). Eval-only: no weights change; the
+        result lands in the job AND in the row's
+        ``metricas.reavaliacao`` (timestamped, keeps the previous one as
+        ``reavaliacao_anterior``). Occupies the single job slot (the chip
+        is shared with serving — same rule as training)."""
+        from ics_tpu.db.models import ModeloTreinado
+
+        with self.db.session() as s:
+            row = s.get(ModeloTreinado, str(id_mod))
+            if row is None:
+                raise KeyError(f"modelo {id_mod} não encontrado")
+            snap = {
+                "id_mod": str(row.id_mod),
+                "id_amb": str(row.id_amb),
+                "nome": row.nome_modelo,
+                "versao": row.versao,
+                "num_classes": int(row.num_classes),
+                "class_map": dict(row.class_map or {}),
+                "dir_checkpoint": row.dir_checkpoint,
+                "metricas": dict(row.metricas or {}),
+            }
+        fetch = fetch_bytes or self.fetch_bytes
+        if fetch is None:
+            raise TrainingUnavailable(
+                "nenhuma fonte de bytes configurada (NextCloud indisponível)"
+            )
+        with self._lock:
+            if self._running is not None and self._running.status in (
+                "pendente", "executando"
+            ):
+                raise RuntimeError(
+                    f"treinamento {self._running.id_job} já em execução"
+                )
+            job = TrainingJob(
+                snap["id_amb"], snap["nome"],
+                {"tipo": "avaliacao", "id_mod_avaliado": snap["id_mod"],
+                 "versao_avaliada": snap["versao"],
+                 "batch_size": batch_size, "canvas": canvas},
+            )
+            # the evaluated version's checkpoint dir joins the live set so
+            # gc_checkpoints cannot delete it mid-restore
+            job.ckpt_dir = snap["dir_checkpoint"]
+            self.jobs[job.id_job] = job
+            self._running = job
+        thread = threading.Thread(
+            target=self._run_eval,
+            args=(job, fetch, snap, batch_size, canvas, compute_dtype),
+            name=f"eval-{job.id_job}",
+            daemon=True,
+        )
+        thread.start()
+        job.thread = thread
+        return job
+
+    def _run_eval(self, job: TrainingJob, fetch: BytesProvider, snap: dict,
+                  batch_size: int, canvas: int, compute_dtype: str) -> None:
+        try:
+            job.status = "executando"
+            multi_label = bool(snap["metricas"].get("multi_rotulo"))
+            job.params["multi_rotulo"] = multi_label
+            # index labels with the MODEL's class_map: options created
+            # after training are unknown to it and must be excluded, not
+            # remapped (train/data.py::labeled_examples)
+            examples, class_map = labeled_examples(
+                self.db, job.id_amb, multi_label=multi_label,
+                class_map=snap["class_map"],
+            )
+            job.n_examples = len(examples)
+            if not examples:
+                raise RuntimeError(
+                    "nenhum rótulo humano avaliável para o ambiente "
+                    "(com as opções do modelo)"
+                )
+            spec = get_model(job.model_name)
+            model = spec.build(num_classes=snap["num_classes"])
+            from ics_tpu.train.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(snap["dir_checkpoint"])
+            try:
+                restored = mgr.restore()
+            finally:
+                mgr.close()
+            variables = restored["variables"]
+            dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+            batches = batch_iterator(
+                examples, fetch, batch_size=batch_size, canvas=canvas,
+                shuffle=False, epochs=1, with_counts=True,
+                num_classes=snap["num_classes"],
+            )
+            if job.cancel_event.is_set():
+                job.status = "cancelado"
+                return
+            resultado: dict = {
+                "avaliado_em": tz.utcnow().isoformat(),
+                "exemplos": len(examples),
+            }
+            if multi_label:
+                from ics_tpu.train.finetune import (
+                    collect_multilabel_scores,
+                    multilabel_metrics,
+                    multilabel_per_class_metrics,
+                )
+
+                probs, targets = collect_multilabel_scores(
+                    model, variables, batches,
+                    image_size=spec.image_size,
+                    resize_short=spec.resize_short, compute_dtype=dtype,
+                )
+                if probs is None:
+                    raise RuntimeError("avaliação vazia (decodificação)")
+                limiar = float(snap["metricas"].get("limiar") or 0.5)
+                resultado["limiar"] = limiar
+                resultado.update(
+                    multilabel_metrics(probs, targets, limiar)
+                )
+                resultado["eval_accuracy"] = resultado["exact_match"]
+                por_classe = multilabel_per_class_metrics(
+                    probs, targets, limiar
+                )
+                resultado["eval_por_classe"] = {"por_classe": por_classe}
+            else:
+                from ics_tpu.train.finetune import (
+                    collect_logits,
+                    per_class_metrics,
+                )
+
+                logits, labels = collect_logits(
+                    model, variables, batches,
+                    image_size=spec.image_size,
+                    resize_short=spec.resize_short, compute_dtype=dtype,
+                )
+                if logits is None:
+                    raise RuntimeError("avaliação vazia (decodificação)")
+                resultado["eval_accuracy"] = float(
+                    (logits.argmax(-1) == labels).mean()
+                )
+                resultado["eval_por_classe"] = per_class_metrics(
+                    logits, labels, snap["num_classes"]
+                )
+            inv = {i: opc for opc, i in class_map.items()}
+            for row_pc in resultado["eval_por_classe"]["por_classe"]:
+                row_pc["id_opc"] = inv.get(row_pc["classe"])
+            job.eval_accuracy = resultado["eval_accuracy"]
+            if job.cancel_event.is_set():
+                job.status = "cancelado"
+                return
+            from ics_tpu.db.models import ModeloTreinado
+
+            with self.db.session() as s:
+                row = s.get(ModeloTreinado, snap["id_mod"])
+                if row is not None:
+                    metricas = dict(row.metricas or {})
+                    anterior = metricas.pop("reavaliacao", None)
+                    if anterior is not None:
+                        metricas["reavaliacao_anterior"] = anterior
+                    metricas["reavaliacao"] = resultado
+                    row.metricas = metricas
+                    s.commit()
+            job.id_mod = snap["id_mod"]
+            job.versao = snap["versao"]
+            job.params["resultado"] = resultado
+            job.status = "concluido"
+            logger.info(
+                "avaliação %s concluída: modelo %s v%s — accuracy %.4f "
+                "em %d exemplos",
+                job.id_job, job.model_name, job.versao,
+                resultado["eval_accuracy"], len(examples),
+            )
+        except Exception as exc:
+            job.status = "falhou"
+            job.error = str(exc)
+            logger.exception("avaliação %s falhou", job.id_job)
+        finally:
+            job.finished_at = tz.utcnow()
+            with self._lock:
+                if self._running is job:
+                    self._running = None
+
     def cancel(self, id_job: str) -> TrainingJob:
         """Request cooperative cancellation: the job stops between steps,
         keeps its last checkpoint and registers/promotes NOTHING."""

@@ -86,6 +86,7 @@ NET_NEW_ENDPOINTS = [
     ("GET", "/treinamento/jobs"),
     ("GET", "/treinamento/modelos"),
     ("POST", "/treinamento/modelos/{id_mod}/ativar"),
+    ("POST", "/treinamento/modelos/{id_mod}/avaliar"),
     ("POST", "/treinamento/modelos/{id_mod}/sugerir"),
     ("GET", "/treinamento/modelos/{id_mod}/exportar"),
     ("POST", "/treinamento/ambiente/{id_amb}/importar"),

@@ -620,3 +620,114 @@ async def test_early_stopping_registers_best_snapshot(app):
         )
         assert r.status_code == 200, r.text
         assert r.json()["modelo_versao"] == m["versao"]
+
+
+@pytest.mark.anyio
+async def test_reevaluate_registered_model_on_current_labels(app):
+    """POST /treinamento/modelos/{id}/avaliar: train, label MORE images,
+    re-evaluate — fresh accuracy + per-class diagnostics land in the job
+    and in metricas.reavaliacao (previous one preserved)."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        # unknown model id -> 404 before any job starts
+        r = await c.post("/treinamento/modelos/nao-existe/avaliar",
+                         headers=admin)
+        assert r.status_code == 404
+
+        # 1. train on the 8 seeded labels
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 2, "batch_size": 4,
+                  "epochs": 50, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            if r.json()["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert r.json()["status"] == "concluido", r.json()
+        id_mod = r.json()["id_mod"]
+
+        # 2. the specialists label the 2 remaining images AFTER training
+        from ics_tpu.core import timezone as tz
+        from ics_tpu.db.models import Classificacao, Opcao
+
+        db = app.state.db
+        with db.session() as s:
+            op = s.query(Opcao).filter(
+                Opcao.id_amb == id_amb
+            ).all()[0]
+            con = s.fetchone(
+                "SELECT id_con FROM usuarios_convencionais LIMIT 1"
+            )
+            for h in app.state.unlabeled:
+                s.add(Classificacao(
+                    id_con=con["id_con"], id_img=h, id_opc=op.id_opc,
+                    data_criado=tz.utcnow(), ativo=True,
+                ))
+            s.commit()
+
+        # 3. re-evaluate on the CURRENT (10-label) truth
+        r = await c.post(f"/treinamento/modelos/{id_mod}/avaliar",
+                         headers=admin)
+        assert r.status_code == 202, r.text
+        body = r.json()
+        assert body["tipo"] == "avaliacao"
+        assert body["versao_avaliada"] == 1
+        id_eval = body["id_job"]
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_eval}", headers=admin)
+            job = r.json()
+            if job["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert job["status"] == "concluido", job
+        assert job["exemplos"] == 10  # 8 original + 2 fresh labels
+        assert 0.0 <= job["eval_accuracy"] <= 1.0
+        res = job["resultado"]
+        assert res["exemplos"] == 10
+        pc = res["eval_por_classe"]
+        assert np.asarray(pc["matriz_confusao"]).sum() == 10
+        assert all("id_opc" in row for row in pc["por_classe"])
+
+        # 4. the registry row carries the timestamped re-evaluation
+        r = await c.get(
+            f"/treinamento/modelos?id_amb={id_amb}", headers=admin
+        )
+        m = next(x for x in r.json()["modelos"] if x["id_mod"] == id_mod)
+        reav = m["metricas"]["reavaliacao"]
+        assert reav["exemplos"] == 10 and "avaliado_em" in reav
+        assert reav["eval_accuracy"] == job["eval_accuracy"]
+        # the ORIGINAL training-time eval metrics are untouched
+        assert m["metricas"]["exemplos"] == 8
+
+        # 5. a second re-evaluation preserves the previous one
+        r = await c.post(f"/treinamento/modelos/{id_mod}/avaliar",
+                         headers=admin)
+        assert r.status_code == 202
+        id_eval2 = r.json()["id_job"]
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_eval2}", headers=admin)
+            if r.json()["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert r.json()["status"] == "concluido"
+        r = await c.get(
+            f"/treinamento/modelos?id_amb={id_amb}", headers=admin
+        )
+        m = next(x for x in r.json()["modelos"] if x["id_mod"] == id_mod)
+        assert "reavaliacao_anterior" in m["metricas"]
+        assert (m["metricas"]["reavaliacao_anterior"]["avaliado_em"]
+                == reav["avaliado_em"])
+
+        # audit trail recorded both re-evaluations
+        ev = await c.get("/auditoria/?nome_evento=reavaliar_modelo_treinado",
+                         headers=admin)
+        if ev.status_code == 200:
+            assert len(ev.json().get("logs", [])) >= 1
