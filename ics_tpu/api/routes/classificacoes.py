@@ -407,6 +407,48 @@ async def listar_historico_usuario(request: Request):
 # --- net-new: TPU inference under the same surface -------------------------
 
 
+async def _servico_arquivo_modelo(request: Request, db, id_amb: str):
+    """Shared resolution for the TPU upload routes (classificar-tpu /
+    explicar): 503 without an engine, 422 without a 'file' part, and the
+    trained-version engine when the ambiente has an active registered
+    model. Returns ``(service, file, modelo_row)``."""
+    service = request.app.state.get("engine")
+    pool = request.app.state.get("engine_pool")
+    if service is None:
+        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
+    form = await request.form()
+    files = form.getfiles("file") or form.getfiles("files")
+    if not files:
+        raise HTTPException(422, "Envie a imagem no campo 'file'.")
+    from ics_tpu.crud import modelo_crud
+
+    modelo_row = modelo_crud.modelo_ativo(db, id_amb)
+    if modelo_row is not None and pool is not None:
+        service = await pool.get_trained(modelo_row)
+    return service, files[0], modelo_row
+
+
+def _mapear_opcoes(db, modelo_row, result: dict) -> list[dict]:
+    """Translate the result's top-k class indices into the trained
+    model's option labels (padding classes beyond the option set are
+    skipped)."""
+    from ics_tpu.crud import modelo_crud
+
+    inv = modelo_crud.inverse_class_map(modelo_row)
+    opcoes_out = []
+    for cls_idx, score in zip(result["top_classes"], result["scores"]):
+        id_opc = inv.get(int(cls_idx))
+        if id_opc is None:
+            continue
+        opcao = db.get(Opcao, id_opc)
+        opcoes_out.append({
+            "id_opc": id_opc,
+            "texto_opcao": opcao.texto if opcao else None,
+            "score": score,
+        })
+    return opcoes_out
+
+
 @router.post("/ambiente/{id_amb}/classificar-tpu")
 async def classificar_imagem_tpu(request: Request):
     """Model-assisted classification: runs the TPU pipeline on an image of
@@ -422,19 +464,10 @@ async def classificar_imagem_tpu(request: Request):
     id_amb = request.path_params["id_amb"]
     id_con = _obter_id_con_usuario(db, usuario)
     _require_acesso(db, id_con, id_amb)
-    service = request.app.state.get("engine")
-    pool = request.app.state.get("engine_pool")
-    if service is None:
-        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
-    form = await request.form()
-    files = form.getfiles("file") or form.getfiles("files")
-    if not files:
-        raise HTTPException(422, "Envie a imagem no campo 'file'.")
+    service, file, modelo_row = await _servico_arquivo_modelo(
+        request, db, id_amb
+    )
     from ics_tpu.crud import auditoria_crud, modelo_crud
-
-    modelo_row = modelo_crud.modelo_ativo(db, id_amb)
-    if modelo_row is not None and pool is not None:
-        service = await pool.get_trained(modelo_row)
 
     # ?tta=true: flip-averaged probabilities (steadier suggestion scores
     # at 2x device FLOPs; calibration folds still apply — the head is
@@ -445,32 +478,19 @@ async def classificar_imagem_tpu(request: Request):
     )
     try:
         if tta:
-            result = await service.classify_bytes_tta(files[0].data)
+            result = await service.classify_bytes_tta(file.data)
         else:
-            result = await service.classify_bytes(files[0].data)
+            result = await service.classify_bytes(file.data)
     except (OSError, ValueError):
         # decode failures only; infra errors propagate to the 500 handler
         raise HTTPException(422, "Imagem inválida ou não decodificável.")
 
     from ics_tpu.core.security import sha256_hex
 
-    content_hash = sha256_hex(files[0].data)
+    content_hash = sha256_hex(file.data)
     opcoes_out = None
     if modelo_row is not None:
-        inv = modelo_crud.inverse_class_map(modelo_row)
-        opcoes_out = []
-        for cls_idx, score in zip(result["top_classes"], result["scores"]):
-            id_opc = inv.get(int(cls_idx))
-            if id_opc is None:
-                continue  # padding class beyond the ambiente's options
-            opcao = db.get(Opcao, id_opc)
-            opcoes_out.append(
-                {
-                    "id_opc": id_opc,
-                    "texto_opcao": opcao.texto if opcao else None,
-                    "score": score,
-                }
-            )
+        opcoes_out = _mapear_opcoes(db, modelo_row, result)
         result["opcoes"] = opcoes_out
         result["modelo_versao"] = modelo_row.versao
         result["id_mod"] = str(modelo_row.id_mod)
@@ -547,20 +567,9 @@ async def explicar_classificacao(request: Request):
     id_amb = request.path_params["id_amb"]
     id_con = _obter_id_con_usuario(db, usuario)
     _require_acesso(db, id_con, id_amb)
-    service = request.app.state.get("engine")
-    pool = request.app.state.get("engine_pool")
-    if service is None:
-        raise HTTPException(503, "Serviço de inferência TPU indisponível.")
-    form = await request.form()
-    files = form.getfiles("file") or form.getfiles("files")
-    if not files:
-        raise HTTPException(422, "Envie a imagem no campo 'file'.")
-    from ics_tpu.crud import modelo_crud
-
-    modelo_row = modelo_crud.modelo_ativo(db, id_amb)
-    if modelo_row is not None and pool is not None:
-        service = await pool.get_trained(modelo_row)
-
+    service, file, modelo_row = await _servico_arquivo_modelo(
+        request, db, id_amb
+    )
     class_idx = -1  # default: explain the model's own top class
     id_opc_alvo = request.query_params.get("id_opc")
     if id_opc_alvo:
@@ -580,24 +589,12 @@ async def explicar_classificacao(request: Request):
         class_idx = int(class_map[str(id_opc_alvo)])
 
     try:
-        result = await service.explain_bytes(files[0].data, class_idx)
+        result = await service.explain_bytes(file.data, class_idx)
     except (OSError, ValueError):
         raise HTTPException(422, "Imagem inválida ou não decodificável.")
 
     if modelo_row is not None:
-        inv = modelo_crud.inverse_class_map(modelo_row)
-        opcoes_out = []
-        for cls_idx, score in zip(result["top_classes"], result["scores"]):
-            id_opc = inv.get(int(cls_idx))
-            if id_opc is None:
-                continue
-            opcao = db.get(Opcao, id_opc)
-            opcoes_out.append({
-                "id_opc": id_opc,
-                "texto_opcao": opcao.texto if opcao else None,
-                "score": score,
-            })
-        result["opcoes"] = opcoes_out
+        result["opcoes"] = _mapear_opcoes(db, modelo_row, result)
         result["modelo_versao"] = modelo_row.versao
         result["id_mod"] = str(modelo_row.id_mod)
         if id_opc_alvo:

@@ -44,6 +44,7 @@ def labeled_examples(
     are unknown to it; their labels are excluded, not remapped).
     """
     with db.session() as s:
+        fixed_map = class_map is not None
         if class_map is None:
             opcoes = s.fetchall(
                 "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? "
@@ -53,6 +54,18 @@ def labeled_examples(
             class_map = {r["id_opc"]: i for i, r in enumerate(opcoes)}
         else:
             class_map = {str(k): int(v) for k, v in class_map.items()}
+        # with a FIXED map, restrict the label rows BEFORE the single-label
+        # GROUP-BY collapse: otherwise an image whose min-text option was
+        # created after training would be dropped entirely instead of
+        # falling back to its other, model-known label
+        known_filter = ""
+        known_args: list[str] = []
+        if fixed_map and class_map:
+            known_filter = (
+                " AND c.id_opc IN ("
+                + ",".join("?" * len(class_map)) + ")"
+            )
+            known_args = list(class_map)
         if multi_label:
             rows = s.fetchall(
                 """
@@ -96,9 +109,10 @@ def labeled_examples(
             JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
             WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
               AND i.existe_no_nextcloud = 1
+            """ + known_filter + """
             GROUP BY c.id_img
             """,
-            [str(id_amb), str(id_amb)],
+            [str(id_amb), str(id_amb)] + known_args,
         )
     examples = [
         {
@@ -110,6 +124,12 @@ def labeled_examples(
         if r["id_opc"] in class_map
     ]
     return examples, class_map
+
+
+def inverse_map(class_map: dict) -> dict[int, str]:
+    """class index -> id_opc (the inversion eval paths label rows with;
+    row-level twin: crud/modelo_crud.py::inverse_class_map)."""
+    return {int(v): str(k) for k, v in class_map.items()}
 
 
 def suggested_examples(

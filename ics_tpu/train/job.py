@@ -27,6 +27,7 @@ from ics_tpu.db.engine import Database
 from ics_tpu.models.registry import get_model
 from ics_tpu.train.data import (
     batch_iterator,
+    inverse_map,
     labeled_examples,
     prefetch,
     split_examples,
@@ -365,11 +366,20 @@ class TrainingJobManager:
                 mgr.close()
             variables = restored["variables"]
             dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
-            batches = batch_iterator(
+            def _cancellable(it):
+                # cooperative cancellation BETWEEN batches (same contract
+                # as training's should_stop): a long re-evaluation must
+                # not hold the single job slot against an explicit cancel
+                for b in it:
+                    if job.cancel_event.is_set():
+                        return
+                    yield b
+
+            batches = _cancellable(batch_iterator(
                 examples, fetch, batch_size=batch_size, canvas=canvas,
                 shuffle=False, epochs=1, with_counts=True,
                 num_classes=snap["num_classes"],
-            )
+            ))
             if job.cancel_event.is_set():
                 job.status = "cancelado"
                 return
@@ -389,6 +399,9 @@ class TrainingJobManager:
                     image_size=spec.image_size,
                     resize_short=spec.resize_short, compute_dtype=dtype,
                 )
+                if job.cancel_event.is_set():
+                    job.status = "cancelado"
+                    return
                 if probs is None:
                     raise RuntimeError("avaliação vazia (decodificação)")
                 limiar = float(snap["metricas"].get("limiar") or 0.5)
@@ -412,6 +425,9 @@ class TrainingJobManager:
                     image_size=spec.image_size,
                     resize_short=spec.resize_short, compute_dtype=dtype,
                 )
+                if job.cancel_event.is_set():
+                    job.status = "cancelado"
+                    return
                 if logits is None:
                     raise RuntimeError("avaliação vazia (decodificação)")
                 resultado["eval_accuracy"] = float(
@@ -420,7 +436,7 @@ class TrainingJobManager:
                 resultado["eval_por_classe"] = per_class_metrics(
                     logits, labels, snap["num_classes"]
                 )
-            inv = {i: opc for opc, i in class_map.items()}
+            inv = inverse_map(class_map)
             for row_pc in resultado["eval_por_classe"]["por_classe"]:
                 row_pc["id_opc"] = inv.get(row_pc["classe"])
             job.eval_accuracy = resultado["eval_accuracy"]
@@ -536,10 +552,10 @@ class TrainingJobManager:
                 raise ValueError(
                     f"avaliar_cada deve ser >= 1: {avaliar_cada!r}"
                 )
-        if paciencia and not (0.0 < eval_fraction):
+        if (paciencia or avaliar_cada) and not (0.0 < eval_fraction):
             raise ValueError(
-                "paciencia requer eval_fraction > 0 (sem split de avaliação "
-                "não há métrica para monitorar)"
+                "paciencia/avaliar_cada requerem eval_fraction > 0 (sem "
+                "split de avaliação não há métrica para monitorar)"
             )
         fetch = fetch_bytes or self.fetch_bytes
         if fetch is None:
@@ -739,15 +755,17 @@ class TrainingJobManager:
                 train_examples = train_examples + pseudo
                 job.n_sugestoes = len(pseudo)
             job.n_examples = len(train_examples)
-            # early stopping (paciencia > 0): periodic eval on the held-out
-            # split; stop after `paciencia` consecutive non-improving evals
-            # and register the BEST snapshot. The eval split is decoded
-            # ONCE, up front, BEFORE the train prefetch starts — the bytes
-            # provider is single-threaded (private event loop) and periodic
-            # eval must never race the producer.
+            # periodic eval (paciencia > 0 and/or avaliar_cada): eval on
+            # the held-out split every eval_every steps; the BEST snapshot
+            # gets registered, and with paciencia > 0 the loop also stops
+            # after that many consecutive non-improving evals. The eval
+            # split is decoded ONCE, up front, BEFORE the train prefetch
+            # starts — the bytes provider is single-threaded (private
+            # event loop) and periodic eval must never race the producer.
             eval_fn = None
             eval_every = None
-            if paciencia and eval_examples:
+            eval_cached = None
+            if (paciencia or avaliar_cada) and eval_examples:
                 eval_cached = list(batch_iterator(
                     eval_examples, fetch, batch_size=batch_size,
                     canvas=canvas, shuffle=False, epochs=1,
@@ -760,6 +778,17 @@ class TrainingJobManager:
                     use_ema=bool(ema_decaimento),
                 )
                 job.params["avaliar_cada"] = eval_every
+            elif paciencia or avaliar_cada:
+                # start() validated eval_fraction > 0, but split_examples
+                # disables the split below 5 examples — say so instead of
+                # silently running without early stopping (self-review r3)
+                job.params["aviso"] = (
+                    "early stopping/avaliação periódica desativados: "
+                    f"dataset pequeno demais para um split de avaliação "
+                    f"({len(examples)} exemplos, mínimo 5)"
+                )
+                logger.warning("treinamento %s: %s",
+                               job.id_job, job.params["aviso"])
             # prefetch: decode the next batch on host while the device runs
             # the current step (train/data.py::prefetch)
             batches = prefetch(
@@ -847,10 +876,16 @@ class TrainingJobManager:
             eval_calibracao = None
             eval_por_classe = None
             if eval_examples:
-                eval_batches = batch_iterator(
-                    eval_examples, fetch, batch_size=batch_size,
-                    canvas=canvas, shuffle=False, epochs=1,
-                    with_counts=True, num_classes=num_classes,
+                # periodic eval already decoded these exact batches —
+                # reuse them instead of re-downloading/re-decoding the
+                # whole split on the 1-core host (self-review r3)
+                eval_batches = (
+                    iter(eval_cached) if eval_cached is not None
+                    else batch_iterator(
+                        eval_examples, fetch, batch_size=batch_size,
+                        canvas=canvas, shuffle=False, epochs=1,
+                        with_counts=True, num_classes=num_classes,
+                    )
                 )
                 if multi_label:
                     from ics_tpu.train.finetune import (
@@ -917,9 +952,9 @@ class TrainingJobManager:
                             logits, labels, num_classes
                         )
                 if eval_por_classe is not None:
-                    # label each row with its option id (class_map is
-                    # id_opc -> index; rows are index-ordered)
-                    inv = {i: opc for opc, i in class_map.items()}
+                    # label each row with its option id (rows are
+                    # index-ordered; data.py::inverse_map)
+                    inv = inverse_map(class_map)
                     for row in eval_por_classe["por_classe"]:
                         row["id_opc"] = inv.get(row["classe"])
                 job.eval_accuracy = eval_accuracy

@@ -786,3 +786,51 @@ class TestLLRD:
         assert head_delta > 0.0
         assert stem_delta < head_delta * 0.1  # decay^(L+1) << 1
         assert all(np.isfinite(h["loss"]) for h in history)
+
+
+class TestFixedClassMap:
+    def test_fixed_map_falls_back_to_known_label(self, labeled_db):
+        """Single-label eval with a FIXED class_map (model re-evaluation):
+        an image whose min-text label is UNKNOWN to the model must fall
+        back to its other, model-known label — not be dropped (the GROUP-BY
+        collapse must run over model-known options only)."""
+        from ics_tpu.core import timezone as tz
+        from ics_tpu.db.models import Classificacao, Opcao, UsuarioConvencional
+
+        db, amb_id, blobs = labeled_db
+        with db.session() as s:
+            ops = {o.texto: o for o in s.query(Opcao).filter(
+                Opcao.id_amb == amb_id
+            ).all()}
+            # texts: 'cão' < 'gato' — 'cão' wins any min-text collapse
+            op_cao, op_gato = ops["cão"], ops["gato"]
+            con = s.query(UsuarioConvencional).all()[0]
+            # image 0 is labeled 'gato' (even i); ALSO label it 'cão'
+            gato_rows = s.fetchall(
+                "SELECT id_img FROM classificacoes WHERE id_opc = ?",
+                [str(op_gato.id_opc)],
+            )
+            target = gato_rows[0]["id_img"]
+            s.add(Classificacao(
+                id_con=con.id_con, id_img=target, id_opc=op_cao.id_opc,
+                data_criado=tz.utcnow(), ativo=True,
+            ))
+            s.commit()
+            id_gato = str(op_gato.id_opc)
+            id_cao = str(op_cao.id_opc)
+
+        # model that only knows 'gato' (trained before 'cão' existed)
+        fixed = {id_gato: 0}
+        examples, cm = labeled_examples(db, amb_id, class_map=fixed)
+        assert cm == {id_gato: 0}
+        by_hash = {e["content_hash"]: e["label"] for e in examples}
+        # the double-labeled image evaluates with its model-known label
+        assert by_hash[target] == 0
+        # only 'gato'-labeled images are evaluable (4 of 8)
+        assert len(examples) == 4
+
+        # sanity: the full map still collapses min-text first ('cão' wins
+        # the double-labeled image)
+        examples_full, cm_full = labeled_examples(db, amb_id)
+        full_by_hash = {e["content_hash"]: e["label"] for e in examples_full}
+        assert full_by_hash[target] == cm_full[id_cao]

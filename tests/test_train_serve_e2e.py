@@ -565,6 +565,7 @@ async def test_early_stopping_registers_best_snapshot(app):
             {"paciencia": 2, "eval_fraction": 0.0},
             {"paciencia": 2, "avaliar_cada": 0},
             {"paciencia": "x"},
+            {"avaliar_cada": 2, "eval_fraction": 0.0},
             {"llrd": 1.5},
             {"llrd": -0.2},
             {"llrd": "x"},
