@@ -199,6 +199,57 @@ async def status_job(request: Request):
     return JSONResponse(job.to_dict())
 
 
+@router.get("/jobs/{id_job}/stream")
+async def stream_job(request: Request):
+    """Live job progress as Server-Sent Events (admin): one ``passo``
+    event per training step already recorded plus each new one as it
+    lands, then a final ``fim`` event with the complete job payload when
+    the job reaches a terminal state. Rides the framework's
+    StreamingResponse (chunked body, connection-close delimited) — no
+    polling loop needed client-side:
+
+        const es = new EventSource('/treinamento/jobs/<id>/stream');
+        es.addEventListener('passo', e => ...JSON.parse(e.data)...);
+        es.addEventListener('fim',   e => es.close());
+    """
+    import asyncio
+    import json as _json
+
+    require_admin(request)
+    job = _trainer(request).get(request.path_params["id_job"])
+    if job is None:
+        raise HTTPException(404, "Job de treinamento não encontrado.")
+
+    async def events():
+        # SSE comment first: flushes headers so EventSource fires `open`
+        # before the first step lands
+        yield b": progresso do job " + job.id_job.encode() + b"\n\n"
+        sent = 0
+        while True:
+            hist = job.history  # appended by the worker thread (on_step)
+            while sent < len(hist):
+                rec = hist[sent]
+                sent += 1
+                yield (
+                    "event: passo\ndata: "
+                    + _json.dumps(rec) + "\n\n"
+                ).encode()
+            if job.status not in ("pendente", "executando"):
+                yield (
+                    "event: fim\ndata: "
+                    + _json.dumps(job.to_dict()) + "\n\n"
+                ).encode()
+                return
+            await asyncio.sleep(0.25)
+
+    from ics_tpu.web import StreamingResponse
+
+    return StreamingResponse(
+        events(), media_type="text/event-stream",
+        headers={"cache-control": "no-cache"},
+    )
+
+
 @router.post("/jobs/{id_job}/cancelar")
 async def cancelar_job(request: Request):
     """Cooperative cancel: the job stops between steps (status

@@ -84,6 +84,7 @@ NET_NEW_ENDPOINTS = [
     ("GET", "/images/{content_hash}/similares"),
     ("POST", "/treinamento/ambiente/{id_amb}"),
     ("GET", "/treinamento/jobs"),
+    ("GET", "/treinamento/jobs/{id_job}/stream"),
     ("GET", "/treinamento/modelos"),
     ("POST", "/treinamento/modelos/{id_mod}/ativar"),
     ("POST", "/treinamento/modelos/{id_mod}/avaliar"),

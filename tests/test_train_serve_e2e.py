@@ -732,3 +732,54 @@ async def test_reevaluate_registered_model_on_current_labels(app):
                          headers=admin)
         if ev.status_code == 200:
             assert len(ev.json().get("logs", [])) >= 1
+
+
+@pytest.mark.anyio
+async def test_job_progress_sse_stream(app):
+    """GET /treinamento/jobs/{id}/stream: SSE events — one `passo` per
+    training step, then `fim` with the terminal job payload."""
+    import json
+
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        r = await c.get("/treinamento/jobs/nao-existe/stream",
+                        headers=admin)
+        assert r.status_code == 404
+
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 3, "batch_size": 4,
+                  "epochs": 50, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+
+        passos, fim = [], None
+        async with c.stream(
+            "GET", f"/treinamento/jobs/{id_job}/stream", headers=admin,
+            timeout=120.0,
+        ) as resp:
+            assert resp.status_code == 200
+            assert resp.headers["content-type"].startswith(
+                "text/event-stream"
+            )
+            event = None
+            async for line in resp.aiter_lines():
+                if line.startswith("event: "):
+                    event = line[len("event: "):]
+                elif line.startswith("data: "):
+                    data = json.loads(line[len("data: "):])
+                    if event == "passo":
+                        passos.append(data)
+                    elif event == "fim":
+                        fim = data
+                        break
+        assert len(passos) == 3
+        assert [p["step"] for p in passos] == [1, 2, 3]
+        assert all(np.isfinite(p["loss"]) for p in passos)
+        assert fim is not None and fim["status"] == "concluido"
+        assert fim["id_job"] == id_job and fim["versao"] == 1
