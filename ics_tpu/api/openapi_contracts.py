@@ -211,6 +211,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
     ("GET", "/treinamento/jobs"): {},
     ("GET", "/treinamento/jobs/{id_job}"): {},
     ("POST", "/treinamento/jobs/{id_job}/cancelar"): {},
+    ("GET", "/treinamento/ambiente/{id_amb}/dataset"): {},
     ("GET", "/treinamento/jobs/{id_job}/stream"): {},
     ("GET", "/treinamento/modelos"): {"query": {"id_amb": "ambiente"}},
     ("POST", "/treinamento/modelos/{id_mod}/ativar"): {},

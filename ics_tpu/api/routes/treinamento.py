@@ -184,6 +184,77 @@ async def iniciar_treinamento(request: Request):
     return JSONResponse(job.to_dict(), 202)
 
 
+@router.get("/ambiente/{id_amb}/dataset")
+async def exportar_dataset(request: Request):
+    """Export the ambiente's labeled dataset as streaming JSONL (admin):
+    line 1 is a metadata header (ambiente, option catalogue, counts),
+    then one line per labeled image — content_hash, download path
+    (the /nextcloud/images proxy), and ALL its active labels (id_opc +
+    texto). The portable twin of the model export: reproduce a
+    fine-tune anywhere, audit the label distribution, or hand the
+    dataset to an external training stack."""
+    import json as _json
+
+    from ics_tpu.core import timezone as tz
+    from ics_tpu.web import StreamingResponse
+
+    db = request.state.db
+    require_admin(request)
+    id_amb = request.path_params["id_amb"]
+    ambiente = db.get(Ambiente, str(id_amb))
+    if ambiente is None:
+        raise HTTPException(404, "Ambiente não encontrado.")
+    opcoes = db.fetchall(
+        "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? ORDER BY texto",
+        [str(id_amb)],
+    )
+    textos = {r["id_opc"]: r["texto"] for r in opcoes}
+    rows = db.fetchall(
+        """
+        SELECT DISTINCT c.id_img AS content_hash, i.caminho_img, c.id_opc
+        FROM classificacoes c
+        JOIN imagens i ON i.content_hash = c.id_img
+        JOIN opcoes o ON o.id_opc = c.id_opc
+        JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
+        WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
+          AND i.existe_no_nextcloud = 1
+        ORDER BY c.id_img
+        """,
+        [str(id_amb), str(id_amb)],
+    )
+    by_image: dict[str, dict] = {}
+    for r in rows:
+        ex = by_image.setdefault(r["content_hash"], {
+            "content_hash": r["content_hash"],
+            "caminho": "/nextcloud/images/"
+                       + r["caminho_img"].lstrip("/"),
+            "rotulos": [],
+        })
+        ex["rotulos"].append(
+            {"id_opc": str(r["id_opc"]),
+             "texto": textos.get(r["id_opc"])}
+        )
+
+    def lines():
+        yield _json.dumps({
+            "ambiente": str(id_amb),
+            "titulo": ambiente.titulo_amb,
+            "multipla_escolha": bool(ambiente.multipla_escolha),
+            "opcoes": [{"id_opc": str(r["id_opc"]), "texto": r["texto"]}
+                       for r in opcoes],
+            "imagens_rotuladas": len(by_image),
+            "exportado_em": tz.utcnow().isoformat(),
+        }, ensure_ascii=False).encode() + b"\n"
+        for ex in by_image.values():
+            yield _json.dumps(ex, ensure_ascii=False).encode() + b"\n"
+
+    return StreamingResponse(
+        lines(), media_type="application/x-ndjson",
+        headers={"content-disposition":
+                 f"attachment; filename=dataset_{id_amb}.jsonl"},
+    )
+
+
 @router.get("/jobs")
 async def listar_jobs(request: Request):
     require_admin(request)

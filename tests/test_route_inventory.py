@@ -83,6 +83,7 @@ NET_NEW_ENDPOINTS = [
     ("POST", "/images/buscar-similares"),
     ("GET", "/images/{content_hash}/similares"),
     ("POST", "/treinamento/ambiente/{id_amb}"),
+    ("GET", "/treinamento/ambiente/{id_amb}/dataset"),
     ("GET", "/treinamento/jobs"),
     ("GET", "/treinamento/jobs/{id_job}/stream"),
     ("GET", "/treinamento/modelos"),

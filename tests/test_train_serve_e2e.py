@@ -783,3 +783,45 @@ async def test_job_progress_sse_stream(app):
         assert all(np.isfinite(p["loss"]) for p in passos)
         assert fim is not None and fim["status"] == "concluido"
         assert fim["id_job"] == id_job and fim["versao"] == 1
+
+
+@pytest.mark.anyio
+async def test_labeled_dataset_export_jsonl(app):
+    """GET /treinamento/ambiente/{id}/dataset: header line + one JSONL
+    row per labeled image with every active label."""
+    import json
+
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+
+        r = await c.get("/treinamento/ambiente/nao-existe/dataset",
+                        headers=admin)
+        assert r.status_code == 404
+
+        r = await c.get(f"/treinamento/ambiente/{id_amb}/dataset",
+                        headers=admin)
+        assert r.status_code == 200, r.text
+        assert r.headers["content-type"].startswith("application/x-ndjson")
+        assert "attachment" in r.headers.get("content-disposition", "")
+        lines = [json.loads(l) for l in r.text.strip().split("\n")]
+        header, rows = lines[0], lines[1:]
+        assert header["ambiente"] == id_amb
+        assert header["imagens_rotuladas"] == 8
+        assert {o["texto"] for o in header["opcoes"]} == {"gato", "cão"}
+        assert len(rows) == 8
+        for row in rows:
+            assert row["caminho"].startswith("/nextcloud/images/")
+            assert row["rotulos"] and all(
+                lab["texto"] in {"gato", "cão"} for lab in row["rotulos"]
+            )
+        # label distribution round-trips (4 gato / 4 cão seeded)
+        textos = [lab["texto"] for row in rows for lab in row["rotulos"]]
+        assert textos.count("gato") == 4 and textos.count("cão") == 4
+
+        # specialists cannot export (admin-only)
+        esp = await _login(c, "esp@x.com", "SenhaBoa1")
+        r = await c.get(f"/treinamento/ambiente/{id_amb}/dataset",
+                        headers=esp)
+        assert r.status_code == 403
