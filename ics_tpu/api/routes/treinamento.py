@@ -97,6 +97,7 @@ async def iniciar_treinamento(request: Request):
     augmentar = body.get("augmentar", True)
     try:
         mixup_alpha = float(body.get("mixup_alpha") or 0.0)
+        cutmix_alpha = float(body.get("cutmix_alpha") or 0.0)
         suavizacao_rotulo = float(body.get("suavizacao_rotulo") or 0.0)
     except (TypeError, ValueError) as exc:
         raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
@@ -156,6 +157,7 @@ async def iniciar_treinamento(request: Request):
             pesos_iniciais=pesos_iniciais,
             augmentar=augmentar,
             mixup_alpha=mixup_alpha,
+            cutmix_alpha=cutmix_alpha,
             suavizacao_rotulo=suavizacao_rotulo,
             agenda_lr=agenda_lr,
             treinar_apenas_cabeca=treinar_apenas_cabeca,

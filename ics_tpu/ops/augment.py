@@ -66,6 +66,7 @@ class AugmentConfig:
     contrast: float = 0.0
     saturation: float = 0.0
     mixup_alpha: float = 0.0  # 0 disables; 0.2 is the standard setting
+    cutmix_alpha: float = 0.0  # 0 disables; 1.0 is the standard setting
     label_smoothing: float = 0.0
 
     def __post_init__(self):
@@ -83,6 +84,8 @@ class AugmentConfig:
                 raise ValueError(f"{name} inválido: {v} (esperado [0, 1))")
         if self.mixup_alpha < 0.0:
             raise ValueError(f"mixup_alpha inválido: {self.mixup_alpha}")
+        if self.cutmix_alpha < 0.0:
+            raise ValueError(f"cutmix_alpha inválido: {self.cutmix_alpha}")
         if not (0.0 <= self.label_smoothing < 1.0):
             raise ValueError(
                 f"label_smoothing inválido: {self.label_smoothing}"
@@ -201,6 +204,64 @@ def smooth_multilabel(targets, smoothing: float = 0.0):
     if smoothing <= 0.0:
         return targets
     return targets * (1.0 - smoothing) + smoothing / 2.0
+
+
+def cutmix(key, images, targets, alpha: float):
+    """Roll-pairing CutMix (Yun et al., arXiv:1905.04899): paste a random
+    box from the batch neighbor; labels mix by the box's ACTUAL area
+    fraction (the sampled box clips at image borders, so lambda is
+    recomputed from the clipped mask — the paper's adjustment).
+
+    TPU-first: the box is a [H, W] 0/1 mask built from two iota
+    comparisons (traced scalars — static shapes, no dynamic_slice, no
+    gathers), and the partner is ``jnp.roll`` by one row, the same
+    single-row ppermute-under-DP pairing as :func:`mixup`. One box per
+    batch, like mixup's single lambda."""
+    _, h, w, _ = images.shape
+    k_lam, k_y, k_x = jax.random.split(key, 3)
+    lam = jax.random.beta(k_lam, alpha, alpha).astype(jnp.float32)
+    lam = jnp.maximum(lam, 1.0 - lam)  # own image dominates (like mixup)
+    cut_frac = jnp.sqrt(1.0 - lam)    # box area fraction = 1 - lambda
+    cut_h = cut_frac * h
+    cut_w = cut_frac * w
+    cy = jax.random.uniform(k_y, ()) * h
+    cx = jax.random.uniform(k_x, ()) * w
+    y0 = jnp.clip(cy - cut_h / 2.0, 0.0, float(h))
+    y1 = jnp.clip(cy + cut_h / 2.0, 0.0, float(h))
+    x0 = jnp.clip(cx - cut_w / 2.0, 0.0, float(w))
+    x1 = jnp.clip(cx + cut_w / 2.0, 0.0, float(w))
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    in_y = (rows >= y0) & (rows < y1)
+    in_x = (cols >= x0) & (cols < x1)
+    box = (in_y[:, None] & in_x[None, :]).astype(jnp.float32)  # [H, W]
+    lam_adj = 1.0 - jnp.mean(box)  # true kept-area fraction after clipping
+    mask = box[None, :, :, None].astype(images.dtype)
+    mixed_images = images * (1.0 - mask) + jnp.roll(images, 1, axis=0) * mask
+    mixed_targets = (
+        lam_adj * targets + (1.0 - lam_adj) * jnp.roll(targets, 1, axis=0)
+    )
+    return mixed_images, mixed_targets
+
+
+def mix_batch(key, images, targets, cfg: AugmentConfig):
+    """Apply the configured mixing: mixup, cutmix, or — with both alphas
+    set — a 50/50 per-batch switch between them (the timm recipe).
+    ``lax.cond`` keeps both branches in one compiled graph."""
+    use_mixup = cfg.mixup_alpha > 0.0
+    use_cutmix = cfg.cutmix_alpha > 0.0
+    if use_mixup and use_cutmix:
+        k_pick, k_mix = jax.random.split(key)
+        return jax.lax.cond(
+            jax.random.bernoulli(k_pick),
+            lambda: mixup(k_mix, images, targets, cfg.mixup_alpha),
+            lambda: cutmix(k_mix, images, targets, cfg.cutmix_alpha),
+        )
+    if use_cutmix:
+        return cutmix(key, images, targets, cfg.cutmix_alpha)
+    if use_mixup:
+        return mixup(key, images, targets, cfg.mixup_alpha)
+    return images, targets
 
 
 def mixup(key, images, targets, alpha: float):

@@ -66,6 +66,11 @@ def main(argv=None) -> int:
         help="mixup Beta(a, a); 0 disables (0.2 is the standard setting)",
     )
     parser.add_argument(
+        "--cutmix-alpha", type=float, default=0.0,
+        help="CutMix Beta(a, a); 0 disables (1.0 is the standard "
+             "setting; with mixup on too, 50/50 per-batch switch)",
+    )
+    parser.add_argument(
         "--suavizacao-rotulo", type=float, default=0.0,
         help="label smoothing in [0, 1); 0.1 is the standard setting",
     )
@@ -133,6 +138,7 @@ def main(argv=None) -> int:
         pesos_iniciais=args.pesos_iniciais,
         augmentar=not args.sem_augmentar,
         mixup_alpha=args.mixup_alpha,
+        cutmix_alpha=args.cutmix_alpha,
         suavizacao_rotulo=args.suavizacao_rotulo,
         agenda_lr=args.agenda_lr,
         treinar_apenas_cabeca=args.apenas_cabeca,

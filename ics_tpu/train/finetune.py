@@ -383,7 +383,7 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
     sigmoid BCE."""
     from ics_tpu.ops.augment import (
         augment_batch,
-        mixup,
+        mix_batch,
         smooth_labels,
         smooth_multilabel,
     )
@@ -413,9 +413,8 @@ def _augmented_step_fn(model, optimizer, augment, image_size: int,
         else:
             targets = smooth_labels(labels, num_classes,
                                     augment.label_smoothing)
-        if augment.mixup_alpha > 0.0:
-            images, targets = mixup(k_mix, images, targets,
-                                    augment.mixup_alpha)
+        if augment.mixup_alpha > 0.0 or augment.cutmix_alpha > 0.0:
+            images, targets = mix_batch(k_mix, images, targets, augment)
         params, state = variables["params"], variables["state"]
         (loss, (logits, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -512,6 +512,7 @@ class TrainingJobManager:
         pesos_iniciais: Optional[str] = None,
         augmentar: bool = True,
         mixup_alpha: float = 0.0,
+        cutmix_alpha: float = 0.0,
         suavizacao_rotulo: float = 0.0,
         agenda_lr: str = "cosseno",
         treinar_apenas_cabeca: bool = False,
@@ -557,11 +558,6 @@ class TrainingJobManager:
                 "paciencia/avaliar_cada requerem eval_fraction > 0 (sem "
                 "split de avaliação não há métrica para monitorar)"
             )
-        fetch = fetch_bytes or self.fetch_bytes
-        if fetch is None:
-            raise TrainingUnavailable(
-                "nenhuma fonte de bytes configurada (NextCloud indisponível)"
-            )
         augment = None
         if augmentar:
             # build up front: AugmentConfig validates its ranges, and an
@@ -571,11 +567,13 @@ class TrainingJobManager:
 
             augment = AugmentConfig(
                 mixup_alpha=float(mixup_alpha),
+                cutmix_alpha=float(cutmix_alpha),
                 label_smoothing=float(suavizacao_rotulo),
             )
-        elif mixup_alpha or suavizacao_rotulo:
+        elif mixup_alpha or cutmix_alpha or suavizacao_rotulo:
             raise ValueError(
-                "mixup_alpha/suavizacao_rotulo requerem augmentar=true"
+                "mixup_alpha/cutmix_alpha/suavizacao_rotulo requerem "
+                "augmentar=true"
             )
         # validate up front (422 at the route, not a failed job): the
         # schedule itself is rebuilt in the worker with the real step count
@@ -585,6 +583,14 @@ class TrainingJobManager:
             # the operator's typo and should 422 at the route, not fail the
             # job minutes later mid-thread
             pesos_iniciais = str(self.resolve_pretrained(pesos_iniciais))
+        # deployment availability is checked LAST: a malformed request must
+        # 422 even when NextCloud is down (validation order = request
+        # shape first, environment second)
+        fetch = fetch_bytes or self.fetch_bytes
+        if fetch is None:
+            raise TrainingUnavailable(
+                "nenhuma fonte de bytes configurada (NextCloud indisponível)"
+            )
         with self._lock:
             if self._running is not None and self._running.status in (
                 "pendente", "executando"
@@ -597,6 +603,7 @@ class TrainingJobManager:
                 {"max_steps": max_steps, "batch_size": batch_size, "lr": lr,
                  "augmentar": bool(augmentar),
                  "mixup_alpha": float(mixup_alpha),
+                 "cutmix_alpha": float(cutmix_alpha),
                  "suavizacao_rotulo": float(suavizacao_rotulo),
                  "agenda_lr": agenda_lr,
                  "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),

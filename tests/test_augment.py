@@ -171,11 +171,61 @@ class TestTargets:
             np.asarray(mixed)[0], 1.0 - lam, atol=1e-5
         )
 
+    def test_cutmix_box_paste_and_area_label(self):
+        """Inside the box the mixed image IS the roll neighbor, outside it
+        is untouched, and the label lambda equals the ACTUAL kept-area
+        fraction of the clipped box."""
+        from ics_tpu.ops.augment import cutmix
+
+        images = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+        targets = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        mixed, mt = cutmix(jax.random.PRNGKey(3), images, targets, alpha=1.0)
+        mixed = np.asarray(mixed)
+        mt = np.asarray(mt)
+        # image 0's pixels are 0 outside the box, 1 (neighbor) inside
+        box = mixed[0, :, :, 0]
+        assert set(np.unique(box)) <= {0.0, 1.0}
+        area = box.mean()
+        assert 0.0 < area <= 0.5  # lambda folded to >= .5
+        # label mixes by the actual box area: target row 0 keeps 1-area
+        np.testing.assert_allclose(mt[0, 0], 1.0 - area, atol=1e-6)
+        np.testing.assert_allclose(mt[0, 1], area, atol=1e-6)
+        np.testing.assert_allclose(mt.sum(axis=1), 1.0, atol=1e-6)
+        # the box is a contiguous rectangle: row/col supports are intervals
+        rows = np.where(box.any(axis=1))[0]
+        cols = np.where(box.any(axis=0))[0]
+        assert (rows == np.arange(rows[0], rows[-1] + 1)).all()
+        assert (cols == np.arange(cols[0], cols[-1] + 1)).all()
+
+    def test_mix_batch_dispatch(self):
+        from ics_tpu.ops.augment import mix_batch
+
+        images = jnp.stack([jnp.zeros((8, 8, 3)), jnp.ones((8, 8, 3))])
+        targets = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+        key = jax.random.PRNGKey(0)
+        # neither -> identity
+        out, ot = mix_batch(key, images, targets, AugmentConfig())
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
+        # cutmix-only -> binary pixels (pure paste, no blending)
+        out, _ = mix_batch(
+            key, images, targets, AugmentConfig(cutmix_alpha=1.0)
+        )
+        assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+        # both -> one of the two applied, targets stay simplex rows
+        out, ot = mix_batch(
+            key, images, targets,
+            AugmentConfig(mixup_alpha=0.2, cutmix_alpha=1.0),
+        )
+        np.testing.assert_allclose(np.asarray(ot).sum(axis=1), 1.0,
+                                   atol=1e-6)
+
     def test_config_validation_is_loud(self):
         with pytest.raises(ValueError, match="scale_range"):
             AugmentConfig(scale_range=(0.0, 1.0))
         with pytest.raises(ValueError, match="mixup_alpha"):
             AugmentConfig(mixup_alpha=-1.0)
+        with pytest.raises(ValueError, match="cutmix_alpha"):
+            AugmentConfig(cutmix_alpha=-0.5)
         with pytest.raises(ValueError, match="label_smoothing"):
             AugmentConfig(label_smoothing=1.0)
         with pytest.raises(ValueError, match="flip_prob"):

@@ -495,6 +495,22 @@ async def test_augmentation_route_params_validate(app):
         )
         assert r.status_code == 422
         assert "label_smoothing" in r.json()["detail"]
+        # cutmix mirrors mixup: requires augmentation, rejects negatives
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "augmentar": False,
+                  "cutmix_alpha": 1.0},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "augmentar" in r.json()["detail"]
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "cutmix_alpha": -1.0},
+            headers=admin,
+        )
+        assert r.status_code == 422
+        assert "cutmix_alpha" in r.json()["detail"]
         # no job was ever created by the rejected requests
         r = await c.get("/treinamento/jobs", headers=admin)
         assert r.json()["jobs"] == []
@@ -825,3 +841,33 @@ async def test_labeled_dataset_export_jsonl(app):
         r = await c.get(f"/treinamento/ambiente/{id_amb}/dataset",
                         headers=esp)
         assert r.status_code == 403
+
+
+@pytest.mark.anyio
+async def test_avaliar_cada_without_paciencia_registers_best(app):
+    """avaliar_cada alone = periodic eval + best-snapshot registration,
+    NO stop rule: the job runs all max_steps (binary metric would stop
+    by step 3 if paciencia were on) and still registers melhor_passo."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 4, "batch_size": 4,
+                  "epochs": 50, "canvas": 64, "avaliar_cada": 1},
+            headers=admin,
+        )
+        assert r.status_code == 202, r.text
+        id_job = r.json()["id_job"]
+        for _ in range(240):
+            r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+            job = r.json()
+            if job["status"] in ("concluido", "falhou"):
+                break
+            await asyncio.sleep(0.5)
+        assert job["status"] == "concluido", job
+        assert job["passos"] == 4          # no early stop
+        assert job["parou_cedo"] is False
+        assert job["melhor_passo"] >= 1    # best snapshot still recorded
+        assert all("eval" in h for h in job["historico"])
