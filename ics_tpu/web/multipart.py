@@ -79,7 +79,11 @@ def parse_multipart(body: bytes, content_type: str) -> FormData:
         for line in raw_headers.split(b"\r\n"):
             if b":" in line:
                 k, _, v = line.partition(b":")
-                headers[k.decode().strip().lower()] = v.decode().strip()
+                # latin-1: the HTTP header byte charset — lossless for any
+                # byte, so a weird filename byte can't 500 the request
+                headers[k.decode("latin-1").strip().lower()] = (
+                    v.decode("latin-1").strip()
+                )
         disp = _parse_content_disposition(headers.get("content-disposition", ""))
         name = disp.get("name", "")
         if "filename" in disp:

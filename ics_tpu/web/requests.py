@@ -100,5 +100,10 @@ class Request:
         ctype = self.headers.get("content-type", "")
         raw = await self.body()
         if ctype.startswith("multipart/form-data"):
-            return parse_multipart(raw, ctype)
+            try:
+                return parse_multipart(raw, ctype)
+            except ValueError:
+                # malformed CLIENT payload (missing boundary, broken part
+                # structure) — 422, never the generic 500 handler
+                raise HTTPException(422, "Corpo multipart inválido.")
         return parse_urlencoded(raw)

@@ -285,3 +285,69 @@ class TestRealServer:
         finally:
             with contextlib.suppress(Exception):
                 await server.stop()
+
+
+class TestMultipartFuzz:
+    """Adversarial multipart bodies: the parser either parses or raises
+    ValueError — never UnicodeDecodeError/IndexError/500 material."""
+
+    def test_missing_boundary_is_value_error(self):
+        from ics_tpu.web.multipart import parse_multipart
+
+        with pytest.raises(ValueError, match="boundary"):
+            parse_multipart(b"anything", "multipart/form-data")
+
+    def test_adversarial_bodies_never_crash(self):
+        from ics_tpu.web.multipart import parse_multipart
+
+        ctype = 'multipart/form-data; boundary="B"'
+        bodies = [
+            b"",                                  # empty
+            b"--B--",                             # no parts
+            b"--B\r\n\r\n\r\n--B--",              # empty headers/content
+            b"--B\r\nheaders without colon\r\n\r\nx\r\n--B--",
+            b"--B\r\ncontent-disposition: form-data\r\n\r\nx\r\n--B--",
+            # non-UTF8 bytes in header values (latin-1 filename)
+            b"--B\r\ncontent-disposition: form-data; name=\"f\"; "
+            b"filename=\"caf\xe9.jpg\"\r\n\r\nDATA\r\n--B--",
+            # header block never terminated by blank line
+            b"--B\r\ncontent-disposition: form-data; name=x\r\n--B--",
+            # boundary-like bytes inside a part's binary payload
+            b"--B\r\ncontent-disposition: form-data; name=\"f\"; "
+            b"filename=\"a\"\r\n\r\n\x00\x01--not-the-boundary\xff\r\n--B--",
+            b"\r\n".join([b"--B"] * 50) + b"--B--",  # many empty parts
+        ]
+        for body in bodies:
+            form = parse_multipart(body, ctype)  # must not raise
+            assert form is not None
+        # the latin-1 filename round-trips losslessly
+        form = parse_multipart(bodies[5], ctype)
+        (f,) = form.getfiles("f")
+        assert f.filename == "caf\xe9.jpg" and f.data == b"DATA"
+
+    def test_binary_payload_preserved_exactly(self):
+        from ics_tpu.web.multipart import parse_multipart
+
+        payload = bytes(range(256)) * 3
+        body = (
+            b"--B\r\ncontent-disposition: form-data; name=\"file\"; "
+            b"filename=\"bin\"\r\ncontent-type: application/octet-stream"
+            b"\r\n\r\n" + payload + b"\r\n--B--\r\n"
+        )
+        form = parse_multipart(body, "multipart/form-data; boundary=B")
+        (f,) = form.getfiles("file")
+        assert f.data == payload
+
+
+@pytest.mark.anyio
+async def test_malformed_multipart_is_422_not_500(client):
+    """Route-level: a multipart Content-Type with no boundary on an
+    upload route must 422 (client error), never the generic 500."""
+    async with client:
+        r = await client.post(
+            "/files/upload",
+            content=b"definitely not multipart",
+            headers={"content-type": "multipart/form-data"},  # no boundary
+        )
+        assert r.status_code == 422, r.text
+        assert "multipart" in r.json()["detail"]
