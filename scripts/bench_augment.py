@@ -98,9 +98,19 @@ def main():
         ),
         True,
     )
+    aug_cutmix = run(
+        "augment_cutmix_switch",
+        make_augmented_train_step(
+            model, opt,
+            AugmentConfig(mixup_alpha=0.2, cutmix_alpha=1.0,
+                          label_smoothing=0.1),
+        ),
+        True,
+    )
     report(summary=True,
            overhead_crop_flip_pct=round((aug / plain - 1) * 100, 1),
-           overhead_full_pct=round((aug_full / plain - 1) * 100, 1))
+           overhead_full_pct=round((aug_full / plain - 1) * 100, 1),
+           overhead_cutmix_pct=round((aug_cutmix / plain - 1) * 100, 1))
 
 
 if __name__ == "__main__":
