@@ -58,7 +58,47 @@ _CHILD = textwrap.dedent(
     )(arr)
     # rows from p0 are 1s (sum 8), from p1 are 2s (sum 16)
     assert float(jax.device_get(total)) == 24.0
-    print("INIT_OK PSUM_OK", flush=True)
+
+    # the DP TRAINING seam over DCN: a jitted grad+SGD step with the
+    # batch sharded over both processes' devices and params replicated —
+    # GSPMD must insert the cross-process gradient reduction, and both
+    # processes must land on IDENTICAL new params
+    import jax.numpy as jnp
+
+    rep = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    w = jax.make_array_from_callback(
+        (4,), rep, lambda idx: np.asarray([1.0, -2.0, 0.5, 3.0], np.float32)[idx]
+    )
+    # each process contributes ITS half of the global batch (distinct rows)
+    x_local = np.arange(8, dtype=np.float32).reshape(2, 4) + 10 * pid
+    y_local = np.asarray([1.0, -1.0], np.float32) + pid
+    x = jax.make_array_from_process_local_data(data_sh, x_local)
+    y = jax.make_array_from_process_local_data(data_sh, y_local)
+
+    def loss_fn(w_, x_, y_):
+        return jnp.mean((x_ @ w_ - y_) ** 2)
+
+    @jax.jit
+    def train_step(w_, x_, y_):
+        loss, g = jax.value_and_grad(loss_fn)(w_, x_, y_)
+        return w_ - 0.01 * g, loss
+
+    new_w, loss = train_step(w, x, y)
+    new_w_host = np.asarray(jax.device_get(
+        jax.jit(lambda a: a, out_shardings=rep)(new_w)
+    ))
+    # reference: the same step on the CONCATENATED global batch (order:
+    # process 0's rows then process 1's)
+    xg = np.concatenate([np.arange(8, dtype=np.float32).reshape(2, 4),
+                         np.arange(8, dtype=np.float32).reshape(2, 4) + 10])
+    yg = np.concatenate([[1.0, -1.0], [2.0, 0.0]]).astype(np.float32)
+    wg = np.asarray([1.0, -2.0, 0.5, 3.0], np.float32)
+    g_ref = (2.0 / 4.0) * xg.T @ (xg @ wg - yg)
+    ref = wg - 0.01 * g_ref
+    np.testing.assert_allclose(new_w_host, ref, rtol=1e-5)
+    assert np.isfinite(float(jax.device_get(loss)))
+    print("INIT_OK PSUM_OK TRAIN_OK", flush=True)
     """
 )
 
@@ -104,4 +144,4 @@ def test_two_process_distributed_init_and_collective(tmp_path):
         outputs.append(out)
     for rank, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
-        assert "INIT_OK PSUM_OK" in out, f"rank {rank}:\n{out}"
+        assert "INIT_OK PSUM_OK TRAIN_OK" in out, f"rank {rank}:\n{out}"
