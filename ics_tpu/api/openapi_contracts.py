@@ -230,6 +230,7 @@ CONTRACTS: dict[tuple[str, str], dict] = {
     ("GET", "/"): {},
     ("GET", "/health"): {},
     ("GET", "/monitor/metrics"): {},
+    ("GET", "/monitor/painel"): {},
     ("GET", "/monitor/status"): {},
     ("POST", "/monitor/latency-budget"): {},
     ("GET", "/docs"): {},

@@ -349,6 +349,16 @@ def create_app(db: Database | None = None) -> App:
             }
         )
 
+    @app.get("/monitor/painel")
+    async def monitor_painel(request: Request):
+        """Operator dashboard: sync/engine/latency/lanes/hedging live view
+        + training job list with an SSE loss sparkline (web/painel.py).
+        The read-only twin of /docs (which is for CALLING the API)."""
+        from ics_tpu.web import Response
+        from ics_tpu.web.painel import PAINEL_HTML
+
+        return Response(PAINEL_HTML, media_type="text/html; charset=utf-8")
+
     @app.get("/monitor/metrics")
     async def monitor_metrics(request: Request):
         from ics_tpu.utils.metrics import registry

@@ -96,3 +96,27 @@ class TestMonitorEndpoints:
             assert r.status_code == 401
             r = await client.post("/inferencia/warmup")
             assert r.status_code == 401
+
+
+@pytest.mark.anyio
+async def test_monitor_painel_serves_dashboard(tmp_path):
+    """GET /monitor/painel: self-contained operator dashboard — polls
+    /monitor/status and /treinamento/jobs, attaches the SSE job stream."""
+    db = Database(f"sqlite:///{tmp_path}/painel.db")
+    a = create_app(db=db)
+    await a.startup()
+    try:
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=a), base_url="http://t"
+        ) as client:
+            r = await client.get("/monitor/painel")
+            assert r.status_code == 200
+            assert r.headers["content-type"].startswith("text/html")
+            html = r.text
+            assert "/monitor/status" in html
+            assert "/treinamento/jobs" in html
+            assert "EventSource" in html
+            # no CDN / external assets (self-contained like /docs)
+            assert "http://" not in html and "https://" not in html
+    finally:
+        await a.shutdown()

@@ -93,6 +93,7 @@ NET_NEW_ENDPOINTS = [
     ("GET", "/treinamento/modelos/{id_mod}/exportar"),
     ("POST", "/treinamento/ambiente/{id_amb}/importar"),
     ("GET", "/monitor/metrics"),
+    ("GET", "/monitor/painel"),
     ("GET", "/monitor/status"),
 ]
 
