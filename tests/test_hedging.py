@@ -226,3 +226,29 @@ class TestAppWiring:
                 await app.shutdown()
         finally:
             config_mod.reload_settings()
+
+
+class TestHedgedExplain:
+    @pytest.mark.anyio
+    async def test_explain_round_robins_and_returns_map(self):
+        """explain_bytes spreads across replicas like embed/tta (rare
+        diagnostic traffic — never hedged) and returns the saliency
+        payload from whichever replica served it."""
+        service = _make_service()
+        await service.start()
+        try:
+            rng = np.random.default_rng(1)
+            maps = []
+            for _ in range(4):
+                out = await service.explain_bytes(_jpeg(rng))
+                assert out["grade"] == 16
+                assert out["metodo"] == "gradiente-entrada"
+                m = np.asarray(out["mapa_saliencia"])
+                assert m.shape == (16, 16)
+                assert m.min() >= 0.0 and m.max() <= 1.0 + 1e-6
+                maps.append(m)
+            counts = [r.engine._stats["images"] for r in service.replicas]
+            assert counts == [2, 2]  # round-robin, no hedging
+            assert service._stats["hedges_fired"] == 0
+        finally:
+            await service.stop()
