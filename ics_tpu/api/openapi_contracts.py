@@ -130,7 +130,10 @@ CONTRACTS: dict[tuple[str, str], dict] = {
         "request": _obj({"file": {"type": "string", "format": "binary"}},
                         ["file"]),
         "query": {"id_opc": "explica esta opção do modelo ativo "
-                            "(default: a classe top do modelo)"},
+                            "(default: a classe top do modelo)",
+                  "suavizar": "SmoothGrad: média dos gradientes sobre N "
+                              "cópias ruidosas (1-16; quantizado para "
+                              "{1,4,8,16})"},
     },
     ("GET", "/classificacoes/ambiente/{id_amb}/priorizadas"): {
         "query": {"limite": "máx. de imagens (1-100, default 20)"},

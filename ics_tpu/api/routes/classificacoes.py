@@ -588,8 +588,22 @@ async def explicar_classificacao(request: Request):
             )
         class_idx = int(class_map[str(id_opc_alvo)])
 
+    # ?suavizar=N: SmoothGrad — average gradients over N noisy copies in
+    # one batched pass (quantized up to {1,4,8,16}; 422 out of range)
+    raw_smooth = request.query_params.get("suavizar")
+    smooth = 1
+    if raw_smooth:
+        try:
+            smooth = int(raw_smooth)
+        except (TypeError, ValueError):
+            raise HTTPException(422, "Parâmetro inválido: suavizar")
+        if not (1 <= smooth <= 16):
+            raise HTTPException(
+                422, "Parâmetro inválido: suavizar deve estar em [1, 16]"
+            )
+
     try:
-        result = await service.explain_bytes(file.data, class_idx)
+        result = await service.explain_bytes(file.data, class_idx, smooth)
     except (OSError, ValueError):
         raise HTTPException(422, "Imagem inválida ou não decodificável.")
 

@@ -251,7 +251,11 @@ class InferenceEngine:
         return idx, scores
 
     # -- explainability ------------------------------------------------------
-    def _get_explain_step(self):
+    # allowed SmoothGrad sample counts: one compiled graph per value, so
+    # the request parameter quantizes UP into this small static set
+    EXPLAIN_SMOOTH_BUCKETS = (1, 4, 8, 16)
+
+    def _get_explain_step(self, n_samples: int = 1):
         """Compiled saliency step (net-new — the reference classifies but
         never explains): forward + input-gradient in ONE fused graph.
 
@@ -260,37 +264,63 @@ class InferenceEngine:
         PREPROCESSED input so the map lives in model-view coordinates, then
         bilinearly resized to a fixed ``EXPLAIN_GRID``² grid in-graph (any
         image_size, one response shape) and min-max normalized to [0, 1].
-        ``class_idx < 0`` explains the model's own top class: the gradient
-        of ``max(logits)`` flows only through the argmax class, so no
-        second forward pass or host round-trip is needed."""
-        if getattr(self, "_explain_step", None) is None:
+        ``class_idx < 0`` explains the model's own top class (chosen from
+        the CLEAN forward, under stop_gradient — no second pass).
+
+        ``n_samples > 1`` is SmoothGrad (Smilkov et al., arXiv:1706.03825):
+        the image is replicated into a batch of ``n`` copies with Gaussian
+        noise (sigma = 10% of the image's value span; copy 0 stays clean
+        and drives the top-k), ALL sample gradients come out of the one
+        batched backward, and the map averages them — vanilla-gradient
+        speckle cancels at ~n× device FLOPs, still one graph."""
+        steps = getattr(self, "_explain_steps", None)
+        if steps is None:
+            steps = self._explain_steps = {}
+        if n_samples not in steps:
             model = self.model
             spec = self.spec
             dtype = self.dtype
             multi_label = self.multi_label
             k = self._top_k()
+            n = n_samples
 
-            def step(folded, canvas_u8, sizes, class_idx):
+            def step(folded, canvas_u8, sizes, class_idx, key):
                 x = preprocess_batch(
                     canvas_u8, sizes, out_size=spec.image_size,
                     resize_short=spec.resize_short, dtype=dtype,
                 )
-
-                def target_of(xin):
-                    logits = model.apply_folded(
-                        folded, xin
-                    ).astype(jnp.float32)
-                    row = logits[0]
-                    picked = row[jnp.clip(class_idx, 0, row.shape[0] - 1)]
-                    target = jnp.where(
-                        class_idx >= 0, picked, jnp.max(row)
+                x0 = x[0]
+                if n == 1:
+                    xs = x0[None]
+                else:
+                    span = (jnp.max(x0) - jnp.min(x0)).astype(jnp.float32)
+                    noise = (0.1 * span) * jax.random.normal(
+                        key, (n,) + x0.shape, jnp.float32
                     )
-                    return target, logits
+                    noise = noise.at[0].set(0.0)  # clean copy: top-k source
+                    xs = x0[None] + noise.astype(x0.dtype)
 
-                (_, logits), g = jax.value_and_grad(
+                def target_of(xb):
+                    logits = model.apply_folded(
+                        folded, xb
+                    ).astype(jnp.float32)
+                    clean = logits[0]
+                    cls = jnp.where(
+                        class_idx >= 0,
+                        jnp.clip(class_idx, 0, clean.shape[0] - 1),
+                        jnp.argmax(clean),
+                    )
+                    cls = jax.lax.stop_gradient(cls)
+                    # sum over samples: one backward yields each copy's
+                    # own gradient (samples are independent rows)
+                    return jnp.sum(logits[:, cls]), clean
+
+                (_, clean_logits), g = jax.value_and_grad(
                     target_of, has_aux=True
-                )(x)
-                heat = jnp.max(jnp.abs(g[0].astype(jnp.float32)), axis=-1)
+                )(xs)
+                heat = jnp.mean(
+                    jnp.max(jnp.abs(g.astype(jnp.float32)), axis=-1), axis=0
+                )
                 heat = jax.image.resize(
                     heat, (EXPLAIN_GRID, EXPLAIN_GRID), "linear"
                 )
@@ -298,43 +328,41 @@ class InferenceEngine:
                 hi = jnp.max(heat)
                 heat = (heat - lo) / jnp.maximum(hi - lo, 1e-12)
                 if multi_label:
-                    probs = jax.nn.sigmoid(logits)
+                    probs = jax.nn.sigmoid(clean_logits)
                 else:
-                    probs = jax.nn.softmax(logits, axis=-1)
+                    probs = jax.nn.softmax(clean_logits, axis=-1)
                 top_scores, top_idx = jax.lax.top_k(probs, k)
                 return top_idx, top_scores, heat
 
-            self._explain_step = jax.jit(step)
-        return self._explain_step
+            steps[n_samples] = jax.jit(step)
+        return steps[n_samples]
 
     def explain_staged(
         self, canvas: np.ndarray, sizes: np.ndarray,
-        class_idx: int = -1,
+        class_idx: int = -1, smooth_samples: int = 1, seed: int = 0,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One image (row 0) -> (top_idx [K], top_scores [K], heat [G, G]).
 
-        The batch is padded to the smallest bucket like every other lane;
-        only row 0's saliency is computed (the padding rows contribute
-        zero gradient to the row-0 target)."""
-        n = canvas.shape[0]
-        bucket = self.bucket_for(n)
-        if n < bucket:
-            canvas = np.concatenate(
-                [canvas, np.zeros((bucket - n, *canvas.shape[1:]), np.uint8)]
-            )
-            sizes = np.concatenate(
-                [sizes, np.full((bucket - n, 2), 256, np.int32)]
-            )
-        step = self._get_explain_step()
+        ``smooth_samples`` quantizes UP into EXPLAIN_SMOOTH_BUCKETS (one
+        compiled graph per value). Only row 0 of ``canvas`` is explained;
+        the noisy copies are built in model-view space on device."""
+        for b in self.EXPLAIN_SMOOTH_BUCKETS:
+            if smooth_samples <= b:
+                smooth_samples = b
+                break
+        else:
+            smooth_samples = self.EXPLAIN_SMOOTH_BUCKETS[-1]
+        step = self._get_explain_step(smooth_samples)
         t0 = time.perf_counter()
         idx, scores, heat = step(
-            self.folded, canvas, sizes, jnp.int32(class_idx)
+            self.folded, canvas[:1], sizes[:1], jnp.int32(class_idx),
+            jax.random.PRNGKey(seed),
         )
         self._stats["batches"] += 1
         self._stats["images"] += 1
         self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
-        return (np.asarray(idx)[0], np.asarray(scores)[0],
-                np.asarray(heat))
+        # top_k ran on the clean 1-D logits row: idx/scores are already [K]
+        return np.asarray(idx), np.asarray(scores), np.asarray(heat)
 
     # -- embeddings ----------------------------------------------------------
     @property

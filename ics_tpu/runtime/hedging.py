@@ -202,11 +202,12 @@ class HedgedInferenceService:
         deterministic work — spreading load beats duplicating it)."""
         return await self.replicas[self._next()].embed_bytes(data)
 
-    async def explain_bytes(self, data: bytes, class_idx: int = -1) -> dict:
+    async def explain_bytes(self, data: bytes, class_idx: int = -1,
+                            smooth_samples: int = 1) -> dict:
         """Round-robin like embed_bytes (rare diagnostic traffic; a
         saliency map is not latency-critical enough to hedge)."""
         return await self.replicas[self._next()].explain_bytes(
-            data, class_idx
+            data, class_idx, smooth_samples
         )
 
     async def classify_bytes_tta(self, data: bytes) -> dict:

@@ -375,13 +375,15 @@ class InferenceService:
         )
         return feats[0]
 
-    async def explain_bytes(self, data: bytes,
-                            class_idx: int = -1) -> dict:
+    async def explain_bytes(self, data: bytes, class_idx: int = -1,
+                            smooth_samples: int = 1) -> dict:
         """bytes -> top-k + input-gradient saliency map (engine
         ``explain_staged``). ``class_idx=-1`` explains the model's own top
-        class. Explanations are rare diagnostic traffic, so this stages a
-        batch-of-1 directly (no dedicated batcher lane); decode and the
-        device step run off the event loop."""
+        class; ``smooth_samples > 1`` averages gradients over that many
+        noisy copies in one batched pass (SmoothGrad). Explanations are
+        rare diagnostic traffic, so this stages a batch-of-1 directly
+        (no dedicated batcher lane); decode and the device step run off
+        the event loop."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -392,20 +394,30 @@ class InferenceService:
         )
         idx, scores, heat = await loop.run_in_executor(
             None, lambda: self.engine.explain_staged(
-                canvas, sizes, class_idx
+                canvas, sizes, class_idx, smooth_samples=smooth_samples,
             )
         )
         dt_ms = (_time.perf_counter() - t0) * 1000
         self._record_latency(dt_ms)
-        return {
+        out = {
             "top_classes": [int(i) for i in idx],
             "scores": [float(s) for s in scores],
             "mapa_saliencia": np.round(heat, 4).tolist(),
             "grade": int(heat.shape[0]),
-            "metodo": "gradiente-entrada",
+            "metodo": ("smoothgrad" if smooth_samples > 1
+                       else "gradiente-entrada"),
             "latency_ms": round(dt_ms, 3),
             "model": self.engine.model_name,
         }
+        if smooth_samples > 1:
+            # the engine quantized UP into its static bucket set
+            for b in self.engine.EXPLAIN_SMOOTH_BUCKETS:
+                if smooth_samples <= b:
+                    out["suavizacao"] = b
+                    break
+            else:
+                out["suavizacao"] = self.engine.EXPLAIN_SMOOTH_BUCKETS[-1]
+        return out
 
     def _record_latency(self, ms: float) -> None:
         self._latencies_ms.append(ms)

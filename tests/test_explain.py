@@ -97,3 +97,43 @@ class TestExplainStep:
         _, _, h_hi = engine.explain_staged(canvas, sizes, class_idx=99)
         _, _, h_last = engine.explain_staged(canvas, sizes, class_idx=3)
         np.testing.assert_allclose(h_hi, h_last, rtol=1e-5, atol=1e-6)
+
+
+class TestSmoothGrad:
+    def test_smooth_matches_topk_and_differs_from_vanilla(self, engine,
+                                                          staged):
+        """SmoothGrad: the clean copy drives top-k (identical to vanilla);
+        the averaged map differs from the single-sample map but stays
+        normalized."""
+        canvas, sizes = staged
+        idx_v, scores_v, heat_v = engine.explain_staged(canvas, sizes)
+        idx_s, scores_s, heat_s = engine.explain_staged(
+            canvas, sizes, smooth_samples=4
+        )
+        np.testing.assert_array_equal(idx_v, idx_s)
+        np.testing.assert_allclose(scores_v, scores_s, rtol=1e-5)
+        assert heat_s.shape == (EXPLAIN_GRID, EXPLAIN_GRID)
+        assert float(heat_s.min()) == pytest.approx(0.0, abs=1e-6)
+        assert float(heat_s.max()) == pytest.approx(1.0, abs=1e-6)
+        assert not np.allclose(heat_v, heat_s)
+
+    def test_deterministic_given_seed(self, engine, staged):
+        canvas, sizes = staged
+        _, _, h1 = engine.explain_staged(canvas, sizes, smooth_samples=8,
+                                         seed=5)
+        _, _, h2 = engine.explain_staged(canvas, sizes, smooth_samples=8,
+                                         seed=5)
+        np.testing.assert_array_equal(h1, h2)
+        _, _, h3 = engine.explain_staged(canvas, sizes, smooth_samples=8,
+                                         seed=6)
+        assert not np.allclose(h1, h3)
+
+    def test_sample_count_quantizes_up(self, engine, staged):
+        """3 -> 4, 9 -> 16: one compiled graph per bucket value."""
+        canvas, sizes = staged
+        engine.explain_staged(canvas, sizes, smooth_samples=3)
+        assert 4 in engine._explain_steps
+        engine.explain_staged(canvas, sizes, smooth_samples=9)
+        assert 16 in engine._explain_steps
+        assert 3 not in engine._explain_steps
+        assert 9 not in engine._explain_steps

@@ -246,6 +246,23 @@ async def test_train_register_serve_suggest(app):
             headers=esp,
         )
         assert r.status_code == 422
+        # SmoothGrad: ?suavizar=N averages gradients over N noisy copies
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar?suavizar=3",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 200, r.text
+        sg = r.json()
+        assert sg["metodo"] == "smoothgrad"
+        assert sg["suavizacao"] == 4  # quantized up to the bucket
+        assert np.asarray(sg["mapa_saliencia"]).shape == (16, 16)
+        r = await c.post(
+            f"/classificacoes/ambiente/{id_amb}/explicar?suavizar=99",
+            files={"file": ("x.jpg", app.state.blobs[some_hash], "image/jpeg")},
+            headers=esp,
+        )
+        assert r.status_code == 422
         # garbage bytes -> 422
         r = await c.post(
             f"/classificacoes/ambiente/{id_amb}/explicar",
