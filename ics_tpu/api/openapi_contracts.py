@@ -209,6 +209,8 @@ CONTRACTS: dict[tuple[str, str], dict] = {
             "agenda_lr": "string", "treinar_apenas_cabeca": "boolean",
             "otimizador": "string", "ema_decaimento": "number",
             "acumular_gradientes": "integer",
+            "cutmix_alpha": "number", "paciencia": "integer",
+            "avaliar_cada": "integer", "llrd": "number",
         }),
     },
     ("GET", "/treinamento/jobs"): {},

@@ -210,32 +210,16 @@ async def exportar_dataset(request: Request):
         "SELECT id_opc, texto FROM opcoes WHERE id_amb = ? ORDER BY texto",
         [str(id_amb)],
     )
-    textos = {r["id_opc"]: r["texto"] for r in opcoes}
-    rows = db.fetchall(
-        """
-        SELECT DISTINCT c.id_img AS content_hash, i.caminho_img, c.id_opc
-        FROM classificacoes c
-        JOIN imagens i ON i.content_hash = c.id_img
-        JOIN opcoes o ON o.id_opc = c.id_opc
-        JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
-        WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
-          AND i.existe_no_nextcloud = 1
-        ORDER BY c.id_img
-        """,
-        [str(id_amb), str(id_amb)],
+    textos = {str(r["id_opc"]): r["texto"] for r in opcoes}
+    # the SAME query/grouping training consumes (multi-label form keeps
+    # EVERY active label per image) — the export cannot diverge from
+    # what a fine-tune would actually see
+    from ics_tpu.train.data import inverse_map, labeled_examples
+
+    examples, class_map = labeled_examples(
+        request.app.state.db, str(id_amb), multi_label=True
     )
-    by_image: dict[str, dict] = {}
-    for r in rows:
-        ex = by_image.setdefault(r["content_hash"], {
-            "content_hash": r["content_hash"],
-            "caminho": "/nextcloud/images/"
-                       + r["caminho_img"].lstrip("/"),
-            "rotulos": [],
-        })
-        ex["rotulos"].append(
-            {"id_opc": str(r["id_opc"]),
-             "texto": textos.get(r["id_opc"])}
-        )
+    inv = inverse_map(class_map)
 
     def lines():
         yield _json.dumps({
@@ -244,11 +228,20 @@ async def exportar_dataset(request: Request):
             "multipla_escolha": bool(ambiente.multipla_escolha),
             "opcoes": [{"id_opc": str(r["id_opc"]), "texto": r["texto"]}
                        for r in opcoes],
-            "imagens_rotuladas": len(by_image),
+            "imagens_rotuladas": len(examples),
             "exportado_em": tz.utcnow().isoformat(),
         }, ensure_ascii=False).encode() + b"\n"
-        for ex in by_image.values():
-            yield _json.dumps(ex, ensure_ascii=False).encode() + b"\n"
+        for ex in examples:
+            row = {
+                "content_hash": ex["content_hash"],
+                "caminho": "/nextcloud/images/"
+                           + ex["caminho_img"].lstrip("/"),
+                "rotulos": [
+                    {"id_opc": inv[i], "texto": textos.get(inv[i])}
+                    for i in ex["labels"]
+                ],
+            }
+            yield _json.dumps(row, ensure_ascii=False).encode() + b"\n"
 
     return StreamingResponse(
         lines(), media_type="application/x-ndjson",
@@ -298,16 +291,28 @@ async def stream_job(request: Request):
         # before the first step lands
         yield b": progresso do job " + job.id_job.encode() + b"\n\n"
         sent = 0
-        while True:
+
+        def drain():
+            nonlocal sent
+            out = []
             hist = job.history  # appended by the worker thread (on_step)
             while sent < len(hist):
-                rec = hist[sent]
+                out.append(
+                    ("event: passo\ndata: "
+                     + _json.dumps(hist[sent]) + "\n\n").encode()
+                )
                 sent += 1
-                yield (
-                    "event: passo\ndata: "
-                    + _json.dumps(rec) + "\n\n"
-                ).encode()
+            return out
+
+        while True:
+            for chunk in drain():
+                yield chunk
             if job.status not in ("pendente", "executando"):
+                # the worker can append final steps AND flip the status
+                # between the drain above and this check — drain once
+                # more so no passo is silently swallowed before fim
+                for chunk in drain():
+                    yield chunk
                 yield (
                     "event: fim\ndata: "
                     + _json.dumps(job.to_dict()) + "\n\n"

@@ -255,6 +255,16 @@ class InferenceEngine:
     # the request parameter quantizes UP into this small static set
     EXPLAIN_SMOOTH_BUCKETS = (1, 4, 8, 16)
 
+    @classmethod
+    def quantize_smooth(cls, n: int) -> int:
+        """The ONE place the sample-count quantization rule lives —
+        callers reporting the effective count must use this, not re-walk
+        the bucket list."""
+        for b in cls.EXPLAIN_SMOOTH_BUCKETS:
+            if n <= b:
+                return b
+        return cls.EXPLAIN_SMOOTH_BUCKETS[-1]
+
     def _get_explain_step(self, n_samples: int = 1):
         """Compiled saliency step (net-new — the reference classifies but
         never explains): forward + input-gradient in ONE fused graph.
@@ -346,12 +356,7 @@ class InferenceEngine:
         ``smooth_samples`` quantizes UP into EXPLAIN_SMOOTH_BUCKETS (one
         compiled graph per value). Only row 0 of ``canvas`` is explained;
         the noisy copies are built in model-view space on device."""
-        for b in self.EXPLAIN_SMOOTH_BUCKETS:
-            if smooth_samples <= b:
-                smooth_samples = b
-                break
-        else:
-            smooth_samples = self.EXPLAIN_SMOOTH_BUCKETS[-1]
+        smooth_samples = self.quantize_smooth(smooth_samples)
         step = self._get_explain_step(smooth_samples)
         t0 = time.perf_counter()
         idx, scores, heat = step(

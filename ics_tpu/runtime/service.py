@@ -410,13 +410,8 @@ class InferenceService:
             "model": self.engine.model_name,
         }
         if smooth_samples > 1:
-            # the engine quantized UP into its static bucket set
-            for b in self.engine.EXPLAIN_SMOOTH_BUCKETS:
-                if smooth_samples <= b:
-                    out["suavizacao"] = b
-                    break
-            else:
-                out["suavizacao"] = self.engine.EXPLAIN_SMOOTH_BUCKETS[-1]
+            # report the sample count the engine ACTUALLY used
+            out["suavizacao"] = self.engine.quantize_smooth(smooth_samples)
         return out
 
     def _record_latency(self, ms: float) -> None:

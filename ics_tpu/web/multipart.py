@@ -76,13 +76,22 @@ def parse_multipart(body: bytes, content_type: str) -> FormData:
         else:
             continue
         headers: dict[str, str] = {}
+
+        def _header_text(b: bytes) -> str:
+            # browsers send Content-Disposition filenames as raw UTF-8
+            # (HTML spec): decode that first; fall back to latin-1 (the
+            # HTTP header byte charset — lossless) so a stray byte can
+            # never 500 the request
+            try:
+                return b.decode("utf-8")
+            except UnicodeDecodeError:
+                return b.decode("latin-1")
+
         for line in raw_headers.split(b"\r\n"):
             if b":" in line:
                 k, _, v = line.partition(b":")
-                # latin-1: the HTTP header byte charset — lossless for any
-                # byte, so a weird filename byte can't 500 the request
-                headers[k.decode("latin-1").strip().lower()] = (
-                    v.decode("latin-1").strip()
+                headers[_header_text(k).strip().lower()] = (
+                    _header_text(v).strip()
                 )
         disp = _parse_content_disposition(headers.get("content-disposition", ""))
         name = disp.get("name", "")

@@ -43,9 +43,16 @@ PAINEL_HTML = """<!doctype html>
  <section><h2>Hedging / réplicas</h2><table id="hedge"></table></section>
 </main>
 <script>
+function esc(s){
+  // server-derived strings (sync error text can embed NextCloud-side
+  // content) must never reach innerHTML unescaped
+  return String(s).replace(/[&<>"']/g, c => ({'&':'&amp;','<':'&lt;',
+    '>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+}
 function rows(el, pairs){
   document.getElementById(el).innerHTML = pairs.map(
-    ([k, v, cls]) => `<tr><td>${k}</td><td class="${cls||''}">${v}</td></tr>`
+    ([k, v, cls]) =>
+      `<tr><td>${esc(k)}</td><td class="${cls||''}">${esc(v)}</td></tr>`
   ).join('');
 }
 function fmt(x){

@@ -324,6 +324,14 @@ class TestMultipartFuzz:
         form = parse_multipart(bodies[5], ctype)
         (f,) = form.getfiles("f")
         assert f.filename == "caf\xe9.jpg" and f.data == b"DATA"
+        # and the COMMON case: browsers send filenames as raw UTF-8 —
+        # utf-8 decodes first, latin-1 is only the never-crash fallback
+        form = parse_multipart(
+            b"--B\r\ncontent-disposition: form-data; name=\"f\"; "
+            b"filename=\"caf\xc3\xa9.jpg\"\r\n\r\nDATA\r\n--B--", ctype
+        )
+        (f,) = form.getfiles("f")
+        assert f.filename == "caf\xe9.jpg"
 
     def test_binary_payload_preserved_exactly(self):
         from ics_tpu.web.multipart import parse_multipart
