@@ -142,6 +142,21 @@ def _ensure_populated() -> None:
     except ImportError:
         pass
     try:
+        from ics_tpu.models import regnet
+
+        register_model(
+            "regnet_y_400mf", regnet.regnet_y_400mf, 224, 256,
+            "RegNet-Y 400MF — NAS-designed SE-gated grouped bottlenecks "
+            "(torchvision-checkpoint-compatible, 4,344,144 params)",
+        )
+        register_model(
+            "regnet_y_1_6gf", regnet.regnet_y_1_6gf, 224, 256,
+            "RegNet-Y 1.6GF — larger Y variant "
+            "(torchvision-checkpoint-compatible, 11,202,430 params)",
+        )
+    except ImportError:
+        pass
+    try:
         from ics_tpu.models import densenet
 
         register_model(

@@ -298,6 +298,35 @@ def _bn(flat, prefix):
     return params, state
 
 
+def _map_regnet(model, flat):
+    """torchvision ``regnet_y_*`` (``torchvision/models/regnet.py``
+    naming: stem.0/1, trunk_output.block{i}.block{i}-{j}.proj/.f.{a,b,c}
+    with conv-BN pairs, .f.se.fc1/fc2 1x1 convs, fc head)."""
+    params: dict = {"stages": []}
+    state: dict = {"stages": []}
+    params["stem"], state["stem"] = _convbn(flat, "stem.0", "stem.1")
+    for si, blocks in enumerate(model.stages, start=1):
+        sp, ss = [], []
+        for bi, blk in enumerate(blocks):
+            pfx = f"trunk_output.block{si}.block{si}-{bi}"
+            bp, bs = {}, {}
+            for name in ("a", "b", "c"):
+                bp[name], bs[name] = _convbn(
+                    flat, f"{pfx}.f.{name}.0", f"{pfx}.f.{name}.1"
+                )
+            bp["se"] = _se(flat, f"{pfx}.f.se.fc1", f"{pfx}.f.se.fc2")
+            if blk.proj:
+                bp["proj"], bs["proj"] = _convbn(
+                    flat, f"{pfx}.proj.0", f"{pfx}.proj.1"
+                )
+            sp.append(bp)
+            ss.append(bs)
+        params["stages"].append(sp)
+        state["stages"].append(ss)
+    params["head"] = _linear(flat, "fc")
+    return {"params": params, "state": state}
+
+
 def _map_densenet(model, flat):
     """torchvision ``densenet*`` (``torchvision/models/densenet.py``
     naming: features.denseblock{i}.denselayer{j}.norm/conv{1,2},
@@ -626,6 +655,7 @@ _FAMILIES = (
     ("resnext", _map_resnet, "fc.weight"),
     ("wide_resnet", _map_resnet, "fc.weight"),
     ("densenet", _map_densenet, "classifier.weight"),
+    ("regnet", _map_regnet, "fc.weight"),
     ("vit", _map_vit, "head.weight"),
     ("mobilenetv3", _map_mobilenetv3, "classifier.3.weight"),
     # v2 must precede the v1 prefix match

@@ -31,6 +31,9 @@ CONFIGS = {
     # dense-connectivity family (narrow 3x3s + concat growth)
     "densenet121": (128, 256, 20),
     "densenet169": (128, 256, 20),
+    # NAS family: SE-gated grouped bottlenecks (group width 8/24)
+    "regnet_y_400mf": (128, 256, 20),
+    "regnet_y_1_6gf": (128, 256, 20),
 }
 
 

@@ -479,3 +479,65 @@ class TestDenseNet:
         # transition input channels: 64+6*32=256, 128+12*32=512,
         # 256+24*32=1024
         assert [t.bn.num_features for t in m.down] == [256, 512, 1024]
+
+
+class TestRegNet:
+    def test_registry_and_exact_param_counts(self):
+        from ics_tpu.models.regnet import regnet_y_1_6gf, regnet_y_400mf
+        from ics_tpu.models.registry import list_models
+
+        models = list_models()
+        assert "regnet_y_400mf" in models and "regnet_y_1_6gf" in models
+
+        def count(tree):
+            import numpy as _np
+
+            return sum(
+                int(_np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree)
+            )
+
+        # torchvision-published exact counts at 1000 classes
+        v = regnet_y_400mf(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v["params"]) == 4_344_144
+        v = regnet_y_1_6gf(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v["params"]) == 11_202_430
+
+    def test_micro_forward_fold_and_train_state(self):
+        import numpy as np
+
+        from ics_tpu.models.regnet import regnet_micro
+
+        model = regnet_micro(num_classes=5)
+        variables = model.init(jax.random.PRNGKey(1))
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 64, 3)),
+            jnp.float32,
+        )
+        logits, _ = model.apply(variables, x, training=False)
+        assert logits.shape == (2, 5)
+        lf = model.apply_folded(model.fold(variables), x)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(lf), atol=1e-5, rtol=1e-5
+        )
+        _, st = model.apply(variables, x, training=True)
+        assert not np.allclose(
+            np.asarray(st["stem"]["bn"]["mean"]),
+            np.asarray(variables["state"]["stem"]["bn"]["mean"]),
+        )
+
+    def test_every_stage_opens_at_stride_2(self):
+        """RegNet has no maxpool: the stem is /2 and each stage halves
+        again — 64px in, 64/2/2/2 = 8px feature map for the 2-stage micro."""
+        from ics_tpu.models.regnet import regnet_micro
+
+        m = regnet_micro(num_classes=3)
+        v = m.init(jax.random.PRNGKey(0))
+        folded = m.fold(v)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        y = jax.nn.relu(m.stem.apply_folded(folded["stem"], x))
+        assert y.shape == (1, 32, 32, 16) or y.shape == (1, 32, 32, 32)
+        for blocks, bf in zip(m.stages, folded["stages"]):
+            for blk, f in zip(blocks, bf):
+                y = blk.apply_folded(f, y)
+        assert y.shape[1:3] == (8, 8)

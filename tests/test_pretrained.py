@@ -494,6 +494,106 @@ class TestTorchGold:
             atol=2e-5, rtol=1e-4,
         )
 
+    def test_regnet_matches_torch(self):
+        """RegNet micro twin with REAL torchvision naming (trunk_output.
+        block{i}.block{i}-{j}.f.a/b/c + f.se + proj): SE-gated grouped
+        bottleneck numerics, stride-2 stage openings, BN-folded serving."""
+        from collections import OrderedDict
+
+        from ics_tpu.models.regnet import RegNet
+
+        gw = 8  # group width
+
+        def conv_bn(w_in, w_out, k, stride=1, groups=1):
+            return tnn.Sequential(
+                tnn.Conv2d(w_in, w_out, k, stride, padding=k // 2,
+                           groups=groups, bias=False),
+                tnn.BatchNorm2d(w_out),
+            )
+
+        class _TorchSE(tnn.Module):
+            def __init__(self, ch, squeeze):
+                super().__init__()
+                self.fc1 = tnn.Conv2d(ch, squeeze, 1)
+                self.fc2 = tnn.Conv2d(squeeze, ch, 1)
+
+            def forward(self, x):
+                y = x.mean((2, 3), keepdim=True)
+                y = torch.sigmoid(self.fc2(torch.relu(self.fc1(y))))
+                return x * y
+
+        class _TorchF(tnn.Module):
+            def __init__(self, w_in, w_out, stride):
+                super().__init__()
+                self.a = conv_bn(w_in, w_out, 1)
+                self.b = conv_bn(w_out, w_out, 3, stride,
+                                 groups=w_out // gw)
+                self.se = _TorchSE(w_out, max(1, int(round(0.25 * w_in))))
+                self.c = conv_bn(w_out, w_out, 1)
+
+            def forward(self, x):
+                y = torch.relu(self.a(x))
+                y = torch.relu(self.b(y))
+                return self.c(self.se(y))
+
+        class _TorchBlock(tnn.Module):
+            def __init__(self, w_in, w_out, stride):
+                super().__init__()
+                self.proj = (conv_bn(w_in, w_out, 1, stride)
+                             if (w_in != w_out or stride != 1) else None)
+                self.f = _TorchF(w_in, w_out, stride)
+
+            def forward(self, x):
+                idn = x if self.proj is None else self.proj(x)
+                return torch.relu(self.f(x) + idn)
+
+        class _TorchRegNet(tnn.Module):
+            def __init__(self, depths=(1, 1), widths=(16, 32),
+                         num_classes=5):
+                super().__init__()
+                self.stem = conv_bn(3, 32, 3, 2)
+                trunk = OrderedDict()
+                w_in = 32
+                for si, (d, w_out) in enumerate(
+                    zip(depths, widths), start=1
+                ):
+                    stage = OrderedDict()
+                    for bi in range(d):
+                        stage[f"block{si}-{bi}"] = _TorchBlock(
+                            w_in, w_out, 2 if bi == 0 else 1
+                        )
+                        w_in = w_out
+                    trunk[f"block{si}"] = tnn.Sequential(stage)
+                self.trunk_output = tnn.Sequential(trunk)
+                self.fc = tnn.Linear(w_in, num_classes)
+
+            def forward(self, x):
+                y = torch.relu(self.stem(x))
+                y = self.trunk_output(y)
+                return self.fc(y.mean(dim=(2, 3)))
+
+        rng = np.random.default_rng(13)
+        tm = _TorchRegNet()
+        with torch.no_grad():
+            _randomize_bn(tm, rng)
+        tm.eval()
+        flat = _state_np(tm)
+
+        model = RegNet((1, 1), (16, 32), gw, num_classes=5)
+        variables = pt._map_regnet(model, flat)
+
+        x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        got, _ = model.apply(variables, jnp.asarray(x), training=False)
+        np.testing.assert_allclose(np.asarray(got), ref,
+                                   atol=2e-4, rtol=1e-4)
+
+        folded = model.fold(variables)
+        got_f = model.apply_folded(folded, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got_f), ref,
+                                   atol=5e-4, rtol=1e-3)
+
     def test_densenet_matches_torch(self):
         """DenseNet micro twin with REAL torchvision naming (features.
         denseblock{i}.denselayer{j}.norm/conv{1,2}, transition, norm5):
@@ -959,6 +1059,27 @@ def _export_swin(model, variables):
     return out
 
 
+def _export_regnet(model, variables):
+    """torchvision ``regnet_y_*`` naming (trunk_output.block{i}
+    .block{i}-{j}.f.{a,b,c}/.f.se/.proj, stem.0/1, fc)."""
+    p, s = variables["params"], variables["state"]
+    out = {}
+    _inv_convbn(out, p["stem"], s["stem"], "stem.0", "stem.1")
+    for si, blocks in enumerate(model.stages, start=1):
+        for bi, blk in enumerate(blocks):
+            pfx = f"trunk_output.block{si}.block{si}-{bi}"
+            bp, bs = p["stages"][si - 1][bi], s["stages"][si - 1][bi]
+            for name in ("a", "b", "c"):
+                _inv_convbn(out, bp[name], bs[name],
+                            f"{pfx}.f.{name}.0", f"{pfx}.f.{name}.1")
+            _inv_se(out, bp["se"], f"{pfx}.f.se.fc1", f"{pfx}.f.se.fc2")
+            if blk.proj:
+                _inv_convbn(out, bp["proj"], bs["proj"],
+                            f"{pfx}.proj.0", f"{pfx}.proj.1")
+    _inv_linear(out, p["head"], "fc")
+    return out
+
+
 def _export_densenet(model, variables):
     """torchvision ``densenet*`` naming (features.denseblock{i}
     .denselayer{j}.norm/conv{1,2}, transition{i}, norm5, classifier)."""
@@ -987,6 +1108,7 @@ def _export_densenet(model, variables):
 _EXPORTERS = {
     "resnet": _export_resnet,
     "densenet": _export_densenet,
+    "regnet": _export_regnet,
     # same torchvision key scheme; the exporter walks the model's own
     # block tree, so grouped/wide inner widths export correctly
     "resnext": _export_resnet,
