@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -79,11 +79,11 @@ def pipeline_blocks(block, stacked_params, tokens, mesh: Mesh,
         # pvary: the carries become device-varying inside the loop (they
         # depend on axis_index/ppermute), so the initial values must be
         # marked varying too or shard_map rejects the fori_loop typing
-        cur = jax.lax.pvary(
-            jnp.zeros((mb, t, d), xs_local.dtype), (axis,)
+        cur = jax.lax.pcast(
+            jnp.zeros((mb, t, d), xs_local.dtype), (axis,), to="varying"
         )
-        out = jax.lax.pvary(
-            jnp.zeros((m, mb, t, d), xs_local.dtype), (axis,)
+        out = jax.lax.pcast(
+            jnp.zeros((m, mb, t, d), xs_local.dtype), (axis,), to="varying"
         )
 
         def tick(step, carry):

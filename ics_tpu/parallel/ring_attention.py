@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -1e30
@@ -46,14 +46,14 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp"):
     def body(q_loc, k_loc, v_loc):
         # [B, H, s/R, D] locals; K/V chunks travel the ring
         q32 = q_loc.astype(jnp.float32) * scale
-        m = jax.lax.pvary(
-            jnp.full(q_loc.shape[:-1], NEG_INF, jnp.float32), (axis,)
+        m = jax.lax.pcast(
+            jnp.full(q_loc.shape[:-1], NEG_INF, jnp.float32), (axis,), to="varying"
         )
-        l = jax.lax.pvary(
-            jnp.zeros(q_loc.shape[:-1], jnp.float32), (axis,)
+        l = jax.lax.pcast(
+            jnp.zeros(q_loc.shape[:-1], jnp.float32), (axis,), to="varying"
         )
-        acc = jax.lax.pvary(
-            jnp.zeros(q_loc.shape, jnp.float32), (axis,)
+        acc = jax.lax.pcast(
+            jnp.zeros(q_loc.shape, jnp.float32), (axis,), to="varying"
         )
 
         def hop(_, carry):
