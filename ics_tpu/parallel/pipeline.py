@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def stack_block_params(blocks: list) -> dict:
@@ -75,7 +75,10 @@ def pipeline_blocks(block, stacked_params, tokens, mesh: Mesh,
         )
         sidx = jax.lax.axis_index(axis)
         is_last = sidx == n_stages - 1
-        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        # no wrap edge: stage 0 reads `inject`, never `cur`, so shipping
+        # the last stage's activation back around would be a wasted
+        # per-tick ICI transfer (ppermute zero-fills non-targets)
+        perm = [(i, i + 1) for i in range(n_stages - 1)]
         # pvary: the carries become device-varying inside the loop (they
         # depend on axis_index/ppermute), so the initial values must be
         # marked varying too or shard_map rejects the fori_loop typing
@@ -104,9 +107,9 @@ def pipeline_blocks(block, stacked_params, tokens, mesh: Mesh,
         _, out = jax.lax.fori_loop(
             0, m + n_stages - 1, tick, (cur, out)
         )
-        # only the last stage holds real outputs: zero elsewhere, psum
-        # broadcasts the result so out_specs can be replicated
-        out = out * is_last.astype(out.dtype)
+        # only the last stage ever writes `out` (active_out includes
+        # is_last), so it is all-zeros elsewhere and the psum broadcasts
+        # the real result — out_specs can be replicated
         return jax.lax.psum(out, axis)
 
     out = shard_map(

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_INF = -1e30
+from ics_tpu.ops.attention import NEG_INF  # the kernel's own sentinel
 
 
 def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp"):
@@ -56,8 +56,7 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp"):
             jnp.zeros(q_loc.shape, jnp.float32), (axis,), to="varying"
         )
 
-        def hop(_, carry):
-            k_c, v_c, m, l, acc = carry
+        def accumulate(k_c, v_c, m, l, acc):
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q32, k_c.astype(jnp.float32)
             )
@@ -68,14 +67,23 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "sp"):
                 "bhqk,bhkd->bhqd", p, v_c.astype(jnp.float32)
             )
             l = l * alpha + p.sum(axis=-1)
+            return m_new, l, acc
+
+        def hop(_, carry):
+            k_c, v_c, m, l, acc = carry
+            m, l, acc = accumulate(k_c, v_c, m, l, acc)
             # rotate the K/V chunk to the next ring neighbor (ICI hop)
             k_c = jax.lax.ppermute(k_c, axis, perm)
             v_c = jax.lax.ppermute(v_c, axis, perm)
-            return k_c, v_c, m_new, l, acc
+            return k_c, v_c, m, l, acc
 
-        _, _, _, l, acc = jax.lax.fori_loop(
-            0, ring, hop, (k_loc, v_loc, m, l, acc)
+        # ring-1 rotating hops, then the final chunk WITHOUT the rotation
+        # (the last ppermute's output would never be read — two wasted
+        # full-chunk ICI collectives per attention call; self-review r3)
+        k_c, v_c, m, l, acc = jax.lax.fori_loop(
+            0, ring - 1, hop, (k_loc, v_loc, m, l, acc)
         )
+        _, l, acc = accumulate(k_c, v_c, m, l, acc)
         return (acc / l[..., None]).astype(q_loc.dtype)
 
     spec = P(None, None, axis, None)

@@ -536,7 +536,7 @@ class TestRegNet:
         folded = m.fold(v)
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
         y = jax.nn.relu(m.stem.apply_folded(folded["stem"], x))
-        assert y.shape == (1, 32, 32, 16) or y.shape == (1, 32, 32, 32)
+        assert y.shape == (1, 32, 32, 32)  # stem is ALWAYS 32-wide
         for blocks, bf in zip(m.stages, folded["stages"]):
             for blk, f in zip(blocks, bf):
                 y = blk.apply_folded(f, y)
