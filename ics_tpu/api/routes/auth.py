@@ -61,6 +61,25 @@ async def login(request: Request):
     username = form.get("username") or ""
     password = form.get("password") or ""
     db = request.state.db
+    # opt-in brute-force limiter (LOGIN_RATE_LIMIT=0 default keeps exact
+    # reference parity): failures per (email, client IP) sliding window
+    limit = int(settings.LOGIN_RATE_LIMIT or 0)
+    rl_key = None
+    if limit > 0:
+        from ics_tpu.core.ratelimit import login_failures
+
+        client = request.scope.get("client") or ("?",)
+        rl_key = f"{username.strip().lower()}|{client[0]}"
+        wait = login_failures.retry_after(
+            rl_key, limit, settings.LOGIN_RATE_WINDOW_S
+        )
+        if wait > 0:
+            raise HTTPException(
+                429,
+                "Muitas tentativas de login. Tente novamente em "
+                f"{int(wait) + 1} segundos.",
+                headers={"Retry-After": str(int(wait) + 1)},
+            )
     user = auth_service.authenticate_user(db, email=username, password=password)
     if user == auth_service.INACTIVE:
         raise HTTPException(
@@ -69,10 +88,20 @@ async def login(request: Request):
             "do sistema.",
         )
     if user is None:
+        if rl_key is not None:
+            from ics_tpu.core.ratelimit import login_failures
+
+            login_failures.record_failure(
+                rl_key, settings.LOGIN_RATE_WINDOW_S
+            )
         raise HTTPException(
             401, "Email ou senha incorretos",
             headers={"WWW-Authenticate": "Bearer"},
         )
+    if rl_key is not None:
+        from ics_tpu.core.ratelimit import login_failures
+
+        login_failures.clear(rl_key)
     token = auth_service.create_access_token(db, user)
     user.data_ultimo_login = tz.local_to_utc(tz.now())
     auditoria_crud.registrar_evento(db, "login", user.id_usu, {"email": user.email})

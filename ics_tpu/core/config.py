@@ -70,6 +70,12 @@ class Settings(BaseModel):
     JWT_ALGORITHM: str = "HS256"
     JWT_ACCESS_TOKEN_EXPIRE_MINUTES: int = 60
 
+    # Login rate limiting (net-new, OPT-IN: the reference has none, so
+    # the default 0 preserves contract parity — no surprise 429s).
+    # N failed attempts per identity (email+client IP) per window -> 429.
+    LOGIN_RATE_LIMIT: int = 0            # 0 disables; e.g. 5
+    LOGIN_RATE_WINDOW_S: int = 60
+
     # Cookies
     COOKIE_NAME: str = "access_token"
     COOKIE_HTTPONLY: bool = True

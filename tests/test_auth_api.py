@@ -216,3 +216,86 @@ class TestHealth:
             assert r.status_code == 200
             r = await client.get("/monitor/status")
             assert r.status_code == 200
+
+
+class TestLoginRateLimit:
+    def test_window_unit(self):
+        """FailureWindow: blocks at the limit, unblocks as failures age
+        out, clear() lifts immediately."""
+        from ics_tpu.core.ratelimit import FailureWindow
+
+        t = [0.0]
+        fw = FailureWindow(clock=lambda: t[0])
+        key = "a@b.c|127.0.0.1"
+        assert fw.retry_after(key, 3, 60) == 0.0
+        for _ in range(3):
+            fw.record_failure(key, 60)
+        wait = fw.retry_after(key, 3, 60)
+        assert 0.0 < wait <= 60.0
+        t[0] = 61.0  # window passed
+        assert fw.retry_after(key, 3, 60) == 0.0
+        for _ in range(3):
+            fw.record_failure(key, 60)
+        fw.clear(key)  # successful login wipes the slate
+        assert fw.retry_after(key, 3, 60) == 0.0
+        # limit 0 = disabled regardless of history
+        fw.record_failure(key, 60)
+        assert fw.retry_after(key, 0, 60) == 0.0
+
+    def test_memory_bound_evicts_oldest(self):
+        from ics_tpu.core.ratelimit import FailureWindow
+
+        t = [0.0]
+        fw = FailureWindow(clock=lambda: t[0], max_keys=3)
+        for i in range(5):
+            t[0] = float(i)
+            fw.record_failure(f"k{i}", 600)
+        assert len(fw._hits) <= 3
+        assert "k4" in fw._hits  # newest survives
+
+    @pytest.mark.anyio
+    async def test_429_after_failures_and_reset_on_success(self, tmp_path):
+        """Route behavior with the limiter ON: 3 failures -> 429 (even
+        with the CORRECT password), window expiry unblocks, success
+        clears the counter. Default settings keep parity (no 429s —
+        covered by every other auth test running with limit 0)."""
+        import asyncio
+
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.core import ratelimit
+
+        reload_settings(LOGIN_RATE_LIMIT="3", LOGIN_RATE_WINDOW_S="1")
+        ratelimit.login_failures = ratelimit.FailureWindow()
+        try:
+            db = Database(f"sqlite:///{tmp_path}/rl.db")
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    bad = {"username": settings.ADMIN_EMAIL,
+                           "password": "errada"}
+                    good = {"username": settings.ADMIN_EMAIL,
+                            "password": settings.ADMIN_SENHA}
+                    for _ in range(3):
+                        r = await c.post("/auth/login", data=bad)
+                        assert r.status_code == 401
+                    # blocked now — even the correct password gets 429
+                    r = await c.post("/auth/login", data=good)
+                    assert r.status_code == 429, r.text
+                    assert "Retry-After" in r.headers
+                    # window expires -> correct password logs in
+                    await asyncio.sleep(1.1)
+                    r = await c.post("/auth/login", data=good)
+                    assert r.status_code == 200, r.text
+                    # success cleared the slate: failures count from zero
+                    r = await c.post("/auth/login", data=bad)
+                    assert r.status_code == 401
+                    r = await c.post("/auth/login", data=good)
+                    assert r.status_code == 200
+            finally:
+                await a.shutdown()
+        finally:
+            reload_settings()
