@@ -311,6 +311,7 @@ def create_app(db: Database | None = None) -> App:
                 "message": "Sistema de Classificação de Imagens (TPU-native)",
                 "version": __import__("ics_tpu").__version__,
                 "docs": "/docs",
+                "painel": "/monitor/painel",
             }
         )
 
