@@ -325,10 +325,13 @@ async def test_job_trains_and_serves_multilabel(ml_app):
         admin = await _login(c, **ADMIN)
         id_amb = ml_app.state.id_amb
 
+        # avaliar_cada=1 also exercises the MULTI-LABEL periodic-eval
+        # branch (exact-match at 0.5 on the held-out split) and the
+        # best-snapshot registration through the multi-label path
         r = await c.post(
             f"/treinamento/ambiente/{id_amb}",
             json={"modelo": "resnet_tiny", "max_steps": 3, "batch_size": 4,
-                  "epochs": 50, "canvas": 64},
+                  "epochs": 50, "canvas": 64, "avaliar_cada": 1},
             headers=admin,
         )
         assert r.status_code == 202, r.text
@@ -342,6 +345,9 @@ async def test_job_trains_and_serves_multilabel(ml_app):
             await asyncio.sleep(0.25)
         assert status["status"] == "concluido", status
         assert status["eval_accuracy"] is not None
+        assert all("eval" in h for h in status["historico"])
+        assert status["melhor_passo"] >= 1
+        assert status["parou_cedo"] is False  # no paciencia -> no stop
 
         # registry row carries the multi-label marker + metrics
         r = await c.get("/treinamento/modelos", headers=admin)
