@@ -210,6 +210,17 @@ V2_S_SPEC = [
     ("mb", 6, 256, 3, 2, 15),
 ]
 
+# torchvision efficientnet_v2_m (same stage grammar, one extra stage)
+V2_M_SPEC = [
+    ("fused", 1, 24, 3, 1, 3),
+    ("fused", 4, 48, 3, 2, 5),
+    ("fused", 4, 80, 3, 2, 5),
+    ("mb", 4, 160, 3, 2, 7),
+    ("mb", 6, 176, 3, 1, 14),
+    ("mb", 6, 304, 3, 2, 18),
+    ("mb", 6, 512, 3, 1, 5),
+]
+
 
 class FusedMBConv:
     """Fused MBConv: k3 dense conv does expand+spatial in one MXU op.
@@ -306,3 +317,10 @@ class EfficientNetV2:
 def efficientnet_v2_s(num_classes: int = 1000) -> EfficientNetV2:
     """EfficientNetV2-S (21.5M params; torchvision-weight-compatible)."""
     return EfficientNetV2(num_classes=num_classes)
+
+
+def efficientnet_v2_m(num_classes: int = 1000) -> EfficientNetV2:
+    """EfficientNetV2-M (54,139,356 params exactly at 1000 classes;
+    torchvision-weight-compatible — same stage grammar as V2-S with one
+    extra stride-1 MBConv stage)."""
+    return EfficientNetV2(spec=V2_M_SPEC, num_classes=num_classes)

@@ -197,5 +197,10 @@ def _ensure_populated() -> None:
             "on the MXU where depthwise is bandwidth-bound); "
             "torchvision-checkpoint-compatible",
         )
+        register_model(
+            "efficientnet_v2_m", efficientnet.efficientnet_v2_m, 480, 480,
+            "EfficientNetV2-M — larger V2 variant @480px "
+            "(torchvision-checkpoint-compatible, 54,139,356 params)",
+        )
     except ImportError:
         pass

@@ -23,6 +23,7 @@ CONFIGS = {
     "efficientnet_b0": (128, 256, 20),
     "mobilenetv3_small": (128, 256, 20),
     "efficientnet_v2_s": (64, 512, 15),
+    "efficientnet_v2_m": (32, 512, 10),
     "swin_tiny": (128, 256, 20),
     "swin_small": (128, 256, 20),
     # round-3 late additions: same-FLOP-class resnet50 variants

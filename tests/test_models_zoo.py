@@ -541,3 +541,23 @@ class TestRegNet:
             for blk, f in zip(blocks, bf):
                 y = blk.apply_folded(f, y)
         assert y.shape[1:3] == (8, 8)
+
+
+class TestEfficientNetV2M:
+    def test_registry_and_exact_param_count(self):
+        from ics_tpu.models.efficientnet import efficientnet_v2_m
+        from ics_tpu.models.registry import get_model, list_models
+
+        assert "efficientnet_v2_m" in list_models()
+        assert get_model("efficientnet_v2_m").image_size == 480
+
+        def count(tree):
+            import numpy as _np
+
+            return sum(
+                int(_np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree)
+            )
+
+        v = efficientnet_v2_m(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v["params"]) == 54_139_356  # torchvision-published
