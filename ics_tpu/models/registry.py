@@ -136,6 +136,11 @@ def _ensure_populated() -> None:
             "Swin-S — deeper Swin variant",
         )
         register_model(
+            "swin_base", swin.swin_base, 224, 256,
+            "Swin-B — embed 128 (timm-checkpoint-compatible, "
+            "87,768,224 params)",
+        )
+        register_model(
             "swin_micro", swin.swin_micro, 64, 64,
             "Swin micro (2 stages @64px) — dev/CI windowed-attention model",
         )

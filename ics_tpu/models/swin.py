@@ -312,6 +312,16 @@ def swin_small(num_classes: int = 1000, image_size: int = 224) -> SwinTransforme
     )
 
 
+def swin_base(num_classes: int = 1000, image_size: int = 224) -> SwinTransformer:
+    """Swin-B (timm ``swin_base_patch4_window7_224``): 87,768,224 params
+    exactly at 1000 classes — embed 128, heads (4,8,16,32), Swin-S
+    depths."""
+    return SwinTransformer(
+        image_size=image_size, num_classes=num_classes,
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+    )
+
+
 def swin_micro(num_classes: int = 1000) -> SwinTransformer:
     """1-block stages at 64px / window 4 — dev/CI model (CPU tests)."""
     return SwinTransformer(

@@ -26,6 +26,7 @@ CONFIGS = {
     "efficientnet_v2_m": (32, 512, 10),
     "swin_tiny": (128, 256, 20),
     "swin_small": (128, 256, 20),
+    "swin_base": (64, 256, 15),
     # round-3 late additions: same-FLOP-class resnet50 variants
     "resnext50_32x4d": (128, 256, 20),
     "wide_resnet50_2": (128, 256, 20),

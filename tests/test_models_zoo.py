@@ -561,3 +561,23 @@ class TestEfficientNetV2M:
 
         v = efficientnet_v2_m(num_classes=1000).init(jax.random.PRNGKey(0))
         assert count(v["params"]) == 54_139_356  # torchvision-published
+
+
+class TestSwinBase:
+    def test_registry_and_exact_param_count(self):
+        from ics_tpu.models.registry import list_models
+        from ics_tpu.models.swin import swin_base
+
+        assert "swin_base" in list_models()
+
+        def count(tree):
+            import numpy as _np
+
+            return sum(
+                int(_np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree)
+            )
+
+        # timm swin_base_patch4_window7_224, exact
+        v = swin_base(num_classes=1000).init(jax.random.PRNGKey(0))
+        assert count(v["params"]) == 87_768_224
