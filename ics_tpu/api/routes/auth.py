@@ -62,15 +62,26 @@ async def login(request: Request):
     password = form.get("password") or ""
     db = request.state.db
     # opt-in brute-force limiter (LOGIN_RATE_LIMIT=0 default keeps exact
-    # reference parity): failures per (email, client IP) sliding window
+    # reference parity): ATTEMPTS per (email, client IP) sliding window,
+    # reserved atomically BEFORE the slow scrypt verify (a parallel burst
+    # gets at most `limit` password checks). Success clears the key.
     limit = int(settings.LOGIN_RATE_LIMIT or 0)
     rl_key = None
+    login_failures = None
     if limit > 0:
         from ics_tpu.core.ratelimit import login_failures
 
         client = request.scope.get("client") or ("?",)
-        rl_key = f"{username.strip().lower()}|{client[0]}"
-        wait = login_failures.retry_after(
+        ip = client[0]
+        if settings.LOGIN_RATE_TRUST_FORWARDED:
+            # behind a reverse proxy scope['client'] is the PROXY for
+            # everyone — without this opt-in an attacker could lock any
+            # email out for all clients sharing the proxy IP
+            fwd = (request.headers.get("x-forwarded-for") or "").strip()
+            if fwd:
+                ip = fwd.split(",")[0].strip() or ip
+        rl_key = f"{username.strip().lower()}|{ip}"
+        wait = login_failures.attempt(
             rl_key, limit, settings.LOGIN_RATE_WINDOW_S
         )
         if wait > 0:
@@ -88,19 +99,11 @@ async def login(request: Request):
             "do sistema.",
         )
     if user is None:
-        if rl_key is not None:
-            from ics_tpu.core.ratelimit import login_failures
-
-            login_failures.record_failure(
-                rl_key, settings.LOGIN_RATE_WINDOW_S
-            )
         raise HTTPException(
             401, "Email ou senha incorretos",
             headers={"WWW-Authenticate": "Bearer"},
         )
     if rl_key is not None:
-        from ics_tpu.core.ratelimit import login_failures
-
         login_failures.clear(rl_key)
     token = auth_service.create_access_token(db, user)
     user.data_ultimo_login = tz.local_to_utc(tz.now())

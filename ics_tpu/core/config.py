@@ -72,9 +72,14 @@ class Settings(BaseModel):
 
     # Login rate limiting (net-new, OPT-IN: the reference has none, so
     # the default 0 preserves contract parity — no surprise 429s).
-    # N failed attempts per identity (email+client IP) per window -> 429.
+    # N attempts per identity (email+client IP) per window -> 429;
+    # a successful login clears the identity's counter.
     LOGIN_RATE_LIMIT: int = 0            # 0 disables; e.g. 5
     LOGIN_RATE_WINDOW_S: int = 60
+    # behind a reverse proxy every request shares the proxy's IP — opt in
+    # to keying by the first X-Forwarded-For hop instead (only enable
+    # when a trusted proxy SETS the header; clients can forge it)
+    LOGIN_RATE_TRUST_FORWARDED: bool = False
 
     # Cookies
     COOKIE_NAME: str = "access_token"

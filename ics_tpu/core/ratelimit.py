@@ -1,17 +1,25 @@
-"""Failed-login rate limiting (net-new; the reference has none).
+"""Login rate limiting (net-new; the reference has none).
 
-A sliding-window failure counter keyed by identity (email + client IP):
-``LOGIN_RATE_LIMIT`` failures inside ``LOGIN_RATE_WINDOW_S`` block
-further attempts with 429 until the oldest failure ages out. Successful
-logins clear the key — a legitimate user who mistypes twice is never
-punished after getting in.
+A sliding-window ATTEMPT counter keyed by identity (email + client IP):
+``LOGIN_RATE_LIMIT`` attempts inside ``LOGIN_RATE_WINDOW_S`` block
+further ones with 429 until the oldest ages out; a successful login
+clears the key, so a legitimate user who mistypes a couple of times is
+never punished after getting in.
 
-In-memory and per-process by design: the goal is blunting online
-brute-force against scrypt (which is already slow), not cross-replica
-accounting. Memory is bounded (keys pruned on touch + oldest-key
-eviction past ``max_keys``). OPT-IN via settings — the default
-``LOGIN_RATE_LIMIT=0`` keeps exact reference contract parity (no
-surprise 429s).
+Design notes (hardened after self-review):
+- **Atomic check+record** (``attempt``): the slot is reserved BEFORE the
+  slow scrypt verification, so a parallel burst of N requests gets at
+  most ``limit`` password checks — the separate check-then-record shape
+  would let the whole burst through while the first scrypt ran.
+- **Eviction can't lift an active block**: when the table is full, only
+  keys whose entire window already EXPIRED are dropped; if nothing has
+  expired, the NEW key goes untracked (fail-open for the flood key)
+  rather than evicting someone's fresh/blocked entry — otherwise an
+  attacker could erase their own block by flooding unique keys.
+- In-memory and per-process by design: the goal is blunting online
+  brute-force against scrypt, not cross-replica accounting. OPT-IN via
+  settings — the default ``LOGIN_RATE_LIMIT=0`` keeps exact reference
+  contract parity (no surprise 429s).
 """
 
 from __future__ import annotations
@@ -21,7 +29,7 @@ import time
 from typing import Callable
 
 
-class FailureWindow:
+class AttemptWindow:
     def __init__(self, clock: Callable[[], float] = time.monotonic,
                  max_keys: int = 10_000):
         self._clock = clock
@@ -37,27 +45,32 @@ class FailureWindow:
             self._hits.pop(key, None)
         return hits
 
-    def retry_after(self, key: str, limit: int, window_s: float) -> float:
-        """Seconds until the key may try again (0.0 = not blocked)."""
+    def attempt(self, key: str, limit: int, window_s: float) -> float:
+        """Atomically check AND record one attempt.
+
+        Returns 0.0 when the attempt may proceed (now counted against the
+        window), else the seconds until the key unblocks. ``limit <= 0``
+        disables (always 0.0, nothing recorded)."""
         if limit <= 0:
             return 0.0
         now = self._clock()
         with self._lock:
             hits = self._prune(key, window_s, now)
-            if len(hits) < limit:
-                return 0.0
-            return max(0.0, window_s - (now - hits[0]))
-
-    def record_failure(self, key: str, window_s: float) -> None:
-        now = self._clock()
-        with self._lock:
-            hits = self._prune(key, window_s, now)
+            if len(hits) >= limit:
+                return max(0.0, window_s - (now - hits[0]))
+            if key not in self._hits and len(self._hits) >= self._max_keys:
+                # full table: drop only fully-EXPIRED keys; never evict a
+                # fresh (possibly blocked) entry — that would let a flood
+                # of unique keys erase an active block
+                for k in [
+                    k for k, h in self._hits.items()
+                    if now - h[-1] >= window_s
+                ]:
+                    self._hits.pop(k, None)
+                if len(self._hits) >= self._max_keys:
+                    return 0.0  # fail-open for the NEW key only
             self._hits[key] = hits + [now]
-            if len(self._hits) > self._max_keys:
-                # oldest-latest-hit key goes first (simple bounded memory)
-                victim = min(self._hits, key=lambda k: self._hits[k][-1])
-                if victim != key:
-                    self._hits.pop(victim, None)
+            return 0.0
 
     def clear(self, key: str) -> None:
         with self._lock:
@@ -65,4 +78,4 @@ class FailureWindow:
 
 
 # process-wide instance used by the login route
-login_failures = FailureWindow()
+login_failures = AttemptWindow()

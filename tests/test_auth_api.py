@@ -220,52 +220,69 @@ class TestHealth:
 
 class TestLoginRateLimit:
     def test_window_unit(self):
-        """FailureWindow: blocks at the limit, unblocks as failures age
-        out, clear() lifts immediately."""
-        from ics_tpu.core.ratelimit import FailureWindow
+        """AttemptWindow: atomic check+record, blocks at the limit,
+        unblocks as attempts age out, clear() lifts immediately."""
+        from ics_tpu.core.ratelimit import AttemptWindow
 
         t = [0.0]
-        fw = FailureWindow(clock=lambda: t[0])
+        fw = AttemptWindow(clock=lambda: t[0])
         key = "a@b.c|127.0.0.1"
-        assert fw.retry_after(key, 3, 60) == 0.0
         for _ in range(3):
-            fw.record_failure(key, 60)
-        wait = fw.retry_after(key, 3, 60)
+            assert fw.attempt(key, 3, 60) == 0.0
+        wait = fw.attempt(key, 3, 60)  # 4th attempt in the window
         assert 0.0 < wait <= 60.0
         t[0] = 61.0  # window passed
-        assert fw.retry_after(key, 3, 60) == 0.0
-        for _ in range(3):
-            fw.record_failure(key, 60)
+        assert fw.attempt(key, 3, 60) == 0.0
         fw.clear(key)  # successful login wipes the slate
-        assert fw.retry_after(key, 3, 60) == 0.0
+        for _ in range(3):
+            assert fw.attempt(key, 3, 60) == 0.0
         # limit 0 = disabled regardless of history
-        fw.record_failure(key, 60)
-        assert fw.retry_after(key, 0, 60) == 0.0
+        assert fw.attempt(key, 0, 60) == 0.0
 
-    def test_memory_bound_evicts_oldest(self):
-        from ics_tpu.core.ratelimit import FailureWindow
+    def test_burst_cannot_exceed_limit(self):
+        """check+record is ONE atomic op: of a 50-request burst only
+        `limit` attempts proceed (the old check-then-record shape let
+        the whole burst through while the first scrypt ran)."""
+        from ics_tpu.core.ratelimit import AttemptWindow
+
+        fw = AttemptWindow(clock=lambda: 0.0)
+        allowed = sum(
+            1 for _ in range(50) if fw.attempt("k", 5, 60) == 0.0
+        )
+        assert allowed == 5
+
+    def test_flood_cannot_evict_an_active_block(self):
+        """A full table only drops EXPIRED keys: flooding unique keys
+        must not erase someone's fresh block (weaponized-eviction fix)."""
+        from ics_tpu.core.ratelimit import AttemptWindow
 
         t = [0.0]
-        fw = FailureWindow(clock=lambda: t[0], max_keys=3)
-        for i in range(5):
-            t[0] = float(i)
-            fw.record_failure(f"k{i}", 600)
-        assert len(fw._hits) <= 3
-        assert "k4" in fw._hits  # newest survives
+        fw = AttemptWindow(clock=lambda: t[0], max_keys=50)
+        for _ in range(3):
+            fw.attempt("victim", 3, 600)
+        assert fw.attempt("victim", 3, 600) > 0  # blocked
+        for i in range(200):  # flood with unique fresh keys
+            fw.attempt(f"flood{i}", 3, 600)
+        assert fw.attempt("victim", 3, 600) > 0  # STILL blocked
+        # expired keys DO get reclaimed once their window passes
+        t[0] = 601.0
+        assert fw.attempt("new", 3, 600) == 0.0
 
     @pytest.mark.anyio
-    async def test_429_after_failures_and_reset_on_success(self, tmp_path):
-        """Route behavior with the limiter ON: 3 failures -> 429 (even
-        with the CORRECT password), window expiry unblocks, success
-        clears the counter. Default settings keep parity (no 429s —
-        covered by every other auth test running with limit 0)."""
-        import asyncio
-
+    async def test_429_after_attempts_and_reset_on_success(self, tmp_path):
+        """Route behavior with the limiter ON: the window fills -> 429
+        (even with the CORRECT password), window expiry unblocks
+        (deterministic via an injected clock), success clears the
+        counter. Default settings keep parity (no 429s — covered by
+        every other auth test running with limit 0)."""
         from ics_tpu.core.config import reload_settings
         from ics_tpu.core import ratelimit
 
-        reload_settings(LOGIN_RATE_LIMIT="3", LOGIN_RATE_WINDOW_S="1")
-        ratelimit.login_failures = ratelimit.FailureWindow()
+        reload_settings(LOGIN_RATE_LIMIT="3", LOGIN_RATE_WINDOW_S="60")
+        fake_now = [0.0]
+        ratelimit.login_failures = ratelimit.AttemptWindow(
+            clock=lambda: fake_now[0]
+        )
         try:
             db = Database(f"sqlite:///{tmp_path}/rl.db")
             a = create_app(db=db)
@@ -282,20 +299,70 @@ class TestLoginRateLimit:
                     for _ in range(3):
                         r = await c.post("/auth/login", data=bad)
                         assert r.status_code == 401
-                    # blocked now — even the correct password gets 429
+                    # window full — even the correct password gets 429
                     r = await c.post("/auth/login", data=good)
                     assert r.status_code == 429, r.text
                     assert "Retry-After" in r.headers
-                    # window expires -> correct password logs in
-                    await asyncio.sleep(1.1)
+                    # window expires (fake clock) -> correct password in
+                    fake_now[0] = 61.0
                     r = await c.post("/auth/login", data=good)
                     assert r.status_code == 200, r.text
-                    # success cleared the slate: failures count from zero
-                    r = await c.post("/auth/login", data=bad)
-                    assert r.status_code == 401
+                    # success cleared the slate: 3 fresh attempts fit
+                    for _ in range(2):
+                        r = await c.post("/auth/login", data=bad)
+                        assert r.status_code == 401
                     r = await c.post("/auth/login", data=good)
                     assert r.status_code == 200
             finally:
                 await a.shutdown()
         finally:
+            ratelimit.login_failures = ratelimit.AttemptWindow()
+            reload_settings()
+
+    @pytest.mark.anyio
+    async def test_forwarded_for_keying_opt_in(self, tmp_path):
+        """LOGIN_RATE_TRUST_FORWARDED: distinct X-Forwarded-For client
+        IPs get independent windows (reverse-proxy deployments); without
+        the flag the header is ignored."""
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.core import ratelimit
+
+        reload_settings(LOGIN_RATE_LIMIT="2", LOGIN_RATE_WINDOW_S="60",
+                        LOGIN_RATE_TRUST_FORWARDED="true")
+        ratelimit.login_failures = ratelimit.AttemptWindow(
+            clock=lambda: 0.0
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/rlx.db")
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    bad = {"username": settings.ADMIN_EMAIL,
+                           "password": "errada"}
+                    for _ in range(2):
+                        r = await c.post(
+                            "/auth/login", data=bad,
+                            headers={"X-Forwarded-For": "10.0.0.1"},
+                        )
+                        assert r.status_code == 401
+                    # 10.0.0.1 exhausted its window...
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "10.0.0.1"},
+                    )
+                    assert r.status_code == 429
+                    # ...but a DIFFERENT forwarded client is unaffected
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "10.0.0.2"},
+                    )
+                    assert r.status_code == 401
+            finally:
+                await a.shutdown()
+        finally:
+            ratelimit.login_failures = ratelimit.AttemptWindow()
             reload_settings()

@@ -426,19 +426,12 @@ class TestDenseNet:
         models = list_models()
         assert "densenet121" in models and "densenet169" in models
 
-        def count(tree):
-            import numpy as _np
-
-            return sum(
-                int(_np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(tree)
-            )
 
         # torchvision-published exact counts at 1000 classes
         v121 = densenet121(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v121["params"]) == 7_978_856
+        assert param_count(v121["params"]) == 7_978_856
         v169 = densenet169(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v169["params"]) == 14_149_480
+        assert param_count(v169["params"]) == 14_149_480
 
     def test_micro_forward_fold_and_train_state(self):
         """Pre-activation family: fold turns each BN into (scale, bias);
@@ -489,19 +482,12 @@ class TestRegNet:
         models = list_models()
         assert "regnet_y_400mf" in models and "regnet_y_1_6gf" in models
 
-        def count(tree):
-            import numpy as _np
-
-            return sum(
-                int(_np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(tree)
-            )
 
         # torchvision-published exact counts at 1000 classes
         v = regnet_y_400mf(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v["params"]) == 4_344_144
+        assert param_count(v["params"]) == 4_344_144
         v = regnet_y_1_6gf(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v["params"]) == 11_202_430
+        assert param_count(v["params"]) == 11_202_430
 
     def test_micro_forward_fold_and_train_state(self):
         import numpy as np
@@ -551,16 +537,9 @@ class TestEfficientNetV2M:
         assert "efficientnet_v2_m" in list_models()
         assert get_model("efficientnet_v2_m").image_size == 480
 
-        def count(tree):
-            import numpy as _np
-
-            return sum(
-                int(_np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(tree)
-            )
 
         v = efficientnet_v2_m(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v["params"]) == 54_139_356  # torchvision-published
+        assert param_count(v["params"]) == 54_139_356  # torchvision-published
 
 
 class TestSwinBase:
@@ -570,14 +549,7 @@ class TestSwinBase:
 
         assert "swin_base" in list_models()
 
-        def count(tree):
-            import numpy as _np
-
-            return sum(
-                int(_np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(tree)
-            )
 
         # timm swin_base_patch4_window7_224, exact
         v = swin_base(num_classes=1000).init(jax.random.PRNGKey(0))
-        assert count(v["params"]) == 87_768_224
+        assert param_count(v["params"]) == 87_768_224
