@@ -77,3 +77,28 @@ class TestRingAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
         )
+
+
+class TestRingAttentionTraining:
+    def test_grad_matches_reference(self):
+        """Ring attention is DIFFERENTIABLE: jax.grad through the
+        fixed-trip fori_loop + ppermute rotation matches full-attention
+        gradients for Q, K and V — the SP seam covers training (where
+        long-context memory pressure actually bites), not just
+        inference."""
+        rng = np.random.default_rng(0)
+        q, k, v = _qkv(rng)
+        mesh = make_mesh((4,), ("sp",), devices=jax.devices()[:4])
+
+        def loss_ring(q_, k_, v_):
+            return jnp.sum(ring_attention(q_, k_, v_, mesh) ** 2)
+
+        def loss_ref(q_, k_, v_):
+            return jnp.sum(attention_reference(q_, k_, v_) ** 2)
+
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ring, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
