@@ -22,7 +22,13 @@ import time
 from contextlib import contextmanager
 from typing import Any, Callable, Iterator, Optional, Sequence
 
-from ics_tpu.db.orm import MODEL_REGISTRY, Expr, Model, create_table_sql
+from ics_tpu.db.orm import (
+    MODEL_REGISTRY,
+    Expr,
+    Model,
+    create_table_sql,
+    models_in_fk_order,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -99,7 +105,16 @@ class Database:
             self.path = path or ":memory:"
             self.is_memory = ":memory:" in self.path
             if self.is_memory:
-                self._memory_conn = self._new_conn(":memory:")
+                # shared-CACHE in-memory DB, NOT one shared connection:
+                # every Session gets its OWN connection (own transaction
+                # scope) to the same data — with a single shared
+                # connection, concurrent requests would commit/roll back
+                # each other's half-flushed work (self-review r3). The
+                # anchor connection below keeps the DB alive.
+                self._mem_uri = (
+                    f"file:ics_mem_{id(self)}?mode=memory&cache=shared"
+                )
+                self._memory_conn = self._new_conn(self._mem_uri)
         elif url.startswith(("postgresql", "postgres")):
             self.dialect = "postgres"
             from ics_tpu.db import pg_wire
@@ -112,10 +127,13 @@ class Database:
             raise ValueError(f"unsupported DATABASE_URL: {url}")
 
     def _new_conn(self, path: str) -> sqlite3.Connection:
-        conn = sqlite3.connect(path, check_same_thread=False, timeout=30.0)
+        conn = sqlite3.connect(
+            path, check_same_thread=False, timeout=30.0,
+            uri=path.startswith("file:"),
+        )
         conn.row_factory = sqlite3.Row
         conn.execute("PRAGMA foreign_keys = ON")
-        if not self.url.endswith(":memory:"):
+        if not self.is_memory:
             try:
                 conn.execute("PRAGMA journal_mode = WAL")
                 conn.execute("PRAGMA synchronous = NORMAL")
@@ -127,13 +145,28 @@ class Database:
         if self.dialect == "postgres":
             from ics_tpu.db.pg_wire import PGConnection
 
-            with self._lock:
-                conn = self._pg_pool.pop() if self._pg_pool else None
-            if conn is None:
-                conn = PGConnection(**self._pg_kwargs)
+            while True:
+                with self._lock:
+                    conn = self._pg_pool.pop() if self._pg_pool else None
+                if conn is None:
+                    conn = PGConnection(**self._pg_kwargs)
+                    break
+                # liveness ping on pop: a PG restart / idle-timeout / NAT
+                # drop kills pooled sockets silently — without this, up
+                # to pool-size requests each 500 on a dead connection
+                try:
+                    conn.execute("SELECT 1")
+                    break
+                except Exception:
+                    try:
+                        conn.close()
+                    except Exception:
+                        pass
             return _PGAdapter(conn, db=self)
-        if self._memory_conn is not None:
-            return self._memory_conn
+        if self.is_memory:
+            # per-session connection to the shared-cache in-memory DB:
+            # independent transaction scopes over the same data
+            return self._new_conn(self._mem_uri)
         return self._new_conn(self.path)
 
     def _release_pg(self, conn) -> None:
@@ -146,7 +179,8 @@ class Database:
     # -- schema -------------------------------------------------------------
     def create_all(self) -> None:
         with self.session() as s:
-            for model in MODEL_REGISTRY.values():
+            # FK-topological order: PG validates REFERENCES at CREATE time
+            for model in models_in_fk_order():
                 for stmt in create_table_sql(model):
                     s.execute(stmt)
             s.commit()
@@ -259,9 +293,19 @@ class Query:
         return out[0] if out else None
 
     def count(self) -> int:
+        # ORDER BY is meaningless under COUNT(*) and LIMIT/OFFSET would
+        # corrupt it (OFFSET past the single row -> fetchone() is None;
+        # a prior first() leaves _limit=1) — strip all three for the
+        # count and restore after
         order, self._order = self._order, []
-        sql, params = self._build("COUNT(*) AS n")
-        self._order = order
+        limit, self._limit = self._limit, None
+        offset, self._offset = self._offset, None
+        try:
+            sql, params = self._build("COUNT(*) AS n")
+        finally:
+            self._order = order
+            self._limit = limit
+            self._offset = offset
         row = self.session.execute(sql, params).fetchone()
         return int(row["n"])
 
@@ -278,7 +322,9 @@ class Session:
         self._snapshots: dict[tuple, dict[str, Any]] = {}
         self._pending: list[Model] = []
         self._closed = False
-        self._shared = db._memory_conn is not None
+        # every session owns its connection now (in-memory DBs hand out
+        # per-session connections to a shared-cache database)
+        self._shared = False
 
     # -- raw ------------------------------------------------------------
     def execute(self, sql: str, params: Sequence[Any] = ()):
@@ -337,11 +383,17 @@ class Session:
 
     def delete(self, obj: Model) -> None:
         model = type(obj)
+        # a just-added (unflushed) object must not be resurrected by the
+        # later flush INSERT; the stale snapshot entry must go too
+        if obj in self._pending:
+            self._pending.remove(obj)
         where = " AND ".join(f"{c} = ?" for c in model.__pk__)
         self.execute(
             f"DELETE FROM {model.__tablename__} WHERE {where}", obj.pk_tuple()
         )
-        self._identity.pop(self._key(model, obj.pk_tuple()), None)
+        key = self._key(model, obj.pk_tuple())
+        self._identity.pop(key, None)
+        self._snapshots.pop(key, None)
 
     def flush(self) -> None:
         for obj in self._pending:

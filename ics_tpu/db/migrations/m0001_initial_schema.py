@@ -1,6 +1,6 @@
 """Initial schema: all 13 tables + indexes from ics_tpu.db.models."""
 
-from ics_tpu.db.orm import MODEL_REGISTRY, create_table_sql
+from ics_tpu.db.orm import create_table_sql, models_in_fk_order
 
 revision = "0001_initial_schema"
 down_revision = None
@@ -9,6 +9,6 @@ down_revision = None
 def upgrade(session) -> None:
     import ics_tpu.db.models  # noqa: F401 — ensure registry is populated
 
-    for model in MODEL_REGISTRY.values():
+    for model in models_in_fk_order():
         for stmt in create_table_sql(model):
             session.execute(stmt)

@@ -97,7 +97,12 @@ class DateTime(TypeSpec):
         if value is None:
             return None
         if isinstance(value, str):
-            return value
+            # normalize string inputs too: the storage invariant is
+            # aware-UTC ISO text that sorts lexicographically (CLAUDE.md)
+            # — a '-03:00' offset or naive string passed through verbatim
+            # would sort incorrectly against '+00:00' rows, silently
+            # breaking keyset pagination (self-review r3)
+            value = datetime.fromisoformat(value)
         if value.tzinfo is None:
             value = value.replace(tzinfo=_tz.utc)
         return value.astimezone(_tz.utc).isoformat()
@@ -355,6 +360,40 @@ def _column_ddl(name: str, col: Column) -> str:
             clause += f" ON DELETE {col.ondelete}"
         parts.append(clause)
     return " ".join(parts)
+
+
+def models_in_fk_order() -> list[type]:
+    """MODEL_REGISTRY values topologically sorted so every REFERENCES
+    target table is created before its referrers.
+
+    PostgreSQL validates FK targets at CREATE TABLE time, so definition
+    order aborts the bootstrap ('relation "imagens" does not exist');
+    sqlite resolves FKs lazily, which is why only the PG dialect ever
+    notices (self-review r3)."""
+    by_table = {m.__tablename__: m for m in MODEL_REGISTRY.values()}
+    deps = {
+        t: {
+            c.foreign_key.partition(".")[0]
+            for c in m.__columns__.values()
+            if c.foreign_key
+            and c.foreign_key.partition(".")[0] != t  # self-FK is fine
+        } & set(by_table)
+        for t, m in by_table.items()
+    }
+    ordered: list[type] = []
+    done: set[str] = set()
+    while len(ordered) < len(by_table):
+        progressed = False
+        for t, m in by_table.items():
+            if t not in done and deps[t] <= done:
+                ordered.append(m)
+                done.add(t)
+                progressed = True
+        if not progressed:  # pragma: no cover - schema bug guard
+            raise ValueError(
+                f"ciclo de FKs entre tabelas: {set(by_table) - done}"
+            )
+    return ordered
 
 
 def create_table_sql(model: type[Model]) -> list[str]:

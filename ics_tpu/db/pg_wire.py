@@ -118,15 +118,20 @@ def _decode_text(oid: int, raw: Optional[bytes]) -> Any:
 class PGConnection:
     """One blocking socket connection; one in-flight statement at a time."""
 
+    # transport stall guard: a silently-dropped connection (firewall
+    # state loss — no RST/FIN ever arrives) must not block the caller
+    # forever. Generous enough for long DDL/migrations; a legitimate
+    # statement streaming rows resets the clock on every recv. On
+    # timeout the connection is BROKEN (mid-message cut desyncs the
+    # protocol stream) and never reused.
+    READ_TIMEOUT_S = 300.0
+
     def __init__(self, host: str, port: int, user: str, password: str,
                  database: str, connect_timeout: float = 10.0):
         self.user = user
         self.password = password
         self._sock = socket.create_connection((host, port), connect_timeout)
-        # no statement timeout (psycopg parity — long DDL/migrations must
-        # not be cut mid-message, which would desync the protocol stream);
-        # deployments bound statements server-side via statement_timeout
-        self._sock.settimeout(None)
+        self._sock.settimeout(self.READ_TIMEOUT_S)
         self._buf = b""
         self._in_tx = False
         self.broken = False  # protocol/socket fault -> do not reuse
@@ -139,7 +144,14 @@ class PGConnection:
 
     def _recv_exact(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
+            try:
+                chunk = self._sock.recv(65536)
+            except socket.timeout:
+                self.broken = True  # stream position unknown: never reuse
+                raise ConnectionError(
+                    f"postgres sem resposta por {self.READ_TIMEOUT_S:.0f}s "
+                    "(transporte travado)"
+                )
             if not chunk:
                 raise ConnectionError("postgres connection closed")
             self._buf += chunk
@@ -234,9 +246,13 @@ class PGConnection:
         """Extended-protocol execute. Returns (columns, rows, command_tag)."""
         try:
             return self._execute(sql, params)
-        except (OSError, ConnectionError):
-            # a socket fault mid-exchange desyncs the stream — poison the
-            # connection so the pool discards it
+        except PGError:
+            raise  # server-reported error: the stream stays in sync
+        except Exception:
+            # ANY other mid-exchange fault (socket error, struct.error or
+            # UnicodeDecodeError from a half-parsed message) leaves the
+            # stream position unknown — poison the connection so the pool
+            # discards it instead of corrupting a later session
             self.broken = True
             raise
 
@@ -327,13 +343,18 @@ class PGConnection:
 def translate_placeholders(sql: str) -> str:
     """``?`` positional style (the ORM's) -> postgres ``$N``.
 
-    Skips quoted string literals and double-quoted identifiers; the ORM never
-    embeds ``?`` inside them, but raw reporting SQL may contain quoted text.
+    Skips quoted string literals, double-quoted identifiers AND SQL
+    comments (``--`` to end of line, ``/* */`` blocks) — a ``?`` inside
+    a comment must not shift the real parameters' ``$N`` numbers (the
+    sqlite dialect would silently accept the same SQL).
     """
     out: list[str] = []
     n = 0
-    in_s = in_d = False
-    for ch in sql:
+    i = 0
+    in_s = in_d = in_line = in_block = False
+    while i < len(sql):
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < len(sql) else ""
         if in_s:
             out.append(ch)
             if ch == "'":
@@ -342,6 +363,22 @@ def translate_placeholders(sql: str) -> str:
             out.append(ch)
             if ch == '"':
                 in_d = False
+        elif in_line:
+            out.append(ch)
+            if ch == "\n":
+                in_line = False
+        elif in_block:
+            out.append(ch)
+            if ch == "*" and nxt == "/":
+                out.append(nxt)
+                i += 1
+                in_block = False
+        elif ch == "-" and nxt == "-":
+            in_line = True
+            out.append(ch)
+        elif ch == "/" and nxt == "*":
+            in_block = True
+            out.append(ch)
         elif ch == "'":
             in_s = True
             out.append(ch)
@@ -353,4 +390,5 @@ def translate_placeholders(sql: str) -> str:
             out.append(f"${n}")
         else:
             out.append(ch)
+        i += 1
     return "".join(out)

@@ -36,15 +36,22 @@ def popular_eventos_auditoria(session) -> int:
         session.fetchone("SELECT COALESCE(MAX(id_evento), 0) AS m FROM eventos_auditoria")["m"]
         + 1
     )
+    # conflict-tolerant insert: two app replicas seeding the same PG
+    # database both compute MAX+1 — the loser must continue, not crash
+    # its startup with an IntegrityError (self-review r3)
+    ignore = (
+        "INSERT INTO eventos_auditoria (id_evento, nome, descricao) "
+        "VALUES (?, ?, ?) ON CONFLICT DO NOTHING"
+        if session.dialect == "postgres" else
+        "INSERT OR IGNORE INTO eventos_auditoria "
+        "(id_evento, nome, descricao) VALUES (?, ?, ?)"
+    )
     for nome, descricao in AUDIT_EVENTS:
         if nome in existing:
             continue
-        session.add(
-            EventoAuditoria(id_evento=next_id, nome=nome, descricao=descricao)
-        )
+        session.execute(ignore, [next_id, nome, descricao])
         next_id += 1
         created += 1
-    session.flush()
     return created
 
 

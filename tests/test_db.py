@@ -215,3 +215,93 @@ class TestSeed:
         seed.seed_all(db)
         with db.session() as s:
             assert s.query(Usuario).count() == 1
+
+
+class TestSelfReviewR3Fixes:
+    """Regression tests for the r3 DB-tier security/correctness review."""
+
+    def test_ddl_emitted_in_fk_order(self):
+        """Every REFERENCES target table must be created BEFORE its
+        referrers — PostgreSQL validates FK targets at CREATE TABLE."""
+        from ics_tpu.db.orm import models_in_fk_order
+
+        seen = set()
+        for model in models_in_fk_order():
+            for col in model.__columns__.values():
+                if col.foreign_key:
+                    target = col.foreign_key.partition(".")[0]
+                    if target != model.__tablename__:
+                        assert target in seen, (
+                            f"{model.__tablename__} references {target} "
+                            "before it exists"
+                        )
+            seen.add(model.__tablename__)
+        assert len(seen) == len(MODEL_REGISTRY)
+
+    def test_count_ignores_offset_and_limit(self, tmp_path):
+        db = Database(f"sqlite:///{tmp_path}/c.db")
+        db.create_all()
+        with db.session() as s:
+            for i in range(1, 3):
+                s.add(TipoUsuario(id_tipo=i, nome=f"t{i}"))
+            s.flush()
+            q = s.query(TipoUsuario).offset(10)
+            assert q.count() == 2  # was: TypeError (fetchone() -> None)
+            q2 = s.query(TipoUsuario)
+            q2.first()  # sets _limit=1 internally
+            assert q2.count() == 2
+
+    def test_delete_of_pending_object_not_resurrected(self, tmp_path):
+        db = Database(f"sqlite:///{tmp_path}/d.db")
+        db.create_all()
+        with db.session() as s:
+            t = TipoUsuario(id_tipo=9, nome="fantasma")
+            s.add(t)
+            s.delete(t)  # before flush: must cancel the pending INSERT
+            s.commit()
+        with db.session() as s:
+            assert s.get(TipoUsuario, 9) is None
+
+    def test_datetime_string_inputs_normalized_to_utc(self):
+        """The storage invariant is aware-UTC ISO text (CLAUDE.md): a
+        '-03:00' offset or naive string must normalize, not pass through
+        (it would sort incorrectly against '+00:00' rows)."""
+        from ics_tpu.db.orm import DateTime
+
+        dt = DateTime()
+        assert dt.encode("2026-08-17T12:00:00-03:00") == (
+            "2026-08-17T15:00:00+00:00"
+        )
+        assert dt.encode("2026-08-17 12:00:00") == (
+            "2026-08-17T12:00:00+00:00"
+        )
+
+    def test_placeholder_translation_skips_comments(self):
+        from ics_tpu.db.pg_wire import translate_placeholders
+
+        sql = (
+            "SELECT 1 -- why inactive?\n"
+            "/* multi ? line */ FROM t WHERE a = ? AND b = ?"
+        )
+        out = translate_placeholders(sql)
+        assert "$1" in out and "$2" in out and "$3" not in out
+        assert "-- why inactive?" in out
+        assert "/* multi ? line */" in out
+
+    def test_memory_sessions_have_isolated_transactions(self):
+        """sqlite:///:memory: hands each session its OWN connection to a
+        shared-cache DB: one session's rollback must not erase another's
+        committed work (was: one shared connection for everyone)."""
+        db = Database("sqlite:///:memory:")
+        db.create_all()
+        with db.session() as s1:
+            s1.add(TipoUsuario(id_tipo=1, nome="a"))
+            s1.commit()
+        # one session rolls back; another's committed view is unaffected
+        with db.session() as s3:
+            s3.add(TipoUsuario(id_tipo=2, nome="b"))
+            s3.flush()
+            s3.rollback()
+        with db.session() as s4:
+            assert s4.get(TipoUsuario, 1) is not None
+            assert s4.get(TipoUsuario, 2) is None
