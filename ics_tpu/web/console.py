@@ -157,7 +157,9 @@ async function exec(path, m, id){
   let url = path;
   for (const mt of path.matchAll(/{([^}:]+)(?::[^}]*)?}/g)){
     const el = document.getElementById('p_' + id + '_path_' + mt[1]);
-    url = url.replace(mt[0], encodeURIComponent(el ? el.value : ''));
+    // function replacement: a plain string re-expands $-patterns
+    // ($&, $`, $') typed by the user and corrupts the URL
+    url = url.replace(mt[0], () => encodeURIComponent(el ? el.value : ''));
   }
   const qs = [];
   for (const el of document.querySelectorAll('[id^="p_' + id + '_query_"]')){
@@ -169,15 +171,17 @@ async function exec(path, m, id){
   const jEl = document.getElementById('j_' + id);
   if (ctEl && ctEl.value === 'multipart/form-data'){
     const fd = new FormData();
+    // slice off the 'f_<id>_' prefix — split('_').pop() truncated any
+    // field name containing an underscore to its last segment
     for (const f of document.querySelectorAll('[id^="f_' + id + '_"]'))
-      for (const file of f.files) fd.append(f.id.split('_').pop(), file);
+      for (const file of f.files) fd.append(f.id.slice(('f_' + id + '_').length), file);
     for (const t of document.querySelectorAll('[id^="ff_' + id + '_"]'))
-      if (t.value) fd.append(t.id.split('_').pop(), t.value);
+      if (t.value) fd.append(t.id.slice(('ff_' + id + '_').length), t.value);
     init.body = fd;
   } else if (ctEl){
     const fd = new URLSearchParams();
     for (const t of document.querySelectorAll('[id^="ff_' + id + '_"]'))
-      fd.append(t.id.split('_').pop(), t.value);
+      fd.append(t.id.slice(('ff_' + id + '_').length), t.value);
     init.body = fd;
   } else if (jEl && ['POST','PUT','PATCH','DELETE'].includes(m)){
     if (jEl.value.trim()){

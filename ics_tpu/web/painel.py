@@ -95,6 +95,7 @@ async function tick(){
       document.getElementById('jobs-note').textContent =
         '(faça login como admin no /docs)';
       rows('jobs', []);
+      attachStream(null);  // session expired: close the stale SSE too
     } else if (r.ok) {
       const jobs = (await r.json()).jobs || [];
       document.getElementById('jobs-note').textContent = '';

@@ -40,7 +40,17 @@ class Request:
         if self._headers is None:
             self._headers = {}
             for k, v in self.scope.get("headers", []):
-                self._headers[k.decode("latin-1").lower()] = v.decode("latin-1")
+                key = k.decode("latin-1").lower()
+                val = v.decode("latin-1")
+                if key in self._headers:
+                    # RFC 9110 §5.2: repeated field lines combine with a
+                    # comma — last-wins would silently DROP earlier lines
+                    # (e.g. each proxy in a chain appends its own
+                    # X-Forwarded-For line; auth's rate-limit keying must
+                    # see the FIRST hop, not the last proxy)
+                    self._headers[key] += ", " + val
+                else:
+                    self._headers[key] = val
         return self._headers
 
     @property
@@ -99,7 +109,9 @@ class Request:
     async def form(self) -> FormData:
         ctype = self.headers.get("content-type", "")
         raw = await self.body()
-        if ctype.startswith("multipart/form-data"):
+        # media types are case-insensitive (RFC 2045): a legal
+        # 'Multipart/Form-Data' must not fall through to urlencoded
+        if ctype.lower().startswith("multipart/form-data"):
             try:
                 return parse_multipart(raw, ctype)
             except ValueError:

@@ -110,6 +110,7 @@ class Router:
                 if method in route.methods:
                     return route, params
                 allowed |= route.methods
-            if allowed:
-                break
+            # NO early break on a method mismatch: the slash-variant
+            # candidate may hold the route that DOES accept this method —
+            # breaking here returned a spurious 405 (self-review r3)
         return None, allowed

@@ -69,6 +69,7 @@ class _Connection:
         headers: list[tuple[bytes, bytes]] = []
         content_length = 0
         chunked = False
+        expect_continue = False
         keep_alive = version.upper() != "HTTP/1.0"
         for line in lines[1:]:
             if not line:
@@ -92,6 +93,14 @@ class _Connection:
                     keep_alive = False
                 elif "keep-alive" in token:
                     keep_alive = True
+            elif k_l == b"expect":
+                expect_continue = b"100-continue" in v_s.lower()
+        if expect_continue and (chunked or content_length > 0):
+            # interim response BEFORE reading the body: curl sends
+            # Expect: 100-continue for multipart bodies >1 KB and stalls
+            # ~1 s (or fails, for stricter clients) waiting for it
+            self.writer.write(b"HTTP/1.1 100 Continue\r\n\r\n")
+            await self.writer.drain()
         if chunked:
             # RFC 7230 §4.1 de-chunking: uvicorn (the reference's server,
             # /root/reference/Dockerfile:25) accepts streamed uploads, so
@@ -161,12 +170,18 @@ class _Connection:
                     if k.lower() == b"content-length":
                         has_length = True
                     out.append(k + b": " + v + b"\r\n")
-                if not has_length:
+                # 204/304 are BODYLESS by definition (RFC 9110) — they
+                # self-delimit without content-length, so keep-alive
+                # survives (every DELETE/preflight used to tear the
+                # connection down for no protocol reason)
+                self_delimiting = has_length or status in (204, 304)
+                if not self_delimiting:
                     # no content-length -> must close to delimit body
                     out.append(b"connection: close\r\n")
                     self._force_close = True
                 out.append(
-                    b"connection: keep-alive\r\n" if keep_alive and has_length else b""
+                    b"connection: keep-alive\r\n"
+                    if keep_alive and self_delimiting else b""
                 )
                 out.append(b"\r\n")
                 self.writer.write(b"".join(out))
@@ -199,9 +214,14 @@ class _Connection:
                 raise ValueError("chunk-size line too long")
             # chunk extensions (";name=value") are allowed and ignored
             size_token = size_line.split(b";", 1)[0].strip()
+            # RFC 9112: 1*HEXDIG only — int(x, 16) also accepts "+5",
+            # "0x5", "5_0", which a front proxy parses differently (the
+            # same desync class Content-Length is hardened against above)
+            if not size_token or any(
+                c not in b"0123456789abcdefABCDEF" for c in size_token
+            ):
+                raise ValueError("malformed chunk size")
             size = int(size_token, 16)
-            if size < 0:
-                raise ValueError("negative chunk size")
             if size == 0:
                 # trailers: zero or more header lines, then a blank line.
                 # TOTAL trailer size is capped like the header block — an
@@ -284,8 +304,17 @@ class Server:
                 logger.info("shutdown requested; draining")
                 await self.stop()
             else:
-                async with self._server:
-                    await self._server.serve_forever()
+                # no-signal platform (worker thread, Windows): a
+                # programmatic stop() closes the server, which CANCELS
+                # asyncio's serving future — swallow that specific
+                # CancelledError so serve_forever() returns cleanly as
+                # the stop() contract promises (self-review r3)
+                try:
+                    async with self._server:
+                        await self._server.serve_forever()
+                except asyncio.CancelledError:
+                    if not self._stop_requested.is_set():
+                        raise  # a real outside cancellation propagates
         finally:
             for sig in hooked:
                 loop.remove_signal_handler(sig)

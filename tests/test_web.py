@@ -50,6 +50,12 @@ def make_app():
 
     misc = Router()
 
+    @misc.get("/no-content")
+    async def no_content(request):
+        from ics_tpu.web import Response
+
+        return Response(b"", 204)
+
     @misc.get("/cookie")
     async def cookie(request):
         resp = JSONResponse({"got": request.cookies.get("tok")})
@@ -359,3 +365,57 @@ async def test_malformed_multipart_is_422_not_500(client):
         )
         assert r.status_code == 422, r.text
         assert "multipart" in r.json()["detail"]
+
+
+class TestSelfReviewR3WebFixes:
+    def test_duplicate_headers_comma_joined(self):
+        """RFC 9110 §5.2: repeated field lines combine — last-wins would
+        drop earlier X-Forwarded-For hops and mis-key the rate limiter."""
+        from ics_tpu.web.requests import Request
+
+        scope = {
+            "type": "http", "method": "GET", "path": "/",
+            "headers": [
+                (b"x-forwarded-for", b"1.2.3.4"),
+                (b"x-forwarded-for", b"10.0.0.1"),
+            ],
+        }
+        req = Request(scope, None)
+        assert req.headers["x-forwarded-for"] == "1.2.3.4, 10.0.0.1"
+
+    def test_slash_variant_method_fallback(self):
+        """A method-mismatched exact match must NOT short-circuit the
+        trailing-slash candidate that does accept the method."""
+        from ics_tpu.web.routing import Router
+
+        r = Router()
+
+        @r.get("/painel")
+        async def g(request):  # pragma: no cover - routing only
+            pass
+
+        @r.post("/painel/")
+        async def p(request):  # pragma: no cover - routing only
+            pass
+
+        route, params = r.find("POST", "/painel")
+        assert route is not None and "POST" in route.methods
+        route, _ = r.find("GET", "/painel/")
+        assert route is not None and "GET" in route.methods
+
+    @pytest.mark.anyio
+    async def test_mixed_case_multipart_content_type(self, client):
+        """Media types are case-insensitive (RFC 2045): legal
+        'Multipart/Form-Data' must parse as multipart, not urlencoded."""
+        body = (
+            b"--B\r\ncontent-disposition: form-data; name=\"files\"; "
+            b"filename=\"x.jpg\"\r\n\r\n\xff\xd8\xffDATA\r\n--B--\r\n"
+        )
+        async with client:
+            r = await client.post(
+                "/files/upload", content=body,
+                headers={"content-type":
+                         'Multipart/Form-Data; boundary="B"'},
+            )
+            assert r.status_code == 200, r.text
+            assert r.json()["name"] == "x.jpg"
