@@ -10,6 +10,7 @@ processed/failed path caches avoid rework inside one sync pass.
 
 from __future__ import annotations
 
+import asyncio
 import logging
 from typing import Any, Optional
 
@@ -18,7 +19,7 @@ from ics_tpu.core.config import settings
 from ics_tpu.core.security import sha256_hex
 from ics_tpu.db.engine import Database, IntegrityError
 from ics_tpu.db.models import ConjuntoImagens, Imagem
-from ics_tpu.sync.nextcloud_client import NextCloudClient
+from ics_tpu.sync.nextcloud_client import IMAGE_EXTENSIONS, NextCloudClient
 from ics_tpu.sync.webdav_sync import (
     WebDAVSync,
     extract_metadata,
@@ -31,8 +32,6 @@ RELEVANT_TYPES = {
     "file_created", "file_deleted", "file_changed", "file_moved",
     "folder_created", "folder_deleted", "folder_changed",
 }
-
-IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp")
 
 
 def _event_path(event: dict) -> str:
@@ -52,8 +51,29 @@ class ActivityAPISync:
         self._processed_paths: set[str] = set()
         self._failed_paths: set[str] = set()
 
-    async def fetch_events_since(self, since_unix: int) -> list[dict]:
-        return await self.client.fetch_activities(since=since_unix)
+    # pagination bound: 50 pages x 200 events covers a 10k-event burst
+    # between polls; anything larger falls to the WebDAV full scan
+    MAX_ACTIVITY_PAGES = 50
+
+    async def fetch_events_since(self, since_id: int) -> list[dict]:
+        """Drain the activity feed from ``since_id`` (activity-ID
+        watermark, ascending pages): a single capped fetch would drop
+        every event beyond the first page AND then jump the watermark
+        past them (self-review r3)."""
+        out: list[dict] = []
+        cursor = since_id
+        for _ in range(self.MAX_ACTIVITY_PAGES):
+            page = await self.client.fetch_activities(since=cursor)
+            if not page:
+                break
+            out.extend(page)
+            top = max(
+                (int(e.get("activity_id", 0)) for e in page), default=cursor
+            )
+            if top <= cursor or len(page) < 200:
+                break  # drained (or a non-advancing server: stop looping)
+            cursor = top
+        return out
 
     # -- orchestration -----------------------------------------------------
     async def process_events(self, events: list[dict]) -> dict[str, Any]:
@@ -64,6 +84,11 @@ class ActivityAPISync:
         }
         relevant = [e for e in events if e.get("type") in RELEVANT_TYPES]
         stats["events_skipped"] = len(events) - len(relevant)
+        # CHRONOLOGICAL order is load-bearing: the API (and the test
+        # fake) returns newest-first — applying a folder's re-create
+        # before its earlier delete would tombstone live data
+        # (self-review r3)
+        relevant.sort(key=lambda e: int(e.get("activity_id") or 0))
         folder_events = [e for e in relevant if e.get("type", "").startswith("folder_")]
         file_events = [e for e in relevant if e.get("type", "").startswith("file_")]
 
@@ -142,11 +167,18 @@ class ActivityAPISync:
                 s.query(ConjuntoImagens)
                 .filter(ConjuntoImagens.caminho_conj == folder_path)
                 .first()
-            ) or (
-                s.query(ConjuntoImagens)
-                .filter(ConjuntoImagens.nome_conj == folder_path.rsplit("/", 1)[-1])
-                .first()
             )
+            if conjunto is None and "/" not in folder_path:
+                # basename fallback ONLY for root-level paths: a nested
+                # 'archive/vacation' deletion must never tombstone an
+                # unrelated root conjunto named 'vacation' (and all its
+                # images) just because the basenames match
+                # (self-review r3)
+                conjunto = (
+                    s.query(ConjuntoImagens)
+                    .filter(ConjuntoImagens.nome_conj == folder_path)
+                    .first()
+                )
             if conjunto is None:
                 return False
             conjunto.existe_no_nextcloud = False
@@ -222,7 +254,10 @@ class ActivityAPISync:
             self._failed_paths.add(file_path)
             return None
         content_hash = sha256_hex(data)
-        metadata = extract_metadata(data)
+        # off the event loop: a burst of file_created events must not
+        # block the shared loop for a multi-MB PIL parse each (the
+        # webdav path already offloads; self-review r3)
+        metadata = await asyncio.to_thread(extract_metadata, data)
         now = tz.utcnow()
         last_mod = info.get("last_modified")
         result = "created"
@@ -266,6 +301,9 @@ class ActivityAPISync:
                 imagem.caminho_img = info.get("path", file_path)
                 imagem.existe_no_nextcloud = True
                 imagem.data_sinc = now
+                # a MOVED image follows its new conjunto (same fix as
+                # webdav_sync._refresh_image; self-review r3)
+                imagem.id_cnj = str(conjunto_id)
                 result = "updated"
             s.commit()
         if self.on_image_bytes is not None:

@@ -24,11 +24,14 @@ from ics_tpu.core.config import settings
 
 logger = logging.getLogger(__name__)
 
+# the ONE image-type allowlist for the whole sync tier (webdav_sync and
+# activity_sync import these — three drifting copies once disagreed on
+# image/jpg, silently skipping files; self-review r3)
 IMAGE_MIMES = {
-    "image/jpeg", "image/png", "image/gif", "image/bmp",
+    "image/jpeg", "image/jpg", "image/png", "image/gif", "image/bmp",
     "image/tiff", "image/webp",
 }
-IMAGE_EXTENSIONS = {".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp"}
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp")
 
 NAMESPACES = {
     "d": "DAV:",
@@ -281,7 +284,12 @@ class NextCloudClient:
         resp = await self._request(
             "GET",
             self._activity_url(),
-            params={"since": since, "limit": limit, "format": "json"},
+            # sort=asc is LOAD-BEARING: the Activity API default is desc,
+            # under which since=<watermark> pages BACKWARD through
+            # history (older than the watermark) and the incremental
+            # channel never sees new events (self-review r3)
+            params={"since": since, "limit": limit, "sort": "asc",
+                    "format": "json"},
             headers={"OCS-APIRequest": "true", "Accept": "application/json"},
             timeout=30.0,
         )

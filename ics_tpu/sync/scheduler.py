@@ -76,6 +76,14 @@ class SyncScheduler:
                 status = self.service.cache.get()
                 if status.server_offline:
                     continue
+                if not status.activity_api_available:
+                    # the Activity API is down: sync_periodic would route
+                    # THIS 5-minute tick into a FULL WebDAV scan — that
+                    # cadence belongs to _webdav_fallback_loop (300 min);
+                    # without this gate a disabled Activity app meant
+                    # re-downloading the whole library every 5 minutes
+                    # (self-review r3). The health loop restores the flag.
+                    continue
                 # freshness gate: skip if a sync happened more recently than
                 # the interval (e.g. the initial sync just finished)
                 last = status.last_activity_api_sync

@@ -77,11 +77,17 @@ class NextCloudSyncService:
         webdav = WebDAVSync(self.client, self.db, on_image_bytes=self.on_image_bytes)
         scan_done = asyncio.Event()
 
+        collector_mark = {"id": 0}
+
         async def collector() -> None:
             """Buffer live events while the scan runs (race-window closer).
 
             ``since`` is the last-seen ACTIVITY ID (NextCloud semantics);
-            the baseline is the newest ID at scan start.
+            the baseline is the newest ID at scan start. The final
+            baseline is exported in ``collector_mark`` — it becomes the
+            post-replay watermark (events after it reach the first
+            periodic sync; a server-top refresh would skip anything that
+            happened DURING the replay window).
             """
             baseline = 0
             try:
@@ -91,6 +97,7 @@ class NextCloudSyncService:
                 )
             except Exception as exc:
                 logger.debug("coletor: baseline indisponível: %s", exc)
+            collector_mark["id"] = baseline
             for _ in range(COLLECTOR_MAX_ITERS):
                 if scan_done.is_set():
                     return
@@ -102,6 +109,7 @@ class NextCloudSyncService:
                             (int(e.get("activity_id", 0)) for e in events),
                             default=baseline,
                         )
+                        collector_mark["id"] = baseline
                 except Exception as exc:
                     logger.debug("coletor de eventos: %s", exc)
                 try:
@@ -128,18 +136,16 @@ class NextCloudSyncService:
         now = tz.utcnow()
         self.cache.update_last_webdav_sync(now)
         self.cache.update_last_activity_sync(now)
-        await self._refresh_activity_id_watermark()
+        # watermark = what the collector actually SAW (its final
+        # baseline; replay already advanced past processed events) —
+        # never the server's current top, which would skip events that
+        # landed during the replay window (self-review r3)
+        if collector_mark["id"]:
+            status = self.cache.get()
+            if collector_mark["id"] > (status.last_activity_id or 0):
+                self.cache.update_last_activity_id(collector_mark["id"])
         self.cache.set_last_result("success", "initial", None)
         return {"mode": "initial_full", **stats, "replay": replay_stats}
-
-    async def _refresh_activity_id_watermark(self) -> None:
-        try:
-            latest = await self.client.fetch_activities(since=0, limit=1)
-            top = max((int(e.get("activity_id", 0)) for e in latest), default=0)
-            if top:
-                self.cache.update_last_activity_id(top)
-        except Exception as exc:
-            logger.debug("watermark refresh: %s", exc)
 
     async def _apply_cached_events(self) -> dict[str, Any]:
         events = self.event_cache.get_events()

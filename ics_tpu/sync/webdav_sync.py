@@ -24,15 +24,13 @@ from ics_tpu.core.security import sha256_hex
 from ics_tpu.db.engine import Database, IntegrityError
 from ics_tpu.db.models import ConjuntoImagens, Imagem
 from ics_tpu.runtime.decode import image_metadata
-from ics_tpu.sync.nextcloud_client import NextCloudClient
+from ics_tpu.sync.nextcloud_client import (
+    IMAGE_EXTENSIONS as ALLOWED_EXTENSIONS,
+    IMAGE_MIMES as ALLOWED_MIMES,
+    NextCloudClient,
+)
 
 logger = logging.getLogger(__name__)
-
-ALLOWED_MIMES = (
-    "image/jpeg", "image/jpg", "image/png", "image/gif",
-    "image/bmp", "image/tiff", "image/webp",
-)
-ALLOWED_EXTENSIONS = (".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff", ".webp")
 
 
 def validate_image_entry(info: dict) -> bool:
@@ -166,10 +164,14 @@ class WebDAVSync:
     ) -> dict[str, int]:
         stats = {"processed": 0, "created": 0, "updated": 0}
         now = tz.utcnow()
-        # phase 1: network + hashing + decode, NO open DB transaction —
-        # holding a write txn across 60 s downloads would lock out every
-        # other writer (API requests) for the whole batch
-        prepared: list[tuple[str, dict, dict]] = []
+        # per image: download/hash/decode with NO open DB transaction
+        # (holding a write txn across 60 s downloads would lock out every
+        # other writer), then ONE short upsert+commit, then the TPU hook.
+        # The hook fires AFTER the commit: classify-on-sync's suggestion
+        # INSERT carries an FK to imagens — firing at download time raced
+        # the commit and the suggestion was silently lost on the FK
+        # violation (self-review r3; the activity path already ordered it
+        # this way).
         for info in images:
             if not validate_image_entry(info):
                 continue
@@ -180,22 +182,17 @@ class WebDAVSync:
                 continue
             content_hash = sha256_hex(data)
             metadata = await asyncio.to_thread(extract_metadata, data)
+            stats["processed"] += 1
+            with self.db.session() as s:
+                self._upsert_image(
+                    s, content_hash, info, metadata, conjunto_id, now, stats
+                )
+                s.commit()
             if self.on_image_bytes is not None:
                 try:
                     self.on_image_bytes(content_hash, data)
                 except Exception:
                     logger.exception("on_image_bytes hook falhou")
-            prepared.append((content_hash, info, metadata))
-
-        # phase 2: short write transactions, one commit per image so a
-        # duplicate-hash conflict cannot roll back the rest of the batch
-        with self.db.session() as s:
-            for content_hash, info, metadata in prepared:
-                stats["processed"] += 1
-                self._upsert_image(
-                    s, content_hash, info, metadata, conjunto_id, now, stats
-                )
-                s.commit()
         return stats
 
     def _upsert_image(
@@ -238,18 +235,26 @@ class WebDAVSync:
                 s.rollback()
                 imagem = s.get(Imagem, content_hash)
                 if imagem is not None:
-                    self._refresh_image(imagem, info, nextcloud_meta, now)
+                    self._refresh_image(
+                        imagem, info, nextcloud_meta, now, conjunto_id
+                    )
                     stats["updated"] += 1
         else:
-            self._refresh_image(imagem, info, nextcloud_meta, now)
+            self._refresh_image(imagem, info, nextcloud_meta, now, conjunto_id)
             stats["updated"] += 1
 
     @staticmethod
-    def _refresh_image(imagem: Imagem, info: dict, nextcloud_meta: dict, now):
+    def _refresh_image(imagem: Imagem, info: dict, nextcloud_meta: dict, now,
+                       conjunto_id: Optional[str] = None):
         imagem.nome_img = info.get("name", "")
         imagem.caminho_img = info.get("path", "")
         imagem.existe_no_nextcloud = True
         imagem.data_sinc = now
+        if conjunto_id is not None:
+            # an image MOVED between folders must follow its new conjunto
+            # — keeping the old id_cnj made _mark_removed_images tombstone
+            # it on every scan of the old folder (self-review r3)
+            imagem.id_cnj = str(conjunto_id)
         meta = dict(imagem.metadados or {})
         meta.setdefault("nextcloud", {}).update(nextcloud_meta)
         imagem.metadados = meta

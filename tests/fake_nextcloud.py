@@ -155,11 +155,20 @@ def make_fake_nextcloud(state: FakeState) -> App:
     async def activity(request: Request):
         if state.fail_activity:
             return Response(b"down", 503)
-        # NextCloud semantics: ``since`` is the last-seen activity ID
+        # NextCloud semantics: ``since`` is the last-seen activity ID;
+        # the DEFAULT sort is desc (newest first) and pages move BACKWARD
+        # through history under it — the client must send sort=asc for
+        # the incremental channel to work (exactly like the real server)
         since = int(float(request.query_params.get("since", 0) or 0))
         limit = int(request.query_params.get("limit", 200) or 200)
-        events = [e for e in state.events if e["activity_id"] > since]
-        events = sorted(events, key=lambda e: -e["activity_id"])[:limit]
+        sort = (request.query_params.get("sort") or "desc").lower()
+        if sort == "asc":
+            events = [e for e in state.events if e["activity_id"] > since]
+            events = sorted(events, key=lambda e: e["activity_id"])[:limit]
+        else:
+            events = [e for e in state.events if e["activity_id"] < since] \
+                if since else list(state.events)
+            events = sorted(events, key=lambda e: -e["activity_id"])[:limit]
         return JSONResponse({"ocs": {"data": events}})
 
     app.include_router(router)

@@ -279,3 +279,117 @@ class TestSyncCache:
         cache.record_activity_success()
         assert cache.is_activity_api_available() is True
         assert cache.get().activity_api_failures == 0
+
+
+class TestSelfReviewR3SyncFixes:
+    """Regression tests for the r3 sync-tier review (real-NextCloud
+    semantics: sort order, pagination, move handling, tombstone scope)."""
+
+    @pytest.mark.anyio
+    async def test_incremental_channel_advances_past_watermark(
+        self, nc_client, db, state
+    ):
+        """The client must request sort=asc: under the API's desc default
+        since=<watermark> pages BACKWARD through history. The fake now
+        honors both sorts, so a regression to no-sort breaks this."""
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        state.add_image("plantas", "n1.jpg", make_jpeg(41))
+        state.record_event("file_created", "plantas/n1.jpg")
+        activity = ActivityAPISync(nc_client, db)
+        events = await activity.fetch_events_since(0)
+        watermark = max(e["activity_id"] for e in events)
+        # nothing new: the drained feed returns empty, NOT history
+        assert await activity.fetch_events_since(watermark) == []
+        state.add_image("plantas", "n2.jpg", make_jpeg(42))
+        state.record_event("file_created", "plantas/n2.jpg")
+        newer = await activity.fetch_events_since(watermark)
+        assert [e["object_name"] for e in newer] == ["plantas/n2.jpg"]
+
+    @pytest.mark.anyio
+    async def test_fetch_paginates_beyond_one_page(self, db):
+        """A 450-event burst between polls must drain fully — a single
+        capped fetch dropped everything past the newest 200 and then
+        jumped the watermark over them."""
+        class StubClient:
+            async def fetch_activities(self, since=0, limit=200):
+                ids = [i for i in range(1, 451) if i > since][:200]
+                return [
+                    {"activity_id": i, "type": "file_changed",
+                     "object_name": f"f/{i}.jpg"}
+                    for i in ids
+                ]
+
+        activity = ActivityAPISync(StubClient(), db)
+        events = await activity.fetch_events_since(0)
+        assert len(events) == 450
+        assert events[-1]["activity_id"] == 450
+
+    @pytest.mark.anyio
+    async def test_events_applied_chronologically(self, nc_client, db,
+                                                  state):
+        """delete(folder) then re-create(folder) arriving newest-first
+        must NOT leave the recreated folder tombstoned."""
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        state.record_event("folder_deleted", "plantas")
+        state.record_event("folder_created", "plantas")
+        activity = ActivityAPISync(nc_client, db)
+        # hand the events in DESC order (the API's default presentation)
+        events = sorted(
+            await activity.fetch_events_since(0),
+            key=lambda e: -e["activity_id"],
+        )
+        await activity.process_events(events)
+        with db.session() as s:
+            cnj = (
+                s.query(ConjuntoImagens)
+                .filter(ConjuntoImagens.nome_conj == "plantas")
+                .first()
+            )
+            assert cnj.existe_no_nextcloud is True  # create came LAST
+
+    @pytest.mark.anyio
+    async def test_nested_delete_cannot_tombstone_root_namesake(
+        self, nc_client, db, state
+    ):
+        """Deleting 'archive/plantas' must not tombstone the root
+        conjunto 'plantas' via the basename fallback."""
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        activity = ActivityAPISync(nc_client, db)
+        assert not activity.process_folder_deleted(
+            {"type": "folder_deleted", "object_name": "archive/plantas"}
+        )
+        with db.session() as s:
+            cnj = (
+                s.query(ConjuntoImagens)
+                .filter(ConjuntoImagens.nome_conj == "plantas")
+                .first()
+            )
+            assert cnj.existe_no_nextcloud is True
+
+    @pytest.mark.anyio
+    async def test_moved_image_follows_its_new_conjunto(
+        self, nc_client, db, state
+    ):
+        """An image moved between folders must change id_cnj — keeping
+        the old conjunto made every later scan of the old folder
+        re-tombstone it."""
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        data = state.folders["plantas"]["a.jpg"].data
+        h = sha256_hex(data)
+        # move a.jpg: plantas -> insetos (same bytes, same hash)
+        del state.folders["plantas"]["a.jpg"]
+        state.add_image("insetos", "a.jpg", data)
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        with db.session() as s:
+            img = s.get(Imagem, h)
+            cnj = (
+                s.query(ConjuntoImagens)
+                .filter(ConjuntoImagens.nome_conj == "insetos")
+                .first()
+            )
+            assert img.id_cnj == cnj.id_cnj
+            assert img.existe_no_nextcloud is True
+        # and the next scan does NOT re-tombstone it
+        await WebDAVSync(nc_client, db).sync_all_folders()
+        with db.session() as s:
+            assert s.get(Imagem, h).existe_no_nextcloud is True
