@@ -106,6 +106,13 @@ class DynamicBatcher:
     async def submit(
         self, image: np.ndarray, announced: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
+        if self._stopping:
+            # a submit racing stop() would enqueue AFTER the drain loop
+            # already failed the queue — that future never resolves and
+            # the client connection hangs forever (self-review r3)
+            if announced:
+                self.retract()
+            raise RuntimeError("batcher stopped before request was served")
         loop = asyncio.get_running_loop()
         pending = _Pending(image=image, future=loop.create_future())
         self.stats["queued"] += 1

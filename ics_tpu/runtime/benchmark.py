@@ -41,14 +41,23 @@ def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
     chained = _chained_cache.get(engine)
     if chained is None:
 
+        # mirror the engine's own serving step: _top_k() caps k at the
+        # class count (a trained 2-class engine crashed lax.top_k(_, 5))
+        # and multi-label engines score with sigmoid (self-review r3)
+        k = engine._top_k()
+        multi_label = engine.multi_label
+
         def one_step(folded, canvas_u8, sizes):
             x = preprocess_batch(
                 canvas_u8, sizes, out_size=spec.image_size,
                 resize_short=spec.resize_short, dtype=dtype,
             )
             logits = model.apply_folded(folded, x).astype(jnp.float32)
-            probs = jax.nn.softmax(logits, axis=-1)
-            values, idx = jax.lax.top_k(probs, 5)
+            if multi_label:
+                probs = jax.nn.sigmoid(logits)
+            else:
+                probs = jax.nn.softmax(logits, axis=-1)
+            values, idx = jax.lax.top_k(probs, k)
             return values, idx
 
         @jax.jit

@@ -24,14 +24,28 @@ from PIL import Image
 DEFAULT_CANVAS = 512
 
 
+class ImagemInvalida(ValueError):
+    """Deterministic CLIENT input failure (undecodable bytes).
+
+    Subclasses ValueError so existing ``except (OSError, ValueError)``
+    route handlers keep working, but gives the hedging layer a PRECISE
+    exemption type: a bare ValueError from a wedged replica's runtime
+    (JAX device/sharding errors are ValueErrors) must still hedge
+    (self-review r3)."""
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """bytes -> RGB uint8 [H, W, 3]."""
+    """bytes -> RGB uint8 [H, W, 3]. Raises :class:`ImagemInvalida` on
+    undecodable input."""
     if _native is not None:
         out = _native.decode(data)
         if out is not None:
             return out
-    with Image.open(io.BytesIO(data)) as im:
-        return np.asarray(im.convert("RGB"))
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception as exc:
+        raise ImagemInvalida(f"imagem não decodificável: {exc}") from exc
 
 
 def image_metadata(data: bytes) -> dict:

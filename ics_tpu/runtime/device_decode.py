@@ -117,6 +117,13 @@ def stage_coefficient_batch(
         if cw < cbh_:
             cb[i, :ch, cw, 0] = cbc["coeffs"][:, cw - 1, 0]
             cr[i, :ch, cw, 0] = crc["coeffs"][:, cw - 1, 0]
+        if ch < cbv and cw < cbh_:
+            # the CORNER block too: without it the bottom-right image
+            # corner's right-neighbor column decoded to neutral grey and
+            # pulled corner chroma toward grey — the exact divergence
+            # this replication exists to prevent (self-review r3)
+            cb[i, ch, cw, 0] = cbc["coeffs"][ch - 1, cw - 1, 0]
+            cr[i, ch, cw, 0] = crc["coeffs"][ch - 1, cw - 1, 0]
         cq[i] = cbc["quant"]
         rq[i] = crc["quant"]
     return {

@@ -97,26 +97,32 @@ class EmbeddingIndex:
         from ics_tpu.utils.metrics import registry as metrics_registry
 
         self.refresh()
+        # SNAPSHOT under the lock: searches run on executor threads while
+        # another thread's refresh() swaps matrix/hashes/n — indices from
+        # the OLD matrix mapped through the NEW hashes list silently
+        # return the wrong images (self-review r3)
+        with self._lock:
+            matrix, hashes, n = self._matrix, self._hashes, self._n
         metrics_registry.counter(
             "similarity_searches_total", "embedding cosine top-k searches"
         ).inc()
         metrics_registry.gauge(
             "embedding_index_vectors", "vectors in the similarity index"
-        ).set(self._n)
-        if self._n == 0 or self._matrix is None:
+        ).set(n)
+        if n == 0 or matrix is None:
             return []
         # always extract K_MAX on device and slice on host: one compiled
         # graph per rows-bucket regardless of the requested k
-        k_eff = min(self.K_MAX, int(self._matrix.shape[0]))
+        k_eff = min(self.K_MAX, int(matrix.shape[0]))
         q = jnp.asarray(np.asarray(query, np.float32))
-        scores, idx = _cosine_topk(q, self._matrix, k_eff)
+        scores, idx = _cosine_topk(q, matrix, k_eff)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []
         for i, sc in zip(idx, scores):
-            if i >= self._n:  # padding row
+            if i >= n:  # padding row
                 continue
-            h = self._hashes[int(i)]
+            h = hashes[int(i)]
             if exclude is not None and h == exclude:
                 continue
             if min_score is not None and float(sc) < min_score:

@@ -94,6 +94,25 @@ class InferenceEngine:
             "batches": 0, "images": 0, "total_device_ms": 0.0, "compiles": 0,
         }
 
+    def _record_step(self, key, dt_ms: float, n: int,
+                     record: bool = True) -> None:
+        """Uniform stats recording for every compiled-step flavor: the
+        FIRST call on a shape key is a compile (counted, excluded from
+        total_device_ms — a ~40 s remote-tunnel compile wholesale in the
+        device-time telemetry made ms/batch unusable after restarts);
+        ``record=False`` keeps warmup traffic out of batches/images
+        (self-review r3)."""
+        new_shape = key not in self._compiled_shapes
+        self._compiled_shapes.add(key)
+        if not record:
+            return
+        self._stats["batches"] += 1
+        self._stats["images"] += n
+        if new_shape:
+            self._stats["compiles"] += 1
+        else:
+            self._stats["total_device_ms"] += dt_ms
+
     def _top_k(self) -> int:
         # multi-label: every class's sigmoid score is an independent
         # decision, so truncating at TOP_K could silently drop options at
@@ -163,7 +182,7 @@ class InferenceEngine:
         return self._coeff_steps[mode]
 
     def predict_coeff_staged(
-        self, staged: dict, mode: str = "420"
+        self, staged: dict, mode: str = "420", record: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
         """Staged coefficient batch (see runtime.device_decode) -> top-k.
 
@@ -189,9 +208,10 @@ class InferenceEngine:
         )
         idx = np.asarray(idx)[:n]
         scores = np.asarray(scores)[:n]
-        self._stats["batches"] += 1
-        self._stats["images"] += n
-        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        self._record_step(
+            ("coeff", mode, staged["y"].shape[1], bucket),
+            (time.perf_counter() - t0) * 1000, n, record=record,
+        )
         return idx, scores
 
     # -- test-time augmentation ----------------------------------------------
@@ -363,9 +383,10 @@ class InferenceEngine:
             self.folded, canvas[:1], sizes[:1], jnp.int32(class_idx),
             jax.random.PRNGKey(seed),
         )
-        self._stats["batches"] += 1
-        self._stats["images"] += 1
-        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        self._record_step(
+            ("explain", smooth_samples, canvas.shape[1]),
+            (time.perf_counter() - t0) * 1000, 1,
+        )
         # top_k ran on the clean 1-D logits row: idx/scores are already [K]
         return np.asarray(idx), np.asarray(scores), np.asarray(heat)
 
@@ -488,7 +509,7 @@ class InferenceEngine:
                 "rq": np.zeros((b, 64), np.uint16),
                 "sizes": np.full((b, 2), 64, np.int32),
             }
-            self.predict_coeff_staged(staged, mode=mode)
+            self.predict_coeff_staged(staged, mode=mode, record=False)
             logger.info(
                 "compiled %s decode lane %s/%dpx for bucket %d",
                 self.model_name, mode, luma_blocks * 8, b,
@@ -512,20 +533,13 @@ class InferenceEngine:
         # mixed-resolution bucketing (BASELINE cfg 4): jax.jit caches one
         # graph per (batch_bucket, canvas) shape; stage_batch quantizes the
         # canvas side to a small bucket set, bounding the compile count
-        shape_key = (bucket, canvas.shape[1])
-        new_shape = shape_key not in self._compiled_shapes
-        self._compiled_shapes.add(shape_key)
         t0 = time.perf_counter()
         idx, scores = step(self.folded, canvas, sizes)
         idx = np.asarray(idx)[:n]
         scores = np.asarray(scores)[:n]
-        dt = (time.perf_counter() - t0) * 1000
-        self._stats["batches"] += 1
-        self._stats["images"] += n
-        if new_shape:
-            self._stats["compiles"] += 1
-        else:
-            self._stats["total_device_ms"] += dt
+        self._record_step(
+            (bucket, canvas.shape[1]), (time.perf_counter() - t0) * 1000, n
+        )
         return idx, scores
 
     def status(self) -> dict:

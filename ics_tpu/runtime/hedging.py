@@ -66,17 +66,13 @@ class HedgedInferenceService:
     # deterministic input failures (undecodable bytes) fail identically on
     # every replica: replaying them doubles the work and pollutes
     # hedge_failures with client errors. The exemption is deliberately
-    # NARROW — bare OSError also covers ConnectionResetError/socket faults
-    # from a dying replica's runtime, which are exactly what hedging must
-    # absorb, so only decode-specific classes qualify. A truncated-image
-    # OSError from PIL will hedge wastefully once; correctness wins.
-    try:
-        from PIL import UnidentifiedImageError as _BadImage
-    except Exception:  # pragma: no cover - PIL is baked in
-        class _BadImage(Exception):
-            pass
+    # NARROW — decode_image wraps decode failures in ImagemInvalida, so
+    # neither bare OSError (socket faults from a dying replica) nor bare
+    # ValueError (JAX device/sharding errors are ValueErrors) is exempt:
+    # those are exactly what hedging must absorb (self-review r3).
+    from ics_tpu.runtime.decode import ImagemInvalida as _BadImage
 
-    INPUT_ERRORS = (_BadImage, ValueError)
+    INPUT_ERRORS = (_BadImage,)
 
     def __init__(self, replicas, hedge_ms: float = 250.0):
         if len(replicas) < 2:
@@ -174,16 +170,24 @@ class HedgedInferenceService:
             done, racers = await asyncio.wait(
                 racers, return_when=asyncio.FIRST_COMPLETED
             )
+            # retrieve EVERY done task's exception first: a success and a
+            # failure can land in the same tick, and returning before
+            # touching the failure logs 'Task exception was never
+            # retrieved' noise (self-review r3)
+            winner = None
             for task in done:
                 if task.exception() is None:
-                    for loser in racers:
-                        self._discard(loser)
-                    if task is backup:
-                        self._stats["hedges_won"] += 1
-                    result = task.result()
-                    result["hedged"] = True
-                    return result
-                winner_exc = task.exception()
+                    winner = task
+                else:
+                    winner_exc = task.exception()
+            if winner is not None:
+                for loser in racers:
+                    self._discard(loser)
+                if winner is backup:
+                    self._stats["hedges_won"] += 1
+                result = winner.result()
+                result["hedged"] = True
+                return result
         # a straggling primary can still resolve to a deterministic input
         # error — keep it out of the infrastructure-failure counter
         if isinstance(winner_exc, self.INPUT_ERRORS):
@@ -234,8 +238,17 @@ class HedgedInferenceService:
         # so replica 0 alone sees ~1/N of the traffic (metrics export
         # reads the top-level keys)
         summed = {}
-        for key in ("images", "batches", "device_decoded", "host_decoded",
-                    "device_errors"):
+        fixed = ("images", "batches", "device_decoded", "host_decoded",
+                 "device_errors")
+        # the per-mode lane counters are dynamic keys
+        # (device_decoded_420_512px, ...): aggregate ANY such counter so
+        # the top level never shows replica 0's ~1/N count beside its own
+        # aggregated total (self-review r3)
+        dynamic = {
+            k for s in per_replica for k in s
+            if k.startswith("device_decoded_") or k.startswith("host_decoded_")
+        }
+        for key in (*fixed, *sorted(dynamic)):
             if any(key in s for s in per_replica):
                 summed[key] = sum(s.get(key, 0) for s in per_replica)
         return {

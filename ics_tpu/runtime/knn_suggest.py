@@ -79,8 +79,18 @@ def knn_sugerir(
             continue
         used += 1
         total += w
-        for id_opc in opcoes:
-            weights[id_opc] = weights.get(id_opc, 0.0) + w
+        if multi_label:
+            # independent per-class votes: full weight to every label
+            for id_opc in opcoes:
+                weights[id_opc] = weights.get(id_opc, 0.0) + w
+        else:
+            # single-label: a neighbour carrying SEVERAL active labels
+            # (specialists disagreeing) splits its weight — otherwise two
+            # options each scored 1.0 and the sum-to-1 contract (and the
+            # top-2-margin uncertainty built on it) broke (self-review r3)
+            share = w / len(opcoes)
+            for id_opc in opcoes:
+                weights[id_opc] = weights.get(id_opc, 0.0) + share
         if used >= k:
             break
     if not weights or total <= 0.0:

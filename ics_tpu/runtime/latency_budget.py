@@ -147,7 +147,14 @@ def measure(engine, repeats: int = 10, jpeg_side: int = 512,
         jax.device_put(np.full((8, 8), i, np.float32))
         for i in range(repeats + 1)
     ]
-    _ = np.asarray(jax.device_get(residents[0]))  # drain pending puts
+    # drain EVERY pending put before timing: fetching only residents[0]
+    # left the other uploads in flight, so the timed fetches could block
+    # on their own H2D first and overstate d2h (self-review r3). A tiny
+    # per-array SLICE fetch forces each upload to complete without
+    # caching the full-array host copy (block_until_ready is a no-op
+    # over the axon tunnel — CLAUDE.md).
+    for r in residents:
+        _ = np.asarray(jax.device_get(r[0, 0]))
     it = iter(residents[1:])
     out["d2h_roundtrip_ms"] = _median_ms(
         lambda: np.asarray(jax.device_get(next(it))), repeats

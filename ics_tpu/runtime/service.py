@@ -88,12 +88,16 @@ class InferenceService:
         )
 
     async def _get_coeff_lane(self, mode: str, luma_blocks: int) -> DynamicBatcher:
+        if not self._started:
+            # racing stop(): a lane created now would never get a running
+            # flusher and its submits would hang forever — fail fast with
+            # the same contract as a stopped batcher (self-review r3)
+            raise RuntimeError("batcher stopped before request was served")
         key = (mode, luma_blocks)
         lane = self.coeff_batchers.get(key)
         if lane is None:
             lane = self._make_coeff_lane(mode, luma_blocks)
-            if self._started:
-                await lane.start()
+            await lane.start()
             self.coeff_batchers[key] = lane
         return lane
 

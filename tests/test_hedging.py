@@ -150,7 +150,13 @@ class TestHedgedServing:
         service = _make_service(hedge_ms=60_000.0)
         await service.start()
         try:
-            with pytest.raises(OSError):
+            from ics_tpu.runtime.decode import ImagemInvalida
+
+            # decode failures surface as the DEDICATED input-error type
+            # (a ValueError subclass, so route handlers' 422 mapping
+            # still catches it) — bare OSError/ValueError from a wedged
+            # replica's runtime must hedge instead (self-review r3)
+            with pytest.raises(ImagemInvalida):
                 await service.classify_bytes(b"this is not an image")
             assert service._stats["hedges_fired"] == 0
             assert service._stats["hedge_failures"] == 0
