@@ -14,6 +14,8 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#include "coeff_header.h"
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -98,6 +100,13 @@ struct JpegErrorMgr {
   jmp_buf setjmp_buffer;
 };
 
+// decompression-bomb guard: PIL's MAX_IMAGE_PIXELS default — a ~1KB
+// crafted JPEG can declare 65535x65535 (12.9 GB of RGB) and libjpeg pads
+// truncated entropy data instead of erroring, OOM-killing the server.
+// The PIL fallback never runs because the native path "succeeds"
+// (self-review r3).
+static const unsigned long long ICSTPU_MAX_PIXELS = 178956970ULL;
+
 static void jpeg_error_exit(j_common_ptr cinfo) {
   JpegErrorMgr *err = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
@@ -109,7 +118,11 @@ static int decode_jpeg(const uint8_t *data, size_t len, uint8_t **out,
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
-  uint8_t *buffer = nullptr;
+  // volatile: modified between setjmp and longjmp — a non-volatile
+  // auto here is indeterminate in the error path (UB; in practice the
+  // register-cached nullptr leaked the full allocation on every
+  // attacker-supplied corrupt image; self-review r3)
+  uint8_t *volatile buffer = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     free(buffer);
@@ -125,6 +138,10 @@ static int decode_jpeg(const uint8_t *data, size_t len, uint8_t **out,
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   int w = cinfo.output_width, h = cinfo.output_height;
+  if (1ULL * w * h > ICSTPU_MAX_PIXELS) {
+    jpeg_destroy_decompress(&cinfo);
+    return -4;  // declared size past the bomb guard
+  }
   size_t stride = size_t(w) * 3;
   buffer = static_cast<uint8_t *>(malloc(stride * h));
   if (!buffer) {
@@ -175,8 +192,8 @@ static int decode_png(const uint8_t *data, size_t len, uint8_t **out,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return -3;
   }
-  uint8_t *buffer = nullptr;
-  png_bytep *rows = nullptr;
+  uint8_t *volatile buffer = nullptr;
+  png_bytep *volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(buffer);
@@ -202,6 +219,10 @@ static int decode_png(const uint8_t *data, size_t len, uint8_t **out,
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
+  if (1ULL * w * h > ICSTPU_MAX_PIXELS) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -4;  // decompression-bomb guard (see ICSTPU_MAX_PIXELS)
+  }
   size_t stride = size_t(w) * 3;
   buffer = static_cast<uint8_t *>(malloc(stride * h));
   rows = static_cast<png_bytep *>(malloc(sizeof(png_bytep) * h));
@@ -257,14 +278,6 @@ void icstpu_free(uint8_t *p) { free(p); }
 // dequant + iDCT (as matmuls) + upsample + colorspace there.
 // ---------------------------------------------------------------------------
 
-struct CoeffHeader {
-  int num_components;      // 1 or 3
-  int width, height;       // image dims
-  // per component: blocks_w, blocks_h, h_samp, v_samp
-  int comp[4][4];
-  // quant tables per component, natural order
-  uint16_t quant[4][64];
-};
 
 // Returns 0 on success. *out receives a malloc'd buffer laid out as:
 //   [CoeffHeader][comp0 coeffs int16 (blocks_h*blocks_w*64)][comp1 ...]
@@ -275,7 +288,7 @@ int icstpu_jpeg_coeffs(const uint8_t *data, size_t len, uint8_t **out,
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
-  uint8_t *buffer = nullptr;
+  uint8_t *volatile buffer = nullptr;  // modified after setjmp (UB guard)
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     free(buffer);
@@ -287,6 +300,10 @@ int icstpu_jpeg_coeffs(const uint8_t *data, size_t len, uint8_t **out,
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return -2;
+  }
+  if (1ULL * cinfo.image_width * cinfo.image_height > ICSTPU_MAX_PIXELS) {
+    jpeg_destroy_decompress(&cinfo);
+    return -6;  // decompression-bomb guard (see ICSTPU_MAX_PIXELS)
   }
   jvirt_barray_ptr *barrays = jpeg_read_coefficients(&cinfo);
   if (!barrays || cinfo.num_components > 4) {

@@ -35,7 +35,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not _SO.exists() and not _build():
+    # ALWAYS invoke make (timestamp no-op when fresh): an existence-only
+    # check kept loading a stale .so after source updates, and a missing
+    # NEW symbol then raised past the fallback (self-review r3)
+    if not _build() and not _SO.exists():
         _build_failed = True
         return None
     try:
@@ -66,7 +69,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.icstpu_jpeg_coeffs_mt.restype = ctypes.c_int
         _lib = lib
         return lib
-    except OSError as exc:
+    except (OSError, AttributeError) as exc:
+        # AttributeError = stale .so missing a new symbol: degrade to the
+        # PIL/serial fallbacks instead of 500ing every decode
         logger.warning("native imgcodec unavailable: %s", exc)
         _build_failed = True
         return None
@@ -192,6 +197,12 @@ def jpeg_coefficients(
 
 
 def sha256_hex(data: bytes) -> Optional[str]:
+    """Correctness CROSS-CHECK of the C SHA-256 — NOT the production
+    hash. The system's content identity is core/security.py::sha256_hex
+    (hashlib: OpenSSL-backed, SHA-NI — faster than this portable C).
+    Kept because the parity test (tests/test_native.py) diffing two
+    independent implementations is what guards the identity function;
+    do not route production hashing here."""
     lib = _load()
     if lib is None:
         return None

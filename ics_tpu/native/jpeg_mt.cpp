@@ -38,6 +38,8 @@
 
 #include <jpeglib.h>
 
+#include "coeff_header.h"
+
 namespace {
 
 // zigzag (stream) index -> natural (row-major) index, per the JPEG spec;
@@ -63,12 +65,6 @@ bool check_huff(const uint8_t counts[17], int nsym) {
 }
 
 // mirrors CoeffHeader in imgcodec.cpp — layouts must stay byte-identical
-struct CoeffHeader {
-  int num_components;
-  int width, height;
-  int comp[4][4];             // blocks_w, blocks_h, h_samp, v_samp
-  uint16_t quant[4][64];
-};
 
 struct Component {
   int id = 0, h = 1, v = 1, tq = 0;

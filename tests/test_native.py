@@ -186,3 +186,99 @@ class TestParallelEntropyDecode:
             serial = imgcodec.jpeg_coefficients(mutilated, threads=1)
             if serial is None:
                 assert mt is None
+
+
+class TestDecompressionBombGuard:
+    """A ~1KB crafted JPEG declaring 65535x65535 (12.9 GB RGB) must be
+    REJECTED by the native decoder, not malloc'd under overcommit and
+    scanline-filled into an OOM kill (self-review r3). The PIL fallback
+    then applies its own MAX_IMAGE_PIXELS guard."""
+
+    @staticmethod
+    def _bomb_jpeg() -> bytes:
+        # take a real tiny JPEG and patch its SOF0 dimensions to 65535^2
+        base = make_jpeg_bytes((32, 32))
+        idx = base.find(b"\xff\xc0")
+        assert idx > 0
+        # SOF0: marker(2) len(2) precision(1) height(2) width(2)
+        patched = bytearray(base)
+        patched[idx + 5:idx + 9] = (65535).to_bytes(2, "big") * 2
+        return bytes(patched)
+
+    def test_native_decode_rejects(self):
+        from ics_tpu.native import imgcodec
+
+        if not imgcodec.available():
+            pytest.skip("native lib unavailable")
+        assert imgcodec.decode(self._bomb_jpeg()) is None
+
+    def test_native_coeffs_reject(self):
+        from ics_tpu.native import imgcodec
+
+        if not imgcodec.available():
+            pytest.skip("native lib unavailable")
+        assert imgcodec.jpeg_coefficients(self._bomb_jpeg()) is None
+
+    def test_corrupt_image_error_path_does_not_leak_wildly(self):
+        """setjmp/longjmp error path: volatile buffers free correctly —
+        hammer the corrupt-decode path and assert RSS stays bounded
+        (each 4096x4096 declared bomb would leak ~50 MB unfreed)."""
+        import resource
+
+        from ics_tpu.native import imgcodec
+
+        if not imgcodec.available():
+            pytest.skip("native lib unavailable")
+        base = make_jpeg_bytes((64, 64))
+        idx = base.find(b"\xff\xc0")
+        patched = bytearray(base)
+        # declared 4096x4096 (within the pixel cap) but truncated scan
+        patched[idx + 5:idx + 9] = (4096).to_bytes(2, "big") * 2
+        corrupt = bytes(patched[:len(patched) // 2])
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        for _ in range(40):  # would leak ~2 GB if the error path dropped
+            imgcodec.decode(corrupt)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert (rss1 - rss0) < 500_000  # KiB: well under one leak's worth
+
+
+class TestDecompressionBombGuard:
+    """A ~1KB crafted JPEG declaring 65535x65535 (12.9 GB RGB) must be
+    REJECTED by the native decoder, not malloc'd under overcommit and
+    scanline-filled into an OOM kill (self-review r3). The PIL fallback
+    then applies its own MAX_IMAGE_PIXELS guard."""
+
+    @staticmethod
+    def _patched_sof(size: int, truncate: bool = False) -> bytes:
+        rng = np.random.default_rng(0)
+        base = _jpeg(rng.integers(0, 256, (32, 32, 3), np.uint8))
+        idx = base.find(b"\xff\xc0")
+        assert idx > 0
+        # SOF0: marker(2) len(2) precision(1) height(2) width(2)
+        patched = bytearray(base)
+        patched[idx + 5:idx + 9] = size.to_bytes(2, "big") * 2
+        if truncate:
+            patched = patched[: len(patched) // 2]
+        return bytes(patched)
+
+    def test_native_decode_rejects_bomb(self):
+        assert imgcodec.decode(self._patched_sof(65535)) is None
+
+    def test_native_coeffs_reject_bomb(self):
+        assert imgcodec.jpeg_coefficients(self._patched_sof(65535)) is None
+
+    def test_corrupt_error_path_frees_buffers(self):
+        """setjmp/longjmp error path with volatile buffers: hammer the
+        corrupt-decode path (declared 4096x4096, truncated scan) and
+        assert RSS stays bounded — each iteration would leak ~50 MB if
+        the error path dropped the allocation (self-review r3)."""
+        import resource
+
+        corrupt = self._patched_sof(4096, truncate=True)
+        # warm one decode first so allocator pools don't count
+        imgcodec.decode(corrupt)
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        for _ in range(40):  # ~2 GB leaked if the fix regressed
+            imgcodec.decode(corrupt)
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        assert (rss1 - rss0) < 500_000, f"RSS grew {rss1 - rss0} KiB"
