@@ -23,7 +23,8 @@ def obter_imagens_preview_ambiente(db: Session, id_amb: str, limit: int = 5):
         """
         SELECT i.* FROM imagens i
         JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
-        WHERE aci.id_amb = ? AND i.existe_no_nextcloud = 1
+        WHERE aci.id_amb = ? AND aci.ativo = 1
+          AND i.existe_no_nextcloud = 1
         LIMIT ?
         """,
         [str(id_amb), limit],
@@ -169,7 +170,17 @@ def reativar_ambiente(db: Session, id_amb: str):
     if not assoc_conjuntos and not assoc_usuarios:
         return None
 
+    # associations already active BEFORE this call (partial states)
+    ja_ativos = (
+        db.query(AmbienteConjuntoImagens)
+        .filter(
+            AmbienteConjuntoImagens.id_amb == str(id_amb),
+            AmbienteConjuntoImagens.ativo == True,  # noqa: E712
+        )
+        .count()
+    )
     reativadas = 0
+    conjuntos_reativados = 0
     if assoc_conjuntos:
         ids = [a.id_cnj for a in assoc_conjuntos]
         validos = {
@@ -185,6 +196,7 @@ def reativar_ambiente(db: Session, id_amb: str):
             if a.id_cnj in validos:
                 a.ativo = True
                 reativadas += 1
+                conjuntos_reativados += 1
     for a in assoc_usuarios:
         con = db.get(UsuarioConvencional, a.id_con)
         if con is not None:
@@ -192,7 +204,11 @@ def reativar_ambiente(db: Session, id_amb: str):
             if user is not None and user.ativo:
                 a.ativo = True
                 reativadas += 1
-    if reativadas > 0:
+    # an ambiente whose conjuntos no longer exist on NextCloud must not
+    # go live with ONLY user links reactivated (it would list with zero
+    # images and an empty classification page; self-review r3). Counted
+    # in memory: the a.ativo mutations above are not flushed yet.
+    if reativadas > 0 and (conjuntos_reativados + ja_ativos) > 0:
         ambiente.ativo = True
         db.flush()
         return ambiente
@@ -200,9 +216,15 @@ def reativar_ambiente(db: Session, id_amb: str):
 
 
 def obter_conjuntos_do_ambiente(db: Session, id_amb: str) -> list[str]:
+    # ativo filter: admin views must agree with the specialist-facing
+    # counts (a deactivated association's images counted here but not
+    # there — progress percentages never reached 100%; self-review r3)
     rows = (
         db.query(AmbienteConjuntoImagens)
-        .filter(AmbienteConjuntoImagens.id_amb == str(id_amb))
+        .filter(
+            AmbienteConjuntoImagens.id_amb == str(id_amb),
+            AmbienteConjuntoImagens.ativo == True,  # noqa: E712
+        )
         .all()
     )
     return [str(a.id_cnj) for a in rows]
@@ -214,7 +236,7 @@ def obter_totais_imagens_por_ambiente(db: Session) -> dict[str, int]:
         SELECT aci.id_amb AS id_amb, COUNT(i.content_hash) AS total
         FROM ambientes_conjuntos_imagens aci
         JOIN imagens i ON i.id_cnj = aci.id_cnj
-        WHERE i.existe_no_nextcloud = 1
+        WHERE aci.ativo = 1 AND i.existe_no_nextcloud = 1
         GROUP BY aci.id_amb
         """
     )

@@ -87,11 +87,15 @@ def buscar_imagens_inicial(
         WHERE id_cnj IN ({marks})
           AND existe_no_nextcloud = 1
           AND content_hash NOT IN (
-              SELECT DISTINCT id_img FROM classificacoes
-              WHERE id_con = ? AND ativo = 1
+              SELECT DISTINCT c.id_img FROM classificacoes c
+              JOIN opcoes o ON o.id_opc = c.id_opc
+              WHERE c.id_con = ? AND c.ativo = 1 AND o.id_amb = ?
           )
     """
-    params: list = list(conjuntos_ids) + [str(id_con)]
+    # subquery scoped to THIS ambiente's options: classifying an image
+    # in ambiente A must not hide it from B's work queue when a conjunto
+    # is shared (self-review r3)
+    params: list = list(conjuntos_ids) + [str(id_con), str(id_amb)]
     if (
         progresso.ultimo_data_proc_processado
         and progresso.ultimo_content_hash_processado
@@ -228,6 +232,14 @@ def criar_ou_atualizar_classificacao(
         )
         .all()
     )
+    # scope the delta to THIS ambiente's options: a conjunto shared by
+    # two ambientes must not let classifying in B soft-delete the same
+    # user's classification made in A (self-review r3)
+    ambiente_opcoes = {
+        str(o.id_opc)
+        for o in db.query(Opcao).filter(Opcao.id_amb == str(id_amb)).all()
+    }
+    existentes = [c for c in existentes if str(c.id_opc) in ambiente_opcoes]
     ativas = {c.id_opc: c for c in existentes if c.ativo}
     inativas = {c.id_opc: c for c in existentes if not c.ativo}
 
@@ -285,13 +297,16 @@ def listar_historico(
         where.append("a.id_amb = ?")
         params.append(str(id_amb))
     cond = " AND ".join(where)
+    # the classification's ambiente IS its option's ambiente: joining
+    # through ambientes_conjuntos_imagens multiplied rows (and
+    # misattributed them) whenever one conjunto belongs to two ambientes
+    # (self-review r3)
     base = f"""
         FROM classificacoes c
         JOIN imagens i ON i.content_hash = c.id_img
         JOIN opcoes o ON o.id_opc = c.id_opc
         JOIN conjuntos_imagens cj ON cj.id_cnj = i.id_cnj
-        JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = cj.id_cnj
-        JOIN ambientes a ON a.id_amb = aci.id_amb
+        JOIN ambientes a ON a.id_amb = o.id_amb
         WHERE {cond}
     """
     total = db.fetchone(f"SELECT COUNT(*) AS n {base}", params)["n"]

@@ -21,9 +21,11 @@ from ics_tpu.db.models import EmbeddingImagem
 
 
 def encode_vector(vec: np.ndarray) -> str:
-    v = np.asarray(vec, np.float16)
-    if v.dtype.byteorder == ">":  # normalize to little-endian on disk
-        v = v.astype(v.dtype.newbyteorder("<"))
+    # '<f2' UNCONDITIONALLY: np.float16 is native order whose byteorder
+    # reports '=' (never '>'), so the old guard was dead code — on a
+    # big-endian host vectors round-tripped byte-swapped while
+    # decode_vector always reads little-endian (self-review r3)
+    v = np.asarray(vec).astype("<f2")
     return base64.b64encode(v.tobytes()).decode("ascii")
 
 
@@ -93,9 +95,28 @@ def carregar_corpus(
     )
     if not rows:
         return [], np.zeros((0, 0), np.float16)
-    dim = int(rows[0]["dim"])
-    hashes = [r["id_img"] for r in rows]
-    mat = np.stack([decode_vector(r["vetor"], dim) for r in rows])
+    # dominant dim wins; rows with another dim (backbone changed while
+    # old embeddings remain) are SKIPPED instead of crashing the whole
+    # corpus load and taking every similarity endpoint down until manual
+    # cleanup (self-review r3)
+    dims = [int(r["dim"]) for r in rows]
+    dim = max(set(dims), key=dims.count)
+    hashes, vecs = [], []
+    skipped = 0
+    for r in rows:
+        if int(r["dim"]) != dim:
+            skipped += 1
+            continue
+        hashes.append(r["id_img"])
+        vecs.append(decode_vector(r["vetor"], dim))
+    if skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "corpus %s: %d embeddings com dim != %d ignorados "
+            "(reindexe com POST /inferencia/indexar)", modelo, skipped, dim,
+        )
+    mat = np.stack(vecs)
     return hashes, mat
 
 

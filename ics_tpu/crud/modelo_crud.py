@@ -238,22 +238,33 @@ def imagens_priorizadas(
     if not conjuntos_ids:
         return []
     marks = ", ".join("?" for _ in conjuntos_ids)
+    # ONE row per image (an image can hold several suggestion rows per
+    # ambiente: knn:<backbone> AND the trained model — the plain JOIN
+    # duplicated page entries); the unclassified filter is scoped to
+    # THIS ambiente's options like buscar_imagens_inicial
+    # (self-review r3)
     sql = f"""
         SELECT imagens.*, s.incerteza AS _incerteza
         FROM imagens
-        JOIN sugestoes_modelo s
-          ON s.id_img = imagens.content_hash AND s.id_amb = ?
+        JOIN (
+            SELECT id_img, MAX(incerteza) AS incerteza
+            FROM sugestoes_modelo
+            WHERE id_amb = ? AND incerteza IS NOT NULL
+            GROUP BY id_img
+        ) s ON s.id_img = imagens.content_hash
         WHERE imagens.id_cnj IN ({marks})
           AND imagens.existe_no_nextcloud = 1
-          AND s.incerteza IS NOT NULL
           AND imagens.content_hash NOT IN (
-              SELECT DISTINCT id_img FROM classificacoes
-              WHERE id_con = ? AND ativo = 1
+              SELECT DISTINCT c.id_img FROM classificacoes c
+              JOIN opcoes o ON o.id_opc = c.id_opc
+              WHERE c.id_con = ? AND c.ativo = 1 AND o.id_amb = ?
           )
         ORDER BY s.incerteza DESC, imagens.content_hash
         LIMIT ?
     """
-    params = [str(id_amb)] + list(conjuntos_ids) + [str(id_con), int(limit)]
+    params = [str(id_amb)] + list(conjuntos_ids) + [
+        str(id_con), str(id_amb), int(limit)
+    ]
     from ics_tpu.db.models import Imagem
 
     return [
@@ -320,12 +331,26 @@ def sugestoes_por_imagens(
             ]
         return out
 
+    def rank(row) -> tuple:
+        # deterministic pick when one image has several ambiente rows
+        # (knn + trained model): trained (versao set) beats knn, newer
+        # beats older — last-row-wins over an unordered query showed the
+        # stale knn suggestion nondeterministically (self-review r3)
+        return (row.versao is not None, str(row.data_criado or ""))
+
+    best: dict[str, SugestaoModelo] = {}
     generic: dict[str, SugestaoModelo] = {}
     for row in rows:
         if id_amb is not None and str(row.id_amb or "") == str(id_amb):
-            out[row.id_img] = render(row)
+            cur = best.get(row.id_img)
+            if cur is None or rank(row) > rank(cur):
+                best[row.id_img] = row
         elif row.id_amb is None:
-            generic[row.id_img] = row
+            cur = generic.get(row.id_img)
+            if cur is None or rank(row) > rank(cur):
+                generic[row.id_img] = row
+    for h, row in best.items():
+        out[h] = render(row)
     for h, row in generic.items():
         if h not in out:
             out[h] = render(row)

@@ -26,52 +26,42 @@ def listar_ambientes_usuario(db: Session, id_con: str):
     if user is None or not user.ativo:
         return None, []
 
-    ambientes = []
-    vinculos = (
-        db.query(UsuarioAmbiente)
-        .filter(
-            UsuarioAmbiente.id_con == str(id_con),
-            UsuarioAmbiente.ativo == True,  # noqa: E712
-        )
-        .all()
+    # ONE joined aggregate instead of 3+ queries per vinculo: a
+    # specialist linked to 50 ambientes was ~150 sequential queries per
+    # page load on the 1-core host (self-review r3)
+    rows = db.fetchall(
+        """
+        SELECT a.id_amb, a.titulo_amb, a.descricao_questionario,
+               a.multipla_escolha,
+               COALESCE(img.total, 0) AS total_imagens,
+               COALESCE(p.total_classificadas, 0) AS total_classificadas
+        FROM usuarios_ambientes ua
+        JOIN ambientes a ON a.id_amb = ua.id_amb AND a.ativo = 1
+        LEFT JOIN (
+            SELECT aci.id_amb AS id_amb, COUNT(i.content_hash) AS total
+            FROM ambientes_conjuntos_imagens aci
+            JOIN imagens i ON i.id_cnj = aci.id_cnj
+            WHERE aci.ativo = 1 AND i.existe_no_nextcloud = 1
+            GROUP BY aci.id_amb
+        ) img ON img.id_amb = a.id_amb
+        LEFT JOIN usuarios_ambientes_progresso p
+          ON p.id_amb = a.id_amb AND p.id_con = ua.id_con
+        WHERE ua.id_con = ? AND ua.ativo = 1
+        """,
+        [str(id_con)],
     )
-    for vinc in vinculos:
-        amb = db.get(Ambiente, vinc.id_amb)
-        if amb is None or not amb.ativo:
-            continue
-        ids_conjuntos = [
-            a.id_cnj
-            for a in db.query(AmbienteConjuntoImagens)
-            .filter(
-                AmbienteConjuntoImagens.id_amb == amb.id_amb,
-                AmbienteConjuntoImagens.ativo == True,  # noqa: E712
-            )
-            .all()
-        ]
-        total_imagens = 0
-        if ids_conjuntos:
-            total_imagens = (
-                db.query(Imagem)
-                .filter(
-                    Imagem.id_cnj.in_(ids_conjuntos),
-                    Imagem.existe_no_nextcloud == True,  # noqa: E712
-                )
-                .count()
-            )
-        progresso = db.get(UsuarioAmbienteProgresso, str(id_con), amb.id_amb)
-        ambientes.append(
-            {
-                "id_amb": str(amb.id_amb),
-                "titulo_amb": amb.titulo_amb,
-                "descricao_questionario": amb.descricao_questionario,
-                "ativo": amb.ativo,
-                "total_imagens": total_imagens,
-                "total_classificadas": (
-                    progresso.total_classificadas if progresso else 0
-                ),
-                "multipla_escolha": bool(amb.multipla_escolha),
-            }
-        )
+    ambientes = [
+        {
+            "id_amb": str(r["id_amb"]),
+            "titulo_amb": r["titulo_amb"],
+            "descricao_questionario": r["descricao_questionario"],
+            "ativo": True,
+            "total_imagens": int(r["total_imagens"]),
+            "total_classificadas": int(r["total_classificadas"]),
+            "multipla_escolha": bool(r["multipla_escolha"]),
+        }
+        for r in rows
+    ]
     return con, ambientes
 
 

@@ -567,3 +567,93 @@ class TestPublicRoutes:
             # empty upload
             r = await client.post("/images/buscar-por-hash", data={"x": "1"})
             assert r.status_code == 400
+
+
+class TestSharedConjuntoScoping:
+    """Two ambientes sharing ONE conjunto: classifications, work queues
+    and history must stay ambiente-scoped (self-review r3 — classifying
+    in B used to soft-delete the same user's classification in A, hide
+    the image from B's queue, and duplicate/misattribute history)."""
+
+    @pytest.mark.anyio
+    async def test_cross_ambiente_isolation(self, app, client):
+        async with client:
+            adminh = await admin_headers(client)
+            amb_a = await make_ambiente(client, adminh, app, titulo="Amb A",
+                                        multipla=False)
+            amb_b = await make_ambiente(client, adminh, app, titulo="Amb B",
+                                        multipla=False)
+            spech = await make_specialist(client, adminh)
+            for amb in (amb_a, amb_b):
+                r = await client.post(
+                    f"/usuarios-ambientes/{amb['id_amb']}/associar-todos",
+                    headers=adminh,
+                )
+                assert r.status_code in (200, 201), r.text
+
+            # image + option ids
+            r = await client.get(
+                f"/classificacoes/ambiente/{amb_a['id_amb']}/inicializar",
+                headers=spech,
+            )
+            img = r.json()["imagens"][0]["content_hash"]
+            async def opcoes_de(amb):
+                r = await client.get(
+                    f"/opcoes/ambiente/{amb['id_amb']}", headers=spech
+                )
+                return [o["id_opc"] for o in r.json()["opcoes"]]
+
+            op_a = (await opcoes_de(amb_a))[0]
+            op_b = (await opcoes_de(amb_b))[0]
+
+            # classify the SAME image in A, then in B
+            for amb, op in ((amb_a, op_a), (amb_b, op_b)):
+                r = await client.post(
+                    f"/classificacoes/ambiente/{amb['id_amb']}/classificar",
+                    json={"content_hash": img, "id_opc": [op]},
+                    headers=spech,
+                )
+                assert r.status_code == 200, r.text
+
+            # A's classification SURVIVES B's (was soft-deleted)
+            r = await client.get(
+                f"/classificacoes/imagem/{img}", headers=spech
+            )
+            ids = {c["id_opc"] for c in r.json()["classificacoes"]}
+            assert {op_a, op_b} <= ids
+
+            # history: exactly one row per ambiente, correctly attributed
+            r = await client.get(
+                f"/classificacoes/historico?id_amb={amb_a['id_amb']}",
+                headers=spech,
+            )
+            hist_a = r.json()
+            rows_a = [
+                h for grp in hist_a.get("historico", hist_a.get("itens", []))
+                for h in (grp.get("classificacoes", [grp])
+                          if isinstance(grp, dict) else [grp])
+            ]
+            assert hist_a.get("total", len(rows_a)) == 1
+
+            # B's queue no longer shows the image; a FRESH image is still
+            # offered in B even though the user classified IT in A only
+            r = await client.get(
+                f"/classificacoes/ambiente/{amb_b['id_amb']}/inicializar",
+                headers=spech,
+            )
+            hashes_b = {i["content_hash"] for i in r.json()["imagens"]}
+            assert img not in hashes_b
+            outro = next(iter(hashes_b))
+            r = await client.post(
+                f"/classificacoes/ambiente/{amb_a['id_amb']}/classificar",
+                json={"content_hash": outro, "id_opc": [op_a]},
+                headers=spech,
+            )
+            assert r.status_code == 200
+            r = await client.get(
+                f"/classificacoes/ambiente/{amb_b['id_amb']}/inicializar",
+                headers=spech,
+            )
+            assert outro in {
+                i["content_hash"] for i in r.json()["imagens"]
+            }  # classified in A only -> still in B's queue
