@@ -16,7 +16,7 @@ import os
 from pathlib import Path
 from typing import Any, Optional
 
-from pydantic import BaseModel
+from pydantic import BaseModel, field_validator
 
 
 def _parse_env_file(path: Path) -> dict[str, str]:
@@ -55,7 +55,9 @@ class Settings(BaseModel):
     # CORS origins, comma-separated
     CORS_ORIGINS: str = "http://localhost:5173,http://127.0.0.1:5173"
 
-    # File constraints
+    # File constraints (env override accepts ".jpg,.png" or a JSON list —
+    # a bare `list` field made any string override crash the app at
+    # import with a pydantic ValidationError; self-review r3)
     ALLOWED_EXTENSIONS: list = [".jpg", ".jpeg", ".png", ".gif", ".bmp", ".tiff"]
     MAX_FILE_SIZE: int = 10 * 1024 * 1024
 
@@ -161,13 +163,42 @@ class Settings(BaseModel):
     TPU_SERVING_REPLICAS: int = 1        # 1 = single engine (no hedging)
     TPU_HEDGE_MS: float = 250.0          # straggler hedge timer (ms)
 
+    @field_validator("ALLOWED_EXTENSIONS", mode="before")
+    @classmethod
+    def _parse_extensions(cls, v):
+        if isinstance(v, str):
+            v = v.strip()
+            if v.startswith("["):
+                import json as _json
+
+                return _json.loads(v)
+            return [e.strip() for e in v.split(",") if e.strip()]
+        return v
+
     def get_cors_origins_list(self) -> list[str]:
         origins = []
         for raw in self.CORS_ORIGINS.split(","):
             origin = raw.strip()
             if origin.startswith(("http://", "https://")):
                 origins.append(origin)
-        return origins or ["http://localhost:5173", "http://127.0.0.1:5173"]
+        if origins:
+            return origins
+        if self.CORS_ORIGINS.strip() and self.CORS_ORIGINS != (
+            "http://localhost:5173,http://127.0.0.1:5173"
+        ):
+            # the operator SET origins but none carried a scheme ('*' or
+            # 'app.example.com'): silently substituting the dev localhost
+            # list hid the misconfiguration AND served dev CORS headers
+            # in production — reject-all and say why (self-review r3)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "CORS_ORIGINS sem esquema http(s): %r — nenhuma origem "
+                "habilitada (use p.ex. https://app.exemplo.com)",
+                self.CORS_ORIGINS,
+            )
+            return []
+        return ["http://localhost:5173", "http://127.0.0.1:5173"]
 
     def get_mesh_shape(self) -> Optional[tuple[int, ...]]:
         """Explicit mesh shape, or None for "auto" (use every visible chip)."""

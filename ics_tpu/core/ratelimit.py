@@ -59,16 +59,29 @@ class AttemptWindow:
             if len(hits) >= limit:
                 return max(0.0, window_s - (now - hits[0]))
             if key not in self._hits and len(self._hits) >= self._max_keys:
-                # full table: drop only fully-EXPIRED keys; never evict a
-                # fresh (possibly blocked) entry — that would let a flood
-                # of unique keys erase an active block
+                # full table: drop fully-EXPIRED keys first; never evict
+                # a BLOCKED entry (a flood of unique keys must not erase
+                # an active block). If nothing expired, evict the oldest
+                # UNBLOCKED key — failing open for new keys instead would
+                # let a sustained flood keep the victim's own key
+                # permanently untracked (self-review r3 round 2).
                 for k in [
                     k for k, h in self._hits.items()
                     if now - h[-1] >= window_s
                 ]:
                     self._hits.pop(k, None)
                 if len(self._hits) >= self._max_keys:
-                    return 0.0  # fail-open for the NEW key only
+                    unblocked = [
+                        k for k, h in self._hits.items() if len(h) < limit
+                    ]
+                    if unblocked:
+                        victim = min(
+                            unblocked, key=lambda k: self._hits[k][-1]
+                        )
+                        self._hits.pop(victim, None)
+                    else:
+                        # every tracked key is a live block (pathological)
+                        return 0.0
             self._hits[key] = hits + [now]
             return 0.0
 

@@ -102,7 +102,14 @@ def jwt_decode(
         raise TokenError("malformed token")
     if verify_exp:
         exp = claims.get("exp")
-        if exp is None or float(exp) < time.time():
+        try:
+            expired = exp is None or float(exp) < time.time()
+        except (TypeError, ValueError):
+            # a correctly-signed token with a non-numeric exp (another
+            # producer sharing the secret serialized a datetime) must be
+            # a 401 TokenError, not a 500 ValueError (self-review r3)
+            raise TokenError("malformed exp claim")
+        if expired:
             raise TokenError("token expired")
     return claims
 

@@ -28,8 +28,7 @@ SINGLE_PASS_MAX = 1024
 NEG_INF = -1e30
 
 
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ics_tpu.ops import should_interpret as _should_interpret
 
 
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref):

@@ -147,6 +147,12 @@ def decode_jpeg_device(data: bytes, out_dtype=jnp.uint8):
     if len(co.components) != 3:
         return None
     yc, cbc, crc = co.components
+    # divisibility FIRST: libjpeg allows samp factors 1-4, so 3/2 floor-
+    # divides to 1 and would masquerade as 4:4:4 with undersized chroma
+    # planes — a shape error inside jit instead of the documented None
+    # fallback (classify_coefficients does the same check; self-review r3)
+    if (yc["h_samp"] % cbc["h_samp"]) or (yc["v_samp"] % cbc["v_samp"]):
+        return None
     h_ratio = yc["h_samp"] // cbc["h_samp"]
     v_ratio = yc["v_samp"] // cbc["v_samp"]
     if (h_ratio, v_ratio) not in ((1, 1), (2, 1), (2, 2)):

@@ -8,10 +8,12 @@ row-tile: HBM traffic drops from ~2(3N+1) activation images to read-1 +
 write-1, at the cost of recomputing a 2N-row halo per tile.
 
 Layout: NHWC tiles [tile_rows + 2N, W, C] DMA'd from the (pre-padded) input;
-1x1 convs are [rows*W, C] x [C, Cm] matmuls on the MXU; the 3x3 is ONE deep
-matmul [rows*W, 9*Cm] x [9*Cm, Cm] over the 9 shifted views concatenated
-along K (fills the MXU accumulation depth — 9 separate Cm x Cm matmuls or
-zero-padding Cm to 128 were both measured slower).
+1x1 convs are [rows*W, C] x [C, Cm] matmuls on the MXU; the 3x3 runs as 9
+shifted [rows*W, Cm] x [Cm, Cm] matmuls accumulated in fp32 — the single
+concatenated K=9*Cm deep matmul that WOULD fill the MXU accumulation depth
+at Cm=64 does not lower (Mosaic: "offset mismatch on non-concat dimension"
+when concatenating shifted views), which is a core reason this kernel
+measured SLOWER than XLA's convs (docs/benchmarks.md negative result).
 
 Reference seam: this replaces ``Bottleneck.apply_folded`` chains in
 ``models/resnet.py`` on the TPU inference path; the training path and
@@ -31,8 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ics_tpu.ops import should_interpret as _should_interpret
 
 
 def _round_up(n: int, m: int) -> int:
@@ -43,11 +44,11 @@ def pack_chain_weights(blocks_folded, dtype=jnp.bfloat16):
     """Stack a chain's folded weights for the kernel.
 
     blocks_folded: list of Bottleneck.fold() dicts WITHOUT a downsample
-    projection (stride-1 identity blocks only). The 3x3 taps are
-    concatenated along K into one [9*Cm, Cm] matrix so the conv becomes a
-    single deep matmul (K=9*Cm fills the MXU's accumulation depth; padding
-    Cm to 128 instead was measured 2x SLOWER than XLA — it quadruples the
-    mid-conv FLOPs).
+    projection (stride-1 identity blocks only). The 3x3 taps are stacked
+    along K into one [9*Cm, Cm] matrix for STORAGE; the kernel slices one
+    [Cm, Cm] tap at a time (the concatenated deep matmul doesn't lower —
+    see the module docstring; padding Cm to 128 instead was measured 2x
+    SLOWER than XLA, it quadruples the mid-conv FLOPs).
     """
     n = len(blocks_folded)
     w1_0 = blocks_folded[0]["cbr1"]["conv"]["w"]  # [1,1,C,Cm]

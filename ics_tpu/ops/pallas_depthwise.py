@@ -25,8 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ics_tpu.ops import should_interpret as _should_interpret
 
 
 def _round_up(n: int, m: int) -> int:

@@ -25,8 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ics_tpu.ops.preproc import IMAGENET_MEAN, IMAGENET_STD
 
 
-def _should_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ics_tpu.ops import should_interpret as _should_interpret
 
 
 def _normalize_kernel(x_ref, scale_ref, bias_ref, out_ref):

@@ -124,7 +124,6 @@ def preprocess_batch(canvas, sizes, out_size: int = 224, resize_short: int = 256
 
 
 def normalize_only(x_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD, dtype=jnp.bfloat16):
-    """Fixed-size path (image already out_size x out_size): dequant+normalize."""
-    mean_arr = jnp.asarray(mean, jnp.float32) * 255.0
-    std_arr = jnp.asarray(std, jnp.float32) * 255.0
-    return ((x_u8.astype(jnp.float32) - mean_arr) / std_arr).astype(dtype)
+    """Fixed-size path (image already out_size x out_size): dequant+normalize
+    — same math as :func:`normalize_pixels` (one definition, not two)."""
+    return normalize_pixels(x_u8.astype(jnp.float32), mean, std, dtype)
