@@ -268,6 +268,36 @@ class TestLoginRateLimit:
         t[0] = 601.0
         assert fw.attempt("new", 3, 600) == 0.0
 
+    def test_flood_key_still_accumulates_under_eviction(self):
+        """Full table with nothing expired evicts the oldest UNBLOCKED
+        key (not fail-open for new keys): an attacker flooding unique
+        keys cannot keep their OWN key permanently untracked — repeat
+        attempts against one identity still hit the limit
+        (self-review r3 round 2)."""
+        from ics_tpu.core.ratelimit import AttemptWindow
+
+        t = [0.0]
+        fw = AttemptWindow(clock=lambda: t[0], max_keys=10)
+        for i in range(20):  # fill well past max_keys, nothing expires
+            t[0] += 0.01
+            fw.attempt(f"chaff{i}", 3, 600)
+        blocked_at = None
+        for n in range(1, 6):  # interleave the real target with chaff
+            t[0] += 0.01
+            wait = fw.attempt("attacker@x|1.2.3.4", 3, 600)
+            t[0] += 0.01
+            fw.attempt(f"more{n}", 3, 600)
+            if wait > 0:
+                blocked_at = n
+                break
+        assert blocked_at == 4  # 3 allowed, 4th blocked — tracking held
+        # and the block itself is never the eviction victim
+        for i in range(50):
+            t[0] += 0.01
+            fw.attempt(f"late{i}", 3, 600)
+        t[0] += 0.01
+        assert fw.attempt("attacker@x|1.2.3.4", 3, 600) > 0
+
     @pytest.mark.anyio
     async def test_429_after_attempts_and_reset_on_success(self, tmp_path):
         """Route behavior with the limiter ON: the window fills -> 429

@@ -115,6 +115,29 @@ class TestSettings:
         s = Settings(CORS_ORIGINS="http://a.com, ftp://bad, https://b.com ,")
         assert s.get_cors_origins_list() == ["http://a.com", "https://b.com"]
 
+    def test_cors_schemeless_override_rejects_all(self):
+        """Operator SET origins but none carry a scheme ('*' or a bare
+        host): reject-all with a warning — silently serving the dev
+        localhost list hid the misconfiguration (self-review r3)."""
+        assert Settings(CORS_ORIGINS="*").get_cors_origins_list() == []
+        assert Settings(
+            CORS_ORIGINS="app.example.com"
+        ).get_cors_origins_list() == []
+        # the untouched default still yields the dev origins
+        assert Settings().get_cors_origins_list() == [
+            "http://localhost:5173", "http://127.0.0.1:5173"
+        ]
+
+    def test_allowed_extensions_string_override(self):
+        """env/.env overrides arrive as STRINGS; the bare `list` field
+        made any override crash at import (self-review r3). Both the
+        comma form and a JSON list must parse."""
+        s = Settings(ALLOWED_EXTENSIONS=".jpg, .png")
+        assert s.ALLOWED_EXTENSIONS == [".jpg", ".png"]
+        s = Settings(ALLOWED_EXTENSIONS='[".webp", ".gif"]')
+        assert s.ALLOWED_EXTENSIONS == [".webp", ".gif"]
+        assert Settings().ALLOWED_EXTENSIONS[0] == ".jpg"  # default intact
+
     def test_env_file(self, tmp_path):
         f = tmp_path / ".env"
         f.write_text("# comment\nAPI_PORT=9001\nTIMEZONE='UTC'\nUNKNOWN=x\n")
