@@ -96,6 +96,21 @@ def main(argv=None) -> int:
              "effective batches larger than HBM allows",
     )
     parser.add_argument(
+        "--paciencia", type=int, default=0,
+        help="early stopping: stop after N consecutive non-improving "
+             "periodic evals; the BEST snapshot is registered. 0 disables",
+    )
+    parser.add_argument(
+        "--avaliar-cada", type=int, default=None, metavar="PASSOS",
+        help="periodic-eval cadence in steps (default with --paciencia: "
+             "steps/5); also enables best-snapshot registration alone",
+    )
+    parser.add_argument(
+        "--llrd", type=float, default=0.0,
+        help="layer-wise LR decay factor in (0, 1): each block toward the "
+             "input gets this factor less LR (0.6-0.9 typical; 0 disables)",
+    )
+    parser.add_argument(
         "--apenas-cabeca", action="store_true",
         help="linear probe: train only the classifier head on frozen "
              "backbone features (eval-mode BN) — the right recipe for "
@@ -145,14 +160,18 @@ def main(argv=None) -> int:
         otimizador=args.otimizador,
         ema_decaimento=args.ema_decaimento,
         acumular_gradientes=args.acumular_gradientes,
+        paciencia=args.paciencia,
+        avaliar_cada=args.avaliar_cada,
+        llrd=args.llrd,
     )
     last_len = 0
     while job.status in ("pendente", "executando"):
         time.sleep(1.0)
         for rec in job.history[last_len:]:
+            extra = (f" eval={rec['eval']:.3f}" if "eval" in rec else "")
             print(
                 f"step {rec['step']}: loss={rec['loss']:.4f} "
-                f"acc={rec['accuracy']:.3f}"
+                f"acc={rec['accuracy']:.3f}" + extra
             )
         last_len = len(job.history)
     print(json.dumps(job.to_dict(), ensure_ascii=False, default=str, indent=2))

@@ -99,18 +99,28 @@ def labeled_examples(
             for ex in examples:
                 ex["labels"].sort()
             return examples, class_map
+        # min-text winner via ROW_NUMBER, not `GROUP BY id_img` with a bare
+        # c.id_opc next to MIN(o.texto): that shape leans on SQLite's
+        # min/max bare-column special case and is a hard ERROR on postgres
+        # ("column must appear in the GROUP BY clause") — same portable
+        # window form as suggested_examples (self-review r3)
         rows = s.fetchall(
             """
-            SELECT c.id_img AS content_hash, i.caminho_img, c.id_opc,
-                   MIN(o.texto) AS texto
-            FROM classificacoes c
-            JOIN imagens i ON i.content_hash = c.id_img
-            JOIN opcoes o ON o.id_opc = c.id_opc
-            JOIN ambientes_conjuntos_imagens aci ON aci.id_cnj = i.id_cnj
-            WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
-              AND i.existe_no_nextcloud = 1
-            """ + known_filter + """
-            GROUP BY c.id_img
+            SELECT content_hash, caminho_img, id_opc FROM (
+                SELECT c.id_img AS content_hash, i.caminho_img, c.id_opc,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.id_img
+                           ORDER BY o.texto, c.id_opc
+                       ) AS rn
+                FROM classificacoes c
+                JOIN imagens i ON i.content_hash = c.id_img
+                JOIN opcoes o ON o.id_opc = c.id_opc
+                JOIN ambientes_conjuntos_imagens aci
+                     ON aci.id_cnj = i.id_cnj
+                WHERE c.ativo = 1 AND aci.id_amb = ? AND o.id_amb = ?
+                  AND i.existe_no_nextcloud = 1
+                """ + known_filter + """
+            ) t WHERE rn = 1
             """,
             [str(id_amb), str(id_amb)] + known_args,
         )

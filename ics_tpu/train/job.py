@@ -103,18 +103,24 @@ class TrainingUnavailable(RuntimeError):
 def nextcloud_bytes_provider(client_factory) -> BytesProvider:
     """Blocking byte fetch for the training thread.
 
-    The sync tier's NextCloud client is async; the training thread owns a
+    The sync tier's NextCloud client is async; this provider owns a
     private event loop and drives a private client instance on it (clients
-    must not hop threads/loops).
+    must not hop threads/loops). The SAME provider instance is shared by
+    the training thread AND route executors (``POST /inferencia/indexar``,
+    the bulk-suggest route), so entry is serialized with a lock — two OS
+    threads inside one ``run_until_complete`` would corrupt the loop
+    (self-review r3). Concurrent callers interleave fetch-by-fetch.
     """
     loop = asyncio.new_event_loop()
+    lock = threading.Lock()
     client = None
 
     def fetch(content_hash: str, caminho: str) -> bytes:
         nonlocal client
-        if client is None:
-            client = client_factory()
-        return loop.run_until_complete(client.get_file(caminho))
+        with lock:
+            if client is None:
+                client = client_factory()
+            return loop.run_until_complete(client.get_file(caminho))
 
     return fetch
 

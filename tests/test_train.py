@@ -834,3 +834,41 @@ class TestFixedClassMap:
         examples_full, cm_full = labeled_examples(db, amb_id)
         full_by_hash = {e["content_hash"]: e["label"] for e in examples_full}
         assert full_by_hash[target] == cm_full[id_cao]
+
+
+class TestBytesProvider:
+    def test_concurrent_fetch_is_serialized(self):
+        """nextcloud_bytes_provider is shared by the training thread AND
+        route executors (/inferencia/indexar, bulk sugerir): two OS
+        threads entering its private event loop concurrently must be
+        serialized, not corrupt the loop (self-review r3). Without the
+        lock this raises 'This event loop is already running'."""
+        import asyncio
+        import threading
+
+        from ics_tpu.train.job import nextcloud_bytes_provider
+
+        class FakeClient:
+            async def get_file(self, caminho):
+                await asyncio.sleep(0.02)  # force temporal overlap
+                return caminho.encode()
+
+        fetch = nextcloud_bytes_provider(FakeClient)
+        results: dict[int, bytes] = {}
+        errors: list[BaseException] = []
+
+        def worker(i: int):
+            try:
+                for j in range(5):
+                    results[(i, j)] = fetch("h", f"/f/{i}-{j}.jpg")
+            except BaseException as exc:  # noqa: BLE001 - recorded for assert
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 15
+        assert results[(2, 4)] == b"/f/2-4.jpg"
