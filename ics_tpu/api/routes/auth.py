@@ -76,10 +76,16 @@ async def login(request: Request):
         if settings.LOGIN_RATE_TRUST_FORWARDED:
             # behind a reverse proxy scope['client'] is the PROXY for
             # everyone — without this opt-in an attacker could lock any
-            # email out for all clients sharing the proxy IP
+            # email out for all clients sharing the proxy IP. An appending
+            # proxy chain puts the only trustworthy hop N-from-the-END
+            # (earlier elements are client-supplied and forgeable), so key
+            # on parts[-XFF_HOPS], never parts[0].
             fwd = (request.headers.get("x-forwarded-for") or "").strip()
             if fwd:
-                ip = fwd.split(",")[0].strip() or ip
+                parts = [p.strip() for p in fwd.split(",") if p.strip()]
+                hops = max(1, int(settings.LOGIN_RATE_XFF_HOPS or 1))
+                if parts:
+                    ip = parts[-hops] if hops <= len(parts) else parts[0]
         rl_key = f"{username.strip().lower()}|{ip}"
         wait = login_failures.attempt(
             rl_key, limit, settings.LOGIN_RATE_WINDOW_S

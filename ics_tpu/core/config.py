@@ -79,9 +79,15 @@ class Settings(BaseModel):
     LOGIN_RATE_LIMIT: int = 0            # 0 disables; e.g. 5
     LOGIN_RATE_WINDOW_S: int = 60
     # behind a reverse proxy every request shares the proxy's IP — opt in
-    # to keying by the first X-Forwarded-For hop instead (only enable
-    # when a trusted proxy SETS the header; clients can forge it)
+    # to keying by X-Forwarded-For instead. A standard appending proxy
+    # (nginx proxy_add_x_forwarded_for) APPENDS one hop, so only the
+    # LAST N elements are trustworthy: XFF_HOPS is the number of trusted
+    # proxies in front; the limiter keys on the element N-from-the-end
+    # (the address the innermost trusted proxy saw). First-hop keying
+    # would be client-forgeable — an attacker rotates fake first hops for
+    # unlimited attempts, or forges a victim's IP to lock them out.
     LOGIN_RATE_TRUST_FORWARDED: bool = False
+    LOGIN_RATE_XFF_HOPS: int = 1
 
     # Cookies
     COOKIE_NAME: str = "access_token"

@@ -265,9 +265,12 @@ class InferenceEngine:
         idx, scores = step(self.folded, canvas, sizes)
         idx = np.asarray(idx)[:n]
         scores = np.asarray(scores)[:n]
-        self._stats["batches"] += 1
-        self._stats["images"] += n
-        self._stats["total_device_ms"] += (time.perf_counter() - t0) * 1000
+        # via _record_step so the first cold compile (minutes over the
+        # remote-compile tunnel) counts as a compile, not device time
+        self._record_step(
+            ("tta", bucket, canvas.shape[1]),
+            (time.perf_counter() - t0) * 1000, n,
+        )
         return idx, scores
 
     # -- explainability ------------------------------------------------------
@@ -471,8 +474,14 @@ class InferenceEngine:
                 [sizes, np.full((bucket - n, 2), 256, np.int32)]
             )
         step = self._get_embed_step()
+        t0 = time.perf_counter()
         feats = step(self._embed_folded, canvas, sizes)
-        return np.asarray(feats)[:n]
+        feats = np.asarray(feats)[:n]
+        self._record_step(
+            ("embed", bucket, canvas.shape[1]),
+            (time.perf_counter() - t0) * 1000, n,
+        )
+        return feats
 
     def bucket_for(self, n: int) -> int:
         for b in self.buckets:

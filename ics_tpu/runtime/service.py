@@ -63,6 +63,13 @@ class InferenceService:
         self._device_errors = 0
         self._stats = {"device_decoded": 0, "host_decoded": 0}
         self._started = False
+        # admission control for the direct-staged diagnostic paths
+        # (TTA/embed/explain bypass the batcher with batch-of-1 device
+        # calls — explain's fused forward+backward at smooth=16 is the
+        # heaviest): at most 2 in flight, so a burst of diagnostic
+        # requests cannot queue unbounded device work ahead of the
+        # serving lanes (ADVICE r3)
+        self._diag_sem = asyncio.Semaphore(2)
 
     def _make_coeff_lane(self, mode: str, luma_blocks: int) -> DynamicBatcher:
         from ics_tpu.runtime.device_decode import stage_coefficient_batch
@@ -349,9 +356,10 @@ class InferenceService:
         canvas, sizes = await loop.run_in_executor(
             None, lambda: stage_batch([image], canvas=None)
         )
-        idx, scores = await loop.run_in_executor(
-            None, self.engine.predict_staged_tta, canvas, sizes
-        )
+        async with self._diag_sem:
+            idx, scores = await loop.run_in_executor(
+                None, self.engine.predict_staged_tta, canvas, sizes
+            )
         dt_ms = (_time.perf_counter() - t0) * 1000
         self._record_latency(dt_ms)
         return {
@@ -374,9 +382,10 @@ class InferenceService:
         canvas, sizes = await loop.run_in_executor(
             None, lambda: stage_batch([image], canvas=None)
         )
-        feats = await loop.run_in_executor(
-            None, self.engine.embed_staged, canvas, sizes
-        )
+        async with self._diag_sem:
+            feats = await loop.run_in_executor(
+                None, self.engine.embed_staged, canvas, sizes
+            )
         return feats[0]
 
     async def explain_bytes(self, data: bytes, class_idx: int = -1,
@@ -396,11 +405,12 @@ class InferenceService:
         canvas, sizes = await loop.run_in_executor(
             None, lambda: stage_batch([image], canvas=None)
         )
-        idx, scores, heat = await loop.run_in_executor(
-            None, lambda: self.engine.explain_staged(
-                canvas, sizes, class_idx, smooth_samples=smooth_samples,
+        async with self._diag_sem:
+            idx, scores, heat = await loop.run_in_executor(
+                None, lambda: self.engine.explain_staged(
+                    canvas, sizes, class_idx, smooth_samples=smooth_samples,
+                )
             )
-        )
         dt_ms = (_time.perf_counter() - t0) * 1000
         self._record_latency(dt_ms)
         out = {

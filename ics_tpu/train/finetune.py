@@ -261,6 +261,32 @@ def find_ema_params(opt_state):
     return None
 
 
+def replace_ema_params(opt_state, new_ema):
+    """Rebuild ``opt_state`` with its :class:`EmaState` shadow replaced by
+    ``new_ema`` (same tree structure as the params). No-op (returns the
+    state unchanged) when no EmaState is present.
+
+    Used when an early-stopped job writes its BEST snapshot as the latest
+    checkpoint: the final step's shadow corresponds to the *discarded*
+    final weights — restoring it alongside best-step params would bias a
+    ``retomar_de`` resume's first EMA updates toward abandoned weights
+    (ADVICE r3). Re-anchoring the shadow on the snapshot params keeps the
+    restore template shape-identical while making resume self-consistent."""
+    if isinstance(opt_state, EmaState):
+        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, new_ema))
+    if isinstance(opt_state, tuple):
+        rebuilt = tuple(replace_ema_params(sub, new_ema) for sub in opt_state)
+        # NamedTuples (optax states) need _make, plain tuples don't
+        if hasattr(opt_state, "_make"):
+            return type(opt_state)._make(rebuilt)
+        return rebuilt
+    if isinstance(opt_state, list):
+        return [replace_ema_params(sub, new_ema) for sub in opt_state]
+    if isinstance(opt_state, dict):
+        return {k: replace_ema_params(v, new_ema) for k, v in opt_state.items()}
+    return opt_state
+
+
 def make_lr_schedule(lr: float, total_steps: int, kind: str = "cosseno",
                      warmup_frac: float = 0.1):
     """Fine-tune LR schedule: linear warmup over ~10% of the run, cosine

@@ -38,6 +38,7 @@ from ics_tpu.train.finetune import (
     find_ema_params,
     make_lr_schedule,
     make_optimizer,
+    replace_ema_params,
 )
 
 logger = logging.getLogger(__name__)
@@ -848,6 +849,14 @@ class TrainingJobManager:
                 # get_trained restores latest, so the registered version
                 # serves the best weights.
                 variables = best["variables"]
+                if ema_decaimento:
+                    # the final step's EMA shadow tracks the DISCARDED final
+                    # weights — re-anchor it on the snapshot params so a
+                    # retomar_de resume's shadow corresponds to what it
+                    # restores (ADVICE r3); template shape is unchanged
+                    opt_state = replace_ema_params(
+                        opt_state, variables["params"]
+                    )
                 tuner.checkpoint.save(
                     int(final.get("step", 0)) + 1, variables, opt_state,
                     {"step": int(final.get("step", 0)),

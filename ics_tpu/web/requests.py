@@ -46,9 +46,13 @@ class Request:
                     # RFC 9110 §5.2: repeated field lines combine with a
                     # comma — last-wins would silently DROP earlier lines
                     # (e.g. each proxy in a chain appends its own
-                    # X-Forwarded-For line; auth's rate-limit keying must
-                    # see the FIRST hop, not the last proxy)
-                    self._headers[key] += ", " + val
+                    # X-Forwarded-For line). Cookie is the RFC-carved
+                    # exception: its pair separator is '; ' (RFC 6265),
+                    # and HTTP/2→1.1 intermediaries legitimately split it
+                    # into multiple lines — a ', ' join would corrupt the
+                    # session token value.
+                    sep = "; " if key == "cookie" else ", "
+                    self._headers[key] += sep + val
                 else:
                     self._headers[key] = val
         return self._headers

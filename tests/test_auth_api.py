@@ -396,3 +396,104 @@ class TestLoginRateLimit:
         finally:
             ratelimit.login_failures = ratelimit.AttemptWindow()
             reload_settings()
+
+    @pytest.mark.anyio
+    async def test_forged_first_hop_cannot_rotate_key(self, tmp_path):
+        """ADVICE r3 (medium): behind an APPENDING proxy the first XFF
+        element is client-supplied — keying on it lets an attacker rotate
+        forged values for unlimited attempts. The limiter must key on the
+        LAST element (the hop the trusted proxy appended): rotating forged
+        first hops shares one window; XFF_HOPS=2 keys one element deeper."""
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.core import ratelimit
+
+        reload_settings(LOGIN_RATE_LIMIT="2", LOGIN_RATE_WINDOW_S="60",
+                        LOGIN_RATE_TRUST_FORWARDED="true")
+        ratelimit.login_failures = ratelimit.AttemptWindow(
+            clock=lambda: 0.0
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/rlf.db")
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    bad = {"username": settings.ADMIN_EMAIL,
+                           "password": "errada"}
+                    # attacker rotates the forged first hop; the trusted
+                    # proxy appended the real client 10.9.9.9 last —
+                    # all three land in ONE window, so the third is 429
+                    for forged in ("6.6.6.1", "6.6.6.2"):
+                        r = await c.post(
+                            "/auth/login", data=bad,
+                            headers={
+                                "X-Forwarded-For": f"{forged}, 10.9.9.9"
+                            },
+                        )
+                        assert r.status_code == 401
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "6.6.6.3, 10.9.9.9"},
+                    )
+                    assert r.status_code == 429
+            finally:
+                await a.shutdown()
+        finally:
+            ratelimit.login_failures = ratelimit.AttemptWindow()
+            reload_settings()
+
+    @pytest.mark.anyio
+    async def test_xff_hops_selects_deeper_trusted_element(self, tmp_path):
+        """LOGIN_RATE_XFF_HOPS=2 (two trusted proxies): the limiter keys
+        on the second-from-last element; a header shorter than the hop
+        count falls back to the first element rather than crashing."""
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.core import ratelimit
+
+        reload_settings(LOGIN_RATE_LIMIT="2", LOGIN_RATE_WINDOW_S="60",
+                        LOGIN_RATE_TRUST_FORWARDED="true",
+                        LOGIN_RATE_XFF_HOPS="2")
+        ratelimit.login_failures = ratelimit.AttemptWindow(
+            clock=lambda: 0.0
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/rlh.db")
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    bad = {"username": settings.ADMIN_EMAIL,
+                           "password": "errada"}
+                    # client 7.7.7.7 seen by inner proxy, outer proxy
+                    # appended 192.168.0.1 — key must be 7.7.7.7
+                    for _ in range(2):
+                        r = await c.post(
+                            "/auth/login", data=bad,
+                            headers={
+                                "X-Forwarded-For": "7.7.7.7, 192.168.0.1"
+                            },
+                        )
+                        assert r.status_code == 401
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "7.7.7.7, 192.168.0.1"},
+                    )
+                    assert r.status_code == 429
+                    # short header (fewer hops than configured): falls
+                    # back to the first element, no crash, separate key
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "8.8.8.8"},
+                    )
+                    assert r.status_code == 401
+            finally:
+                await a.shutdown()
+        finally:
+            ratelimit.login_failures = ratelimit.AttemptWindow()
+            reload_settings()

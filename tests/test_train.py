@@ -355,6 +355,49 @@ class TestEma:
         assert shadow is not None
         np.testing.assert_allclose(float(shadow["x"]), manual_ema, rtol=1e-6)
 
+    def test_replace_ema_params_reanchors_shadow(self):
+        """ADVICE r3: the early-stopping best snapshot pairs best-step
+        weights with the FINAL step's opt_state — replace_ema_params must
+        swap the EmaState shadow for the snapshot params while leaving
+        every other optimizer leaf (SGD momentum here) untouched, and the
+        rebuilt state must still round-trip through opt.update."""
+        import optax
+
+        from ics_tpu.train.finetune import (
+            ema_params_transform,
+            find_ema_params,
+            replace_ema_params,
+        )
+
+        opt = optax.chain(
+            optax.sgd(0.1, momentum=0.9), ema_params_transform(0.9)
+        )
+        params = {"x": jnp.asarray(4.0)}
+        state = opt.init(params)
+        for _ in range(2):
+            grads = {"x": 2.0 * params["x"]}
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        snapshot = {"x": jnp.asarray(1.25)}
+        rebuilt = replace_ema_params(state, snapshot)
+        # shadow re-anchored on the snapshot, exact
+        np.testing.assert_allclose(
+            float(find_ema_params(rebuilt)["x"]), 1.25
+        )
+        # non-EMA leaves (momentum trace) byte-identical
+        old_momentum = jax.tree_util.tree_leaves(state[0])
+        new_momentum = jax.tree_util.tree_leaves(rebuilt[0])
+        for a, b in zip(old_momentum, new_momentum):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # tree structure preserved: the rebuilt state still updates
+        updates, _ = opt.update({"x": 2.0 * params["x"]}, rebuilt, params)
+        assert np.isfinite(float(updates["x"]))
+        # no-op when the optimizer carries no EmaState
+        plain = optax.sgd(0.1).init(params)
+        rebuilt_plain = replace_ema_params(plain, snapshot)
+        assert (jax.tree_util.tree_structure(plain)
+                == jax.tree_util.tree_structure(rebuilt_plain))
+
     def test_ema_transform_rejects_bad_decay(self):
         from ics_tpu.train.finetune import ema_params_transform
 

@@ -383,6 +383,23 @@ class TestSelfReviewR3WebFixes:
         req = Request(scope, None)
         assert req.headers["x-forwarded-for"] == "1.2.3.4, 10.0.0.1"
 
+    def test_split_cookie_lines_join_with_semicolon(self):
+        """RFC 6265: Cookie's pair separator is '; ', and HTTP/2→1.1
+        intermediaries legitimately split Cookie into multiple lines —
+        a ', ' join would corrupt the session token value (ADVICE r3)."""
+        from ics_tpu.web.requests import Request
+
+        scope = {
+            "type": "http", "method": "GET", "path": "/",
+            "headers": [
+                (b"cookie", b"access_token=abc123"),
+                (b"cookie", b"outro=valor"),
+            ],
+        }
+        req = Request(scope, None)
+        assert req.cookies["access_token"] == "abc123"
+        assert req.cookies["outro"] == "valor"
+
     def test_slash_variant_method_fallback(self):
         """A method-mismatched exact match must NOT short-circuit the
         trailing-slash candidate that does accept the method."""
