@@ -214,7 +214,17 @@ class TestHealth:
             assert r.json()["status"] == "healthy"
             r = await client.get("/")
             assert r.status_code == 200
+            # operator surfaces expose live data -> admin-gated (VERDICT
+            # r3 weak #6); /health stays the public LB probe
             r = await client.get("/monitor/status")
+            assert r.status_code == 401
+            r = await client.get("/monitor/painel")
+            assert r.status_code == 401
+            await login_admin(client)  # cookie in jar
+            r = await client.get("/monitor/status")
+            assert r.status_code == 200
+            assert "sync" in r.json() and "tpu" in r.json()
+            r = await client.get("/monitor/painel")
             assert r.status_code == 200
 
 

@@ -109,6 +109,17 @@ async def test_monitor_painel_serves_dashboard(tmp_path):
         async with httpx.AsyncClient(
             transport=httpx.ASGITransport(app=a), base_url="http://t"
         ) as client:
+            # admin-gated: the dashboard exposes live operational detail
+            r = await client.get("/monitor/painel")
+            assert r.status_code == 401
+            from ics_tpu.core.config import settings as _settings
+
+            r = await client.post(
+                "/auth/login",
+                data={"username": _settings.ADMIN_EMAIL,
+                      "password": _settings.ADMIN_SENHA},
+            )
+            assert r.status_code == 200, r.text
             r = await client.get("/monitor/painel")
             assert r.status_code == 200
             assert r.headers["content-type"].startswith("text/html")
