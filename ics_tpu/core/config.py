@@ -52,6 +52,16 @@ class Settings(BaseModel):
     API_HOST: str = "0.0.0.0"
     API_PORT: int = 8000
 
+    # From-scratch HTTP server connection hygiene (uvicorn gives the
+    # reference timeout_keep_alive=5 free; these are the equivalents).
+    # IDLE: reap a socket with no request bytes after this many seconds;
+    # HEADER: slow-trickling headers past this -> 408; BODY: total budget
+    # for reading a request body; MAX_CONNECTIONS: 503 beyond this.
+    SERVER_IDLE_TIMEOUT_S: float = 5.0
+    SERVER_HEADER_TIMEOUT_S: float = 10.0
+    SERVER_BODY_TIMEOUT_S: float = 60.0
+    SERVER_MAX_CONNECTIONS: int = 1024
+
     # CORS origins, comma-separated
     CORS_ORIGINS: str = "http://localhost:5173,http://127.0.0.1:5173"
 

@@ -466,7 +466,13 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO)
     from ics_tpu.web.server import run
 
-    run(create_app(), args.host, args.port)
+    run(
+        create_app(), args.host, args.port,
+        idle_timeout_s=settings.SERVER_IDLE_TIMEOUT_S,
+        header_timeout_s=settings.SERVER_HEADER_TIMEOUT_S,
+        body_timeout_s=settings.SERVER_BODY_TIMEOUT_S,
+        max_connections=settings.SERVER_MAX_CONNECTIONS,
+    )
 
 
 if __name__ == "__main__":
