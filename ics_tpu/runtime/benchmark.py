@@ -24,7 +24,8 @@ _chained_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
                  warmup: bool = True,
-                 compiler_options: Optional[dict] = None) -> dict:
+                 compiler_options: Optional[dict] = None,
+                 mixed_sizes: bool = False) -> dict:
     """``compiler_options`` compiles the chained step AOT with the given
     XLA options (the only flag channel that reaches the TPU compiler over
     a remote-compile tunnel — XLA_FLAGS is parsed locally and aborts on
@@ -75,7 +76,19 @@ def bench_engine(engine, batch: int, canvas: int, iters: int = 20,
     cv = jax.device_put(
         rng.integers(0, 256, (batch, canvas, canvas, 3), np.uint8)
     )
-    sz = jax.device_put(np.full((batch, 2), min(canvas, 512), np.int32))
+    if mixed_sizes:
+        # BASELINE cfg 4 "mixed-resolution stream": per-image sizes spread
+        # over [256, canvas] so each image gets its own resize plan inside
+        # the one padded-bucket graph — the shape the batcher actually
+        # serves, not a uniform-size best case
+        sz = jax.device_put(
+            np.stack(
+                [rng.integers(256, canvas + 1, batch),
+                 rng.integers(256, canvas + 1, batch)], axis=1
+            ).astype(np.int32)
+        )
+    else:
+        sz = jax.device_put(np.full((batch, 2), min(canvas, 512), np.int32))
 
     t0 = time.perf_counter()
     if compiler_options:
