@@ -136,6 +136,14 @@ class Settings(BaseModel):
     TPU_MESH_AXES: str = "data,model"    # comma-separated axis names
     # multi-host (DCN) initialization — jax.distributed.initialize() runs at
     # inference/train startup when a coordinator address is configured
+    # Pipeline parallelism for transformer trunks (ViT family): >= 2
+    # builds a ('pp',)-axis serving mesh over that many devices and the
+    # engine serves through parallel/pipeline.py (GPipe fill-drain over
+    # ICI ppermute). For models whose params/activations exceed one chip.
+    # Mutually exclusive with an explicit TPU_MESH_SHAPE (DP via
+    # TPU_SERVING_REPLICAS composes with PP; DPxPP in one mesh does not).
+    TPU_PP_STAGES: int = 0
+    TPU_PP_MICROBATCHES: int = 4
     TPU_COORDINATOR_ADDRESS: str = ""    # "host:port" of process 0
     TPU_NUM_PROCESSES: int = 1
     TPU_PROCESS_ID: int = 0

@@ -95,6 +95,11 @@ def _ensure_populated() -> None:
             "vit_l16_h8d128", vit.vit_l16_h8d128, 384, 384,
             "ViT-L/16 with 8xd=128 heads — full-MXU-width attention",
         )
+        register_model(
+            "vit_tiny", vit.vit_tiny, 64, 64,
+            "ViT tiny (8 blocks @64px) — dev/CI model for the PP/SP "
+            "serving stack; not a zoo model",
+        )
     except ImportError:
         pass
     register_model(

@@ -184,6 +184,14 @@ def vit_l16(num_classes: int = 1000, image_size: int = 384) -> ViT:
                num_classes=num_classes)
 
 
+def vit_tiny(num_classes: int = 1000) -> ViT:
+    """Dev/CI ViT (resnet_tiny's transformer twin): exercises the full
+    patch-embed/blocks/PP/ring machinery cheaply on CPU. depth=8 divides
+    2/4/8 pipeline stages. Not a zoo model."""
+    return ViT(image_size=64, patch_size=8, dim=32, depth=8, num_heads=2,
+               num_classes=num_classes)
+
+
 def vit_l16_h8d128(num_classes: int = 1000, image_size: int = 384) -> ViT:
     """ViT-L/16 with 8 heads of d=128 (see vit_b16_h6d128)."""
     return ViT(image_size=image_size, dim=1024, depth=24, num_heads=8,

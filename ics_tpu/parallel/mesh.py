@@ -76,6 +76,24 @@ def mesh_from_settings(settings) -> Optional[Mesh]:
     maybe_initialize_distributed(settings)
     shape = settings.get_mesh_shape()
     devices = jax.devices()
+    pp = int(getattr(settings, "TPU_PP_STAGES", 0) or 0)
+    if pp >= 2:
+        # pipeline-parallel serving: a ('pp',)-axis mesh over the first
+        # TPU_PP_STAGES devices; the engine routes the transformer trunk
+        # through parallel/pipeline.py. An explicit TPU_MESH_SHAPE at the
+        # same time is ambiguous (DPxPP in one mesh is not supported —
+        # compose DP via TPU_SERVING_REPLICAS instead), so fail loudly.
+        if shape is not None:
+            raise RuntimeError(
+                "TPU_PP_STAGES e TPU_MESH_SHAPE explícito são mutuamente "
+                "exclusivos — use TPU_SERVING_REPLICAS para compor DP com PP"
+            )
+        if pp > len(devices):
+            raise RuntimeError(
+                f"TPU_PP_STAGES={pp} precisa de {pp} devices, "
+                f"mas só {len(devices)} visíveis"
+            )
+        return make_mesh(shape=(pp,), axes=("pp",), devices=devices[:pp])
     if shape is None:
         if len(devices) <= 1:
             return None

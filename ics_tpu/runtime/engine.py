@@ -48,6 +48,7 @@ class InferenceEngine:
         variables: Optional[dict] = None,
         mesh=None,
         multi_label: bool = False,
+        pp_microbatches: int = 4,
     ):
         self.spec: ModelSpec = get_model(model_name)
         self.model = self.spec.build(num_classes=num_classes)
@@ -66,6 +67,31 @@ class InferenceEngine:
                 max(((b + data_size - 1) // data_size) * data_size, data_size)
                 for b in buckets
             }
+        # pipeline-parallel serving (TPU_PP_STAGES -> ('pp',) mesh): the
+        # transformer trunk is split across the pp devices and microbatches
+        # flow stage-to-stage (parallel/pipeline.py). ViT-family only —
+        # the schedule needs a homogeneous stackable block trunk.
+        self.pp_microbatches = 0
+        if mesh is not None and "pp" in getattr(mesh, "axis_names", ()):
+            stages = int(mesh.shape["pp"])
+            blocks = getattr(self.model, "blocks", None)
+            if not (blocks and hasattr(self.model, "patch_embed")
+                    and hasattr(self.model, "ln")):
+                raise ValueError(
+                    f"TPU_PP_STAGES: modelo {model_name!r} não tem tronco "
+                    "transformer homogêneo (família ViT) — pipeline "
+                    "parallelism não se aplica"
+                )
+            depth = len(blocks)
+            if depth % stages:
+                raise ValueError(
+                    f"TPU_PP_STAGES={stages} não divide a profundidade "
+                    f"{depth} de {model_name!r}"
+                )
+            m = max(1, int(pp_microbatches))
+            self.pp_microbatches = m
+            # every bucket must split into whole microbatches
+            buckets = {max(((b + m - 1) // m) * m, m) for b in buckets}
         self.buckets = tuple(sorted(buckets))
         self.canvas = canvas
         if variables is None:
@@ -131,6 +157,41 @@ class InferenceEngine:
 
         k = self._top_k()
 
+        if self.pp_microbatches:
+            # pipeline-parallel step: trunk over the 'pp' axis (GPipe
+            # fill-drain via ppermute), inputs/params replicated — the
+            # per-stage split happens inside pipeline_blocks' shard_map.
+            # DP composes via TPU_SERVING_REPLICAS, not this mesh.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ics_tpu.parallel.pipeline import pipeline_vit_forward
+
+            mesh = self.mesh
+            m = self.pp_microbatches
+
+            def pp_step(folded, canvas_u8, sizes):
+                x = preprocess_batch(
+                    canvas_u8, sizes, out_size=spec.image_size,
+                    resize_short=spec.resize_short, dtype=dtype,
+                )
+                logits = pipeline_vit_forward(
+                    model, folded, x, mesh, microbatches=m, use_flash=True,
+                ).astype(jnp.float32)
+                if multi_label:
+                    probs = jax.nn.sigmoid(logits)
+                else:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                top_scores, top_idx = jax.lax.top_k(probs, k)
+                return top_idx, top_scores
+
+            rep = NamedSharding(mesh, P())
+            rep_tree = jax.tree_util.tree_map(lambda _: rep, self.folded)
+            return jax.jit(
+                pp_step,
+                in_shardings=(rep_tree, rep, rep),
+                out_shardings=(rep, rep),
+            )
+
         def step(folded, canvas_u8, sizes):
             x = preprocess_batch(
                 canvas_u8, sizes, out_size=spec.image_size,
@@ -167,6 +228,14 @@ class InferenceEngine:
 
         One jitted callable per sampling mode; jax.jit's shape cache covers
         the (batch bucket, luma bucket) variants within a mode."""
+        if self.pp_microbatches:
+            # decode-on-TPU lanes run the trunk non-pipelined, which is
+            # exactly what a PP deployment can't do (the model doesn't fit
+            # one stage); the service disables device decode under PP
+            raise RuntimeError(
+                "decode-on-TPU indisponível com pipeline parallelism "
+                "(TPU_PP_STAGES) — o serviço usa decode no host"
+            )
         if getattr(self, "_coeff_steps", None) is None:
             self._coeff_steps: dict = {}
         if mode not in self._coeff_steps:

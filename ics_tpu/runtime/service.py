@@ -160,13 +160,25 @@ class InferenceService:
             buckets=settings.get_batch_buckets(),
             canvas=settings.TPU_CANVAS,
             mesh=mesh,
+            pp_microbatches=settings.TPU_PP_MICROBATCHES,
         )
         engine_kwargs.update(engine_overrides)
         engine = InferenceEngine(**engine_kwargs)
+        device_decode = settings.TPU_DEVICE_DECODE
+        if engine.pp_microbatches and device_decode:
+            # the decode-on-TPU lanes run the trunk non-pipelined — a
+            # model big enough to need PP can't serve that way, so PP
+            # deployments decode on host (engine raises if a lane is
+            # reached anyway)
+            logger.info(
+                "pipeline parallelism ativo: decode-on-TPU desabilitado "
+                "(lanes de decode usariam o tronco não-pipelinado)"
+            )
+            device_decode = False
         return cls(
             engine,
             deadline_us=settings.TPU_BATCH_DEADLINE_US,
-            device_decode=settings.TPU_DEVICE_DECODE,
+            device_decode=device_decode,
             max_deadline_us=settings.TPU_BATCH_MAX_DEADLINE_US,
         )
 
