@@ -24,6 +24,12 @@ class MultiHeadAttention:
         self.head_dim = dim // num_heads
         self.qkv = Dense(dim, dim * 3)
         self.proj = Dense(dim, dim)
+        # sequence parallelism seam (FineTuner sp mesh): when set to
+        # (mesh, axis), the TRAINING path (use_flash=False) rings the
+        # token dim over that axis instead of running full attention —
+        # exact online softmax, K/V chunks rotating over ICI
+        # (parallel/ring_attention.py; padding handles ViT's P+1 tokens)
+        self.ring = None
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -36,7 +42,15 @@ class MultiHeadAttention:
         q, k, v = (
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
         )                                                  # [B, H, S, hd]
-        attn = flash_attention(q, k, v) if use_flash else attention_reference(q, k, v)
+        if self.ring is not None and not use_flash:
+            from ics_tpu.parallel.ring_attention import ring_attention_padded
+
+            mesh, axis = self.ring
+            attn = ring_attention_padded(q, k, v, mesh, axis=axis)
+        elif use_flash:
+            attn = flash_attention(q, k, v)
+        else:
+            attn = attention_reference(q, k, v)
         out = jnp.transpose(attn, (0, 2, 1, 3)).reshape(b, s, self.dim)
         return self.proj.apply(params["proj"], out)
 

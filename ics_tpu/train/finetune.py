@@ -568,6 +568,33 @@ class FineTuner:
         # mesh: shard the step over a device group (DP on batch; also pins
         # training OFF serving's chips — parallel/mesh.py
         # ::train_mesh_from_settings). Without one, plain jit.
+        #
+        # A mesh with an 'sp' axis is SEQUENCE parallelism instead (VERDICT
+        # r3 next-step #8): the ViT trunk's attention rings the token dim
+        # over the axis (parallel/ring_attention.py) while batch stays
+        # replicated — the long-sequence configuration path. Pure-SP only:
+        # DPxSP in one mesh would make the ring shard_map force a batch
+        # all-gather across 'data' every block; compose DP via grad_accum.
+        self._sp = False
+        if mesh is not None and "sp" in getattr(mesh, "axis_names", ()):
+            if set(mesh.axis_names) != {"sp"}:
+                raise ValueError(
+                    "mesh de treino com 'sp' deve ser puro-SP (eixos "
+                    f"{mesh.axis_names}) — DPxSP não é suportado"
+                )
+            blocks = getattr(model, "blocks", None)
+            if not blocks or not hasattr(blocks[0], "attn") \
+                    or not hasattr(blocks[0].attn, "ring"):
+                raise ValueError(
+                    "sequence parallelism requer um tronco transformer "
+                    "com atenção ring-capaz (família ViT)"
+                )
+            for blk in blocks:
+                blk.attn.ring = (mesh, "sp")
+            self._sp = True
+            # the step itself runs plain jit (batch replicated); the ring
+            # shard_map inside the blocks carries the mesh
+            mesh = None
         self.mesh = mesh
         self._image_size = image_size
         self._resize_short = resize_short
