@@ -206,7 +206,10 @@ def ema_params_transform(decay: float):
         )
 
     def init_fn(params):
-        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+        # jnp.array, NOT asarray: the shadow must own its buffers — the
+        # train steps donate (variables, opt_state) and an aliased shadow
+        # makes XLA see the same buffer donated twice (runtime abort)
+        return EmaState(ema=jax.tree_util.tree_map(jnp.array, params))
 
     def update_fn(updates, state, params=None):
         if params is None:
@@ -273,7 +276,9 @@ def replace_ema_params(opt_state, new_ema):
     (ADVICE r3). Re-anchoring the shadow on the snapshot params keeps the
     restore template shape-identical while making resume self-consistent."""
     if isinstance(opt_state, EmaState):
-        return EmaState(ema=jax.tree_util.tree_map(jnp.asarray, new_ema))
+        # jnp.array, NOT asarray: the shadow must own its buffers or the
+        # donated train step sees the same buffer twice (see init_fn)
+        return EmaState(ema=jax.tree_util.tree_map(jnp.array, new_ema))
     if isinstance(opt_state, tuple):
         rebuilt = tuple(replace_ema_params(sub, new_ema) for sub in opt_state)
         # NamedTuples (optax states) need _make, plain tuples don't
@@ -375,18 +380,27 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
                             resize_short: int = 256,
                             compute_dtype=jnp.bfloat16,
                             train_backbone: bool = True,
-                            multi_label: bool = False):
+                            multi_label: bool = False,
+                            donate: bool = True):
     """Fused step: uint8 canvas -> on-device preproc -> fwd+bwd -> SGD.
 
     One compiled graph per batch shape; decode stays on host
     (``ics_tpu.train.data``).
+
+    ``donate=False`` exists ONLY for A/B measurement
+    (``scripts/bench_donation.py``); product callers keep the default.
     """
     from ics_tpu.ops.preproc import preprocess_batch
 
     base_step = make_train_step(model, optimizer, compute_dtype,
                                 train_backbone, multi_label)
 
-    @jax.jit
+    # donate params + opt_state (SURVEY §7 step 8): the step's outputs are
+    # shape-identical updates of its inputs, so XLA writes them in place —
+    # without donation every step holds params AND new-params live
+    # (ResNet-50 + Adam: ~300 MB of avoidable churn). Callers must not
+    # reuse the trees they passed in (FineTuner.run reassigns; loud
+    # "donated buffer" error otherwise, never silent corruption).
     def step(variables, opt_state, canvas_u8, sizes, labels):
         images = preprocess_batch(
             canvas_u8, sizes, out_size=image_size, resize_short=resize_short,
@@ -394,7 +408,7 @@ def make_preproc_train_step(model, optimizer, image_size: int = 224,
         )
         return base_step(variables, opt_state, images, labels)
 
-    return step
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def _augmented_step_fn(model, optimizer, augment, image_size: int,
@@ -466,7 +480,8 @@ def make_augmented_train_step(model, optimizer, augment,
                               image_size: int = 224,
                               compute_dtype=jnp.bfloat16,
                               train_backbone: bool = True,
-                              multi_label: bool = False):
+                              multi_label: bool = False,
+                              donate: bool = True):
     """Fused AUGMENTED step: uint8 canvas -> on-device RandomResizedCrop/
     flip/jitter (inside the same resize matmuls, :mod:`ics_tpu.ops.augment`)
     -> optional mixup -> fwd+bwd -> SGD.
@@ -476,9 +491,12 @@ def make_augmented_train_step(model, optimizer, augment,
     ``accuracy`` is against the ORIGINAL hard labels — with mixup the lambda
     is folded to >= 0.5, so each row's own label stays the argmax target.
     """
+    # donate params + opt_state (see make_preproc_train_step note);
+    # donate=False only for A/B measurement
     return jax.jit(
         _augmented_step_fn(model, optimizer, augment, image_size,
-                           compute_dtype, train_backbone, multi_label)
+                           compute_dtype, train_backbone, multi_label),
+        donate_argnums=(0, 1) if donate else (),
     )
 
 
@@ -695,10 +713,14 @@ class FineTuner:
                             or float(metric) > self.best["metric"]):
                         self.best = {
                             "metric": float(metric), "step": step_num,
-                            # host snapshot: registration must not depend
-                            # on device buffers the loop keeps donating
+                            # host snapshot with an EXPLICIT copy: on the
+                            # CPU backend np.asarray can be a zero-copy
+                            # VIEW of the device buffer, and the next
+                            # step DONATES that buffer (XLA writes the
+                            # new params into it in place) — a view would
+                            # silently mutate or abort the runtime
                             "variables": jax.tree_util.tree_map(
-                                np.asarray, eval_vars
+                                lambda x: np.array(x), eval_vars
                             ),
                         }
                         evals_since_best = 0
@@ -1107,6 +1129,9 @@ def _sharded_builders(step, mesh: Mesh, data_shardings: tuple):
             step,
             in_shardings=(var_sh, opt_sh, *data_shardings),
             out_shardings=(var_sh, opt_sh, rep),
+            # donate params + opt_state (see make_preproc_train_step note);
+            # shardings of in/out match, so in-place reuse is layout-exact
+            donate_argnums=(0, 1),
         )
 
     return jit_step, shard_variables

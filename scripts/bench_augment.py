@@ -60,7 +60,10 @@ def main():
         log.flush()
 
     def run(name, step, with_key):
-        v, o = variables, opt_state
+        # train steps donate params/opt_state (r4): each variant must get
+        # its own device copies or the 2nd variant reads donated buffers
+        v = jax.tree_util.tree_map(jnp.array, variables)
+        o = jax.tree_util.tree_map(jnp.array, opt_state)
         t0 = time.perf_counter()
         if with_key:
             v, o, m = step(v, o, canvas, sizes, labels, jax.random.PRNGKey(0))

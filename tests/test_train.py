@@ -144,6 +144,7 @@ class TestFineTune:
             examples, lambda h, p: blobs[h], batch_size=4, canvas=128,
             epochs=None,
         )
+        before = np.array(variables["params"]["head"]["w"])
         variables2, opt_state, history = tuner.run(
             variables, batches, max_steps=3, checkpoint_every=2
         )
@@ -151,7 +152,9 @@ class TestFineTune:
         assert all(np.isfinite(h["loss"]) for h in history)
         assert tuner.checkpoint.latest_step() == 3
         # params actually moved
-        before = variables["params"]["head"]["w"]
+        # host COPY before comparison: run() donated the input tree,
+        # so the original jax arrays are deleted (and on CPU a
+        # zero-copy view would alias the in-place-updated buffer)
         after = variables2["params"]["head"]["w"]
         assert not np.allclose(np.asarray(before), np.asarray(after))
         tuner.checkpoint.close()
@@ -277,7 +280,7 @@ class TestLinearProbe:
         canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
         sizes = np.full((4, 2), 48, np.int32)
         labels = np.asarray([0, 1, 0, 1], np.int32)
-        before_stem = np.asarray(variables["params"]["stem"]["conv"]["w"])
+        before_stem = np.array(variables["params"]["stem"]["conv"]["w"])
         out_vars, _, history = tuner.run(
             variables, iter([(canvas, sizes, labels)] * 2)
         )
@@ -302,7 +305,7 @@ class TestOptimizerKinds:
         canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
         sizes = np.full((4, 2), 48, np.int32)
         labels = np.asarray([0, 1, 0, 1], np.int32)
-        before = np.asarray(variables["params"]["stem"]["conv"]["w"])
+        before = np.array(variables["params"]["stem"]["conv"]["w"])
         out_vars, _, history = tuner.run(
             variables, iter([(canvas, sizes, labels)] * 2)
         )
@@ -413,7 +416,7 @@ class TestEma:
 
         model = resnet_tiny(num_classes=2)
         variables = model.init(jax.random.PRNGKey(0))
-        init_head = np.asarray(variables["params"]["head"]["w"])
+        init_head = np.array(variables["params"]["head"]["w"])
         tuner = FineTuner(
             model, optimizer=make_optimizer(lr=0.05),
             image_size=32, resize_short=32, compute_dtype=jnp.float32,
@@ -536,17 +539,20 @@ class TestGradAccum:
         canvas = rng.integers(0, 256, (4, 64, 64, 3), np.uint8)
         sizes = np.full((4, 2), 48, np.int32)
         labels = np.asarray([0, 1, 0, 1], np.int32)
-        before = np.asarray(variables["params"]["head"]["w"])
+        before = np.array(variables["params"]["head"]["w"])
+        # run() donates its input tree — each run needs its own copy
+        vars_a = jax.tree_util.tree_map(jnp.array, variables)
+        vars_b = jax.tree_util.tree_map(jnp.array, variables)
         # 1 micro-step: no apply yet -> params unchanged
         out_vars, opt_state, _ = tuner.run(
-            variables, iter([(canvas, sizes, labels)] * 1)
+            vars_a, iter([(canvas, sizes, labels)] * 1)
         )
         np.testing.assert_array_equal(
             before, np.asarray(out_vars["params"]["head"]["w"])
         )
         # 2 micro-steps: one apply -> params move, EMA shadow reachable
         out_vars, opt_state, history = tuner.run(
-            variables, iter([(canvas, sizes, labels)] * 2)
+            vars_b, iter([(canvas, sizes, labels)] * 2)
         )
         assert not np.allclose(
             before, np.asarray(out_vars["params"]["head"]["w"])
