@@ -152,6 +152,11 @@ class Settings(BaseModel):
     # adaptive coalescing cap: with requests still in host decode, the
     # flusher may hold the batch open up to this long (see batcher.py)
     TPU_BATCH_MAX_DEADLINE_US: int = 50000
+    # two-deep pipelined flush: stage + H2D of batch N+1 under device
+    # compute of batch N (batcher.py; measured keep-or-reject in
+    # docs/benchmarks.md). Parked batches resolve the moment the queue
+    # runs dry, so sparse-traffic latency is unchanged.
+    TPU_PIPELINED_FLUSH: bool = True
     TPU_WARMUP_ON_STARTUP: bool = True   # pre-compile batch buckets at boot
     # persistent XLA compilation cache shared by the app, the train CLI and
     # bench.py: restarts reload compiled steps from disk instead of paying

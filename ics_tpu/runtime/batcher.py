@@ -51,6 +51,7 @@ class DynamicBatcher:
         deadline_us: int = 2000,
         max_deadline_us: int = 50_000,
         incoming: Optional[IncomingCounter] = None,
+        predict_dispatch: Optional[Callable] = None,
     ):
         self.predict_staged = predict_staged
         self.stage_batch = stage_batch
@@ -66,7 +67,16 @@ class DynamicBatcher:
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
         self._incoming_counter = incoming or IncomingCounter()
-        self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0}
+        # two-deep pipelined flush (SURVEY §7 step 8 "H2D overlap"):
+        # predict_dispatch(canvas, sizes) -> zero-arg resolver. When set,
+        # a dispatched batch parks here while the flusher stages + enqueues
+        # the NEXT batch (host canvas assembly and H2D ride under device
+        # compute); it resolves as soon as the queue runs dry, so sparse
+        # traffic keeps today's latency exactly.
+        self.predict_dispatch = predict_dispatch
+        self._in_flight: Optional[tuple[list, Callable]] = None
+        self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0,
+                      "pipelined": 0}
 
     @property
     def _incoming(self) -> int:
@@ -95,6 +105,15 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # a dispatched-but-unresolved batch dies with the flusher: fail it
+        if self._in_flight is not None:
+            batch, _resolve = self._in_flight
+            self._in_flight = None
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(
+                        RuntimeError("batcher stopped mid-flight")
+                    )
         # fail anything still queued so callers don't await forever
         while not self._queue.empty():
             pending = self._queue.get_nowait()
@@ -126,6 +145,11 @@ class DynamicBatcher:
 
     async def _flusher(self) -> None:
         while not self._stopping:
+            if self._in_flight is not None and self._queue.empty():
+                # nothing ready to pipeline behind the in-flight batch:
+                # resolve it now so sparse traffic never waits on parking
+                await self._resolve_in_flight()
+                continue
             first = await self._queue.get()
             batch = [first]
             try:
@@ -189,6 +213,32 @@ class DynamicBatcher:
         ).observe(queue_ms)
         loop = asyncio.get_running_loop()
         images = [p.image for p in batch]
+
+        if self.predict_dispatch is not None:
+            # pipelined: stage + H2D + enqueue compute off the event loop,
+            # then PARK the batch; resolving happens after the NEXT batch
+            # dispatches (its staging/H2D overlaps this one's compute) or
+            # as soon as the queue runs dry. NOTE: the engine's recorded
+            # step time then includes the parked interval — that is what
+            # the client actually waited, so the percentiles stay honest.
+            def stage_and_dispatch():
+                canvas, sizes = self.stage_batch(images)
+                return self.predict_dispatch(canvas, sizes)
+
+            try:
+                resolve = await loop.run_in_executor(None, stage_and_dispatch)
+            except Exception as exc:
+                logger.exception("batch dispatch failed")
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
+                return
+            prev, self._in_flight = self._in_flight, (batch, resolve)
+            if prev is not None:
+                self.stats["pipelined"] += 1
+                await self._resolve_batch(prev)
+            return
+
         try:
             # staging (numpy canvas assembly) AND device work run off the
             # event loop — host CRUD latency must never couple to either
@@ -202,6 +252,35 @@ class DynamicBatcher:
                     p.future.set_result((idx[i], scores[i]))
         except Exception as exc:
             logger.exception("batch flush failed")
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(exc)
+
+    async def _resolve_in_flight(self) -> None:
+        parked, self._in_flight = self._in_flight, None
+        if parked is not None:
+            await self._resolve_batch(parked)
+
+    async def _resolve_batch(self, parked: tuple[list, Callable]) -> None:
+        batch, resolve = parked
+        loop = asyncio.get_running_loop()
+        try:
+            # the D2H fetch blocks until device compute finishes — off-loop
+            idx, scores = await loop.run_in_executor(None, resolve)
+            for i, p in enumerate(batch):
+                if not p.future.done():
+                    p.future.set_result((idx[i], scores[i]))
+        except asyncio.CancelledError:
+            # stop() cancelled us after _in_flight was detached: fail these
+            # futures here or their clients hang forever
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(
+                        RuntimeError("batcher stopped mid-flight")
+                    )
+            raise
+        except Exception as exc:
+            logger.exception("batch resolve failed")
             for p in batch:
                 if not p.future.done():
                     p.future.set_exception(exc)

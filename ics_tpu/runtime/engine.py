@@ -186,6 +186,11 @@ class InferenceEngine:
 
             rep = NamedSharding(mesh, P())
             rep_tree = jax.tree_util.tree_map(lambda _: rep, self.folded)
+            # NO input donation here (SURVEY §7 step 8, evaluated r4):
+            # donate_argnums only lets XLA alias donated INPUTS to OUTPUTS,
+            # and this step's outputs are [B, K] top-k — nothing can absorb
+            # the uint8 canvas, so jax warns "donated buffers were not
+            # usable" and no memory is saved (docs/benchmarks.md, rejected)
             return jax.jit(
                 pp_step,
                 in_shardings=(rep_tree, rep, rep),
@@ -216,6 +221,7 @@ class InferenceEngine:
                 in_shardings=(folded_sh, data4, data2),
                 out_shardings=(data2, data2),
             )
+        # no input donation: rejected lever, see the pp_step note above
         return jax.jit(step)
 
     def _get_step(self):
@@ -594,10 +600,16 @@ class InferenceEngine:
             )
 
     # -- public -------------------------------------------------------------
-    def predict_staged(
-        self, canvas: np.ndarray, sizes: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """canvas uint8 [N<=bucket, C, C, 3] -> (top_idx, top_scores) [N, K]."""
+    def predict_staged_async(self, canvas: np.ndarray, sizes: np.ndarray):
+        """Dispatch the staged batch WITHOUT fetching results.
+
+        Pads to the batch bucket, enqueues H2D + the compiled step (jax
+        dispatch returns immediately), and returns a zero-arg resolver that
+        performs the blocking D2H fetch and records step telemetry. The
+        pipelined batcher flush uses this to stage + transfer batch N+1
+        while batch N still computes on device (SURVEY §7 step 8,
+        "H2D overlap"); ``predict_staged`` below is the synchronous form.
+        """
         n = canvas.shape[0]
         bucket = self.bucket_for(n)
         if n < bucket:
@@ -613,12 +625,23 @@ class InferenceEngine:
         # canvas side to a small bucket set, bounding the compile count
         t0 = time.perf_counter()
         idx, scores = step(self.folded, canvas, sizes)
-        idx = np.asarray(idx)[:n]
-        scores = np.asarray(scores)[:n]
-        self._record_step(
-            (bucket, canvas.shape[1]), (time.perf_counter() - t0) * 1000, n
-        )
-        return idx, scores
+        shape_key = (bucket, canvas.shape[1])
+
+        def resolve() -> tuple[np.ndarray, np.ndarray]:
+            i = np.asarray(idx)[:n]
+            s = np.asarray(scores)[:n]
+            self._record_step(
+                shape_key, (time.perf_counter() - t0) * 1000, n
+            )
+            return i, s
+
+        return resolve
+
+    def predict_staged(
+        self, canvas: np.ndarray, sizes: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """canvas uint8 [N<=bucket, C, C, 3] -> (top_idx, top_scores) [N, K]."""
+        return self.predict_staged_async(canvas, sizes)()
 
     def status(self) -> dict:
         return {

@@ -47,6 +47,10 @@ class InferenceService:
             deadline_us=deadline_us,
             max_deadline_us=max_deadline_us,
             incoming=self._incoming,
+            predict_dispatch=(
+                self._dispatch_resilient
+                if settings.TPU_PIPELINED_FLUSH else None
+            ),
         )
         # decode-on-TPU fast lanes: JPEGs skip host pixel decode; the device
         # runs dequant+iDCT+upsample+color+preproc+forward fused. One lane
@@ -121,6 +125,35 @@ class InferenceService:
             )
             self.engine._step = None  # drop the (possibly wedged) step
             return self.engine.predict_staged(canvas, sizes)
+
+    def _dispatch_resilient(self, canvas, sizes):
+        """Pipelined twin of :meth:`_predict_resilient`: dispatch without
+        fetching, returning a resolver. Dispatch errors recompile + retry
+        inline; a resolve-time device error falls back to ONE full
+        synchronous retry on a fresh step (the staged canvas is still in
+        scope, so the retry re-stages nothing)."""
+        try:
+            resolve = self.engine.predict_staged_async(canvas, sizes)
+        except Exception:
+            self._device_errors += 1
+            logger.exception(
+                "device dispatch failed; recompiling and retrying once"
+            )
+            self.engine._step = None  # drop the (possibly wedged) step
+            resolve = self.engine.predict_staged_async(canvas, sizes)
+
+        def resolve_resilient():
+            try:
+                return resolve()
+            except Exception:
+                self._device_errors += 1
+                logger.exception(
+                    "device resolve failed; recompiling and retrying once"
+                )
+                self.engine._step = None
+                return self.engine.predict_staged(canvas, sizes)
+
+        return resolve_resilient
 
     def _predict_coeff_resilient(self, staged, mode: str):
         try:

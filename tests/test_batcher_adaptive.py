@@ -120,3 +120,128 @@ class TestAdaptiveCoalescing:
             await b.stop()
         assert flushes == [1]
         assert b._incoming == 0
+
+
+def _mk_pipelined(deadline_us=2000, max_batch=8, compute_s=0.01):
+    """Batcher in pipelined mode: predict_dispatch returns a resolver that
+    simulates device compute finishing compute_s after dispatch (the fetch
+    blocks until then), mirroring engine.predict_staged_async."""
+    import time as _time
+
+    from ics_tpu.runtime.batcher import DynamicBatcher
+
+    dispatched, resolved = [], []
+
+    def stage(images):
+        return np.stack(images), np.zeros((len(images), 2), np.int32)
+
+    def dispatch(canvas, sizes):
+        n = canvas.shape[0]
+        ready_at = _time.perf_counter() + compute_s
+        dispatched.append(n)
+
+        def resolve():
+            wait = ready_at - _time.perf_counter()
+            if wait > 0:
+                _time.sleep(wait)  # D2H fetch blocks until compute done
+            resolved.append(n)
+            return np.zeros((n, 5), np.int64), np.zeros((n, 5), np.float32)
+
+        return resolve
+
+    def predict(canvas, sizes):  # sync fallback, unused in these tests
+        return dispatch(canvas, sizes)()
+
+    b = DynamicBatcher(
+        predict, stage, max_batch=max_batch, deadline_us=deadline_us,
+        predict_dispatch=dispatch,
+    )
+    return b, dispatched, resolved
+
+
+class TestPipelinedFlush:
+    @pytest.mark.anyio
+    async def test_sustained_load_pipelines(self):
+        # back-to-back batches: batch N+1 must DISPATCH (stage + H2D)
+        # before batch N resolves — that's the overlap the mode exists for
+        b, dispatched, resolved = _mk_pipelined(compute_s=0.02)
+        await b.start()
+        img = np.zeros((4, 4, 3), np.uint8)
+        try:
+            results = await asyncio.gather(
+                *(b.submit(img) for _ in range(24))
+            )
+        finally:
+            await b.stop()
+        assert len(results) == 24
+        assert all(r[0].shape == (5,) for r in results)
+        assert sum(dispatched) == 24 and sum(resolved) == 24
+        assert b.stats["pipelined"] >= 1, b.stats
+
+    @pytest.mark.anyio
+    async def test_sparse_traffic_resolves_immediately(self):
+        # a lone request must not stay parked waiting for a successor
+        b, dispatched, resolved = _mk_pipelined(compute_s=0.005)
+        await b.start()
+        try:
+            img = np.zeros((4, 4, 3), np.uint8)
+            t0 = asyncio.get_event_loop().time()
+            idx, _ = await asyncio.wait_for(b.submit(img), timeout=1.0)
+            dt = asyncio.get_event_loop().time() - t0
+        finally:
+            await b.stop()
+        assert idx.shape == (5,)
+        assert dt < 0.2
+        assert b.stats["pipelined"] == 0  # nothing behind it to pipeline
+
+    @pytest.mark.anyio
+    async def test_stop_fails_parked_batch(self):
+        # a dispatched-but-unresolved batch must fail loudly on stop(),
+        # never leave its clients awaiting forever. compute_s is kept just
+        # long enough to guarantee stop() beats the resolve: the orphaned
+        # executor thread sleeps it out at interpreter exit
+        b, dispatched, resolved = _mk_pipelined(compute_s=3.0)
+        await b.start()
+        img = np.zeros((4, 4, 3), np.uint8)
+        task = asyncio.ensure_future(b.submit(img))
+        # let the flusher dispatch it (compute "runs" for 30s)
+        for _ in range(200):
+            await asyncio.sleep(0.005)
+            if dispatched:
+                break
+        assert dispatched == [1]
+        await b.stop()
+        with pytest.raises(RuntimeError):
+            await asyncio.wait_for(task, timeout=5.0)
+
+    @pytest.mark.anyio
+    async def test_dispatch_error_fails_only_that_batch(self):
+        from ics_tpu.runtime.batcher import DynamicBatcher
+
+        calls = []
+
+        def stage(images):
+            return np.stack(images), np.zeros((len(images), 2), np.int32)
+
+        def dispatch(canvas, sizes):
+            calls.append(canvas.shape[0])
+            if len(calls) == 1:
+                raise RuntimeError("boom")
+            n = canvas.shape[0]
+            return lambda: (np.zeros((n, 5), np.int64),
+                            np.zeros((n, 5), np.float32))
+
+        b = DynamicBatcher(
+            lambda c, s: dispatch(c, s)(), stage, max_batch=8,
+            deadline_us=2000, predict_dispatch=dispatch,
+        )
+        await b.start()
+        img = np.zeros((4, 4, 3), np.uint8)
+        try:
+            with pytest.raises(RuntimeError, match="boom"):
+                await asyncio.wait_for(b.submit(img), timeout=2.0)
+            # the lane must keep serving after a failed dispatch
+            idx, _ = await asyncio.wait_for(b.submit(img), timeout=2.0)
+            assert idx.shape == (5,)
+        finally:
+            await b.stop()
