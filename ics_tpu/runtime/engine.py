@@ -256,12 +256,12 @@ class InferenceEngine:
             )
         return self._coeff_steps[mode]
 
-    def predict_coeff_staged(
+    def predict_coeff_staged_async(
         self, staged: dict, mode: str = "420", record: bool = True
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Staged coefficient batch (see runtime.device_decode) -> top-k.
-
-        Pads to the nearest batch bucket like the pixel path."""
+    ):
+        """Dispatch a staged coefficient batch WITHOUT fetching — the coeff
+        lanes' twin of :meth:`predict_staged_async` (same pipelined-flush
+        contract: returns a zero-arg resolver)."""
         n = staged["y"].shape[0]
         bucket = self.bucket_for(n)
         if n < bucket:
@@ -281,13 +281,26 @@ class InferenceEngine:
             staged["y"], staged["yq"], staged["cb"], staged["cq"],
             staged["cr"], staged["rq"], staged["sizes"],
         )
-        idx = np.asarray(idx)[:n]
-        scores = np.asarray(scores)[:n]
-        self._record_step(
-            ("coeff", mode, staged["y"].shape[1], bucket),
-            (time.perf_counter() - t0) * 1000, n, record=record,
-        )
-        return idx, scores
+        shape_key = ("coeff", mode, staged["y"].shape[1], bucket)
+
+        def resolve() -> tuple[np.ndarray, np.ndarray]:
+            i = np.asarray(idx)[:n]
+            s = np.asarray(scores)[:n]
+            self._record_step(
+                shape_key, (time.perf_counter() - t0) * 1000, n,
+                record=record,
+            )
+            return i, s
+
+        return resolve
+
+    def predict_coeff_staged(
+        self, staged: dict, mode: str = "420", record: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Staged coefficient batch (see runtime.device_decode) -> top-k.
+
+        Pads to the nearest batch bucket like the pixel path."""
+        return self.predict_coeff_staged_async(staged, mode, record)()
 
     # -- test-time augmentation ----------------------------------------------
     def _get_tta_step(self):

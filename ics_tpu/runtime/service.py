@@ -89,6 +89,9 @@ class InferenceService:
         def predict(staged, _):
             return self._predict_coeff_resilient(staged, mode)
 
+        def dispatch(staged, _):
+            return self._dispatch_coeff_resilient(staged, mode)
+
         return DynamicBatcher(
             predict_staged=predict,
             stage_batch=stage,
@@ -96,6 +99,9 @@ class InferenceService:
             deadline_us=self._deadline_us,
             max_deadline_us=self._max_deadline_us,
             incoming=self._incoming,
+            predict_dispatch=(
+                dispatch if settings.TPU_PIPELINED_FLUSH else None
+            ),
         )
 
     async def _get_coeff_lane(self, mode: str, luma_blocks: int) -> DynamicBatcher:
@@ -165,6 +171,32 @@ class InferenceService:
             )
             getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
             return self.engine.predict_coeff_staged(staged, mode=mode)
+
+    def _dispatch_coeff_resilient(self, staged, mode: str):
+        """Pipelined twin of :meth:`_predict_coeff_resilient` (same
+        contract as :meth:`_dispatch_resilient`)."""
+        try:
+            resolve = self.engine.predict_coeff_staged_async(staged, mode=mode)
+        except Exception:
+            self._device_errors += 1
+            logger.exception(
+                "device coeff dispatch failed; recompiling and retrying once"
+            )
+            getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
+            resolve = self.engine.predict_coeff_staged_async(staged, mode=mode)
+
+        def resolve_resilient():
+            try:
+                return resolve()
+            except Exception:
+                self._device_errors += 1
+                logger.exception(
+                    "device coeff resolve failed; recompiling and retrying once"
+                )
+                getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
+                return self.engine.predict_coeff_staged(staged, mode=mode)
+
+        return resolve_resilient
 
     @classmethod
     def from_settings(cls, **engine_overrides) -> "InferenceService":

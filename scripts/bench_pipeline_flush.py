@@ -1,0 +1,106 @@
+"""Pipelined batcher flush A/B under closed-loop load on the real chip
+(VERDICT r3 item 3: "staged double-buffer (H2D of batch N+1 under compute
+of batch N) in the batcher flush path ... kept or rejected on numbers").
+
+Methodology matches scripts/bench_serving.py (the r3 collapse measurement):
+8 closed-loop clients, 200 requests, ResNet-50 bf16, buckets (1,8,32),
+real JPEG host decode per request, 2 ms base deadline + announced-load
+extension. Host decode is the main lane here (device_decode off) because
+only the main lane is pipelined.
+
+Appends JSON lines to scripts/bench_pipeline_flush.log.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import time
+
+import numpy as np
+
+
+def make_jpegs(n=32, hw=(480, 400)):
+    from PIL import Image, ImageFilter
+
+    rng = np.random.default_rng(0)
+    blobs = []
+    for i in range(n):
+        img = Image.fromarray(
+            rng.integers(0, 256, (*hw, 3), np.uint8)
+        ).filter(ImageFilter.GaussianBlur(1))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=90, subsampling=2)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+async def run(pipelined: bool):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ics_tpu_xla_cache")
+    from ics_tpu.core.config import settings
+    from ics_tpu.runtime.engine import InferenceEngine
+    from ics_tpu.runtime.service import InferenceService
+
+    settings.TPU_PIPELINED_FLUSH = pipelined  # read at service construction
+
+    engine = InferenceEngine(
+        "resnet50", num_classes=1000, precision="bf16", buckets=(1, 8, 32),
+        canvas=512,
+    )
+    svc = InferenceService(
+        engine, deadline_us=2000, device_decode=False,
+        max_deadline_us=50_000,
+    )
+    await svc.start(warm=True)
+    blobs = make_jpegs()
+    await svc.classify_bytes(blobs[0])  # warm the lane
+
+    n_clients, per_client = 8, 25
+    latencies: list[float] = []
+
+    async def client(cid: int):
+        for r in range(per_client):
+            t0 = time.perf_counter()
+            await svc.classify_bytes(blobs[(cid * per_client + r) % len(blobs)])
+            latencies.append((time.perf_counter() - t0) * 1000)
+
+    flushes_before = svc.batcher.stats["flushes"]
+    t0 = time.perf_counter()
+    await asyncio.gather(*(client(i) for i in range(n_clients)))
+    wall = time.perf_counter() - t0
+    flushes = svc.batcher.stats["flushes"] - flushes_before
+    pipelined_count = svc.batcher.stats.get("pipelined", 0)
+    await svc.stop()
+    total = n_clients * per_client
+    arr = np.asarray(latencies)
+    rec = {
+        "segment": f"serving_pipelined_{'on' if pipelined else 'off'}",
+        "requests": total,
+        "req_per_s": round(total / wall, 1),
+        "p50_ms": round(float(np.percentile(arr, 50)), 1),
+        "p99_ms": round(float(np.percentile(arr, 99)), 1),
+        "flushes": flushes,
+        "mean_batch": round(total / max(flushes, 1), 1),
+        "pipelined_flushes": pipelined_count,
+    }
+    print(json.dumps(rec), flush=True)
+    with open("scripts/bench_pipeline_flush.log", "a") as log:
+        log.write(json.dumps(rec) + "\n")
+    return rec
+
+
+if __name__ == "__main__":
+    off = asyncio.run(run(pipelined=False))
+    on = asyncio.run(run(pipelined=True))
+    summary = {
+        "summary": True,
+        "speedup_pct": round((on["req_per_s"] / off["req_per_s"] - 1) * 100, 1),
+        "p50_delta_ms": round(on["p50_ms"] - off["p50_ms"], 1),
+        "p99_delta_ms": round(on["p99_ms"] - off["p99_ms"], 1),
+    }
+    print(json.dumps(summary), flush=True)
+    with open("scripts/bench_pipeline_flush.log", "a") as log:
+        log.write(json.dumps(summary) + "\n")

@@ -52,7 +52,9 @@ class TestTrainMeshFromSettings:
 
 
 class TestFineTunerOnMesh:
-    def test_training_stays_on_the_slice(self):
+    def _train_on_slice(self):
+        """Fine-tune 3 steps on the 4:8 device slice; assert every output
+        leaf stayed on it. Returns (model, variables) for reuse."""
         from ics_tpu.models.resnet import resnet_tiny
         from ics_tpu.train.finetune import FineTuner
 
@@ -80,6 +82,9 @@ class TestFineTunerOnMesh:
             assert used <= allowed, (used, allowed)
         return model, variables
 
+    def test_training_stays_on_the_slice(self):
+        self._train_on_slice()
+
     def test_eval_and_checkpoint_accept_mesh_sharded_variables(self, tmp_path):
         """The full job path after training on a slice: evaluate() (plain
         jit eval step) and orbax save/restore must work with variables
@@ -87,7 +92,7 @@ class TestFineTunerOnMesh:
         from ics_tpu.train.checkpoint import CheckpointManager
         from ics_tpu.train.finetune import evaluate
 
-        model, variables = self.test_training_stays_on_the_slice()
+        model, variables = self._train_on_slice()
 
         rng = np.random.default_rng(1)
 
