@@ -138,19 +138,20 @@ class TestClassifyOnSyncChaos:
         svc = InferenceService(engine, deadline_us=500, device_decode=False)
         await svc.start()
 
-        # flaky device: the first step and every 3rd after raise; the
+        # flaky device: the first dispatch and every 3rd after raise; the
         # resilient wrapper must recompile-and-retry so callers never see
-        # the fault
-        real_predict = engine.predict_staged
+        # the fault. Targets predict_staged_async — the path the pipelined
+        # flush (r4) actually serves through.
+        real_dispatch = engine.predict_staged_async
         calls = {"n": 0}
 
         def flaky(canvas, sizes):
             calls["n"] += 1
             if calls["n"] % 3 == 1:
                 raise RuntimeError("injected device fault")
-            return real_predict(canvas, sizes)
+            return real_dispatch(canvas, sizes)
 
-        monkeypatch.setattr(engine, "predict_staged", flaky)
+        monkeypatch.setattr(engine, "predict_staged_async", flaky)
 
         stored: set[str] = set()
 

@@ -56,14 +56,15 @@ class TestCanvasBuckets:
 class TestResilience:
     @pytest.mark.anyio
     async def test_device_error_retries_with_fresh_step(self, monkeypatch):
+        # the pipelined flush serves via predict_staged_async (r4), so the
+        # fault injection targets the DISPATCH phase of the pixel path
         engine = InferenceEngine(
             "mobilenetv3_small", num_classes=8, precision="fp32",
             buckets=(1,), canvas=64,
         )
-        # host lane: the fault injection targets the pixel-path predict
         svc = InferenceService(engine, deadline_us=500, device_decode=False)
         await svc.start()
-        real = engine.predict_staged
+        real = engine.predict_staged_async
         calls = {"n": 0}
 
         def flaky(canvas, sizes):
@@ -72,11 +73,43 @@ class TestResilience:
                 raise RuntimeError("transient device fault")
             return real(canvas, sizes)
 
-        monkeypatch.setattr(engine, "predict_staged", flaky)
+        monkeypatch.setattr(engine, "predict_staged_async", flaky)
         out = await svc.classify_bytes(_jpeg())
         assert len(out["top_classes"]) == 5
         assert svc._device_errors == 1
         assert calls["n"] == 2
+        await svc.stop()
+
+    @pytest.mark.anyio
+    async def test_resolve_error_falls_back_to_sync_retry(self, monkeypatch):
+        # a fault surfacing at FETCH time (after a clean dispatch) must
+        # also recompile + retry — the resolver wraps the D2H phase
+        engine = InferenceEngine(
+            "mobilenetv3_small", num_classes=8, precision="fp32",
+            buckets=(1,), canvas=64,
+        )
+        svc = InferenceService(engine, deadline_us=500, device_decode=False)
+        await svc.start()
+        real = engine.predict_staged_async
+        calls = {"n": 0}
+
+        def dispatch_ok_resolve_flaky(canvas, sizes):
+            resolve = real(canvas, sizes)
+            calls["n"] += 1
+            if calls["n"] > 1:
+                return resolve
+
+            def bad_resolve():
+                raise RuntimeError("transient fetch fault")
+
+            return bad_resolve
+
+        monkeypatch.setattr(
+            engine, "predict_staged_async", dispatch_ok_resolve_flaky
+        )
+        out = await svc.classify_bytes(_jpeg())
+        assert len(out["top_classes"]) == 5
+        assert svc._device_errors == 1
         await svc.stop()
 
 
