@@ -176,10 +176,62 @@ def main() -> None:
     except Exception:
         pass
 
+    # backend pre-flight with a hard watchdog: a dead remote-compile tunnel
+    # can HANG backend init (observed r4: jax.devices() blocked >90 s, no
+    # exception) — a watchdog thread converts that into an honest error
+    # line instead of an eternally-silent bench. Python-level alarms can't
+    # interrupt the blocking C++ RPC, hence the os._exit.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(timeout=float(
+            os.environ.get("ICS_BENCH_INIT_TIMEOUT_S", "240")
+        )):
+            emit(
+                metric="backend_init_timeout",
+                value=None,
+                unit="error",
+                vs_baseline=None,
+                error="TPU backend init hung (remote tunnel unreachable?)",
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        import jax
+
+        jax.devices()  # forces backend init under the watchdog
+    except Exception as exc:
+        init_done.set()
+        emit(
+            metric="backend_init_error",
+            value=None,
+            unit="error",
+            vs_baseline=None,
+            error=f"{type(exc).__name__}: {exc}"[:300],
+        )
+        return
+    init_done.set()
+
     only = os.environ.get("ICS_BENCH_ONLY", "").strip()
     ids = [x.strip() for x in only.split(",") if x.strip()] or list(CONFIG_FNS)
     for cid in ids:
-        CONFIG_FNS[cid]()
+        try:
+            CONFIG_FNS[cid]()
+        except Exception as exc:
+            # an unreachable TPU backend (tunnel outage) must still leave
+            # an honest, parseable line in the round artifact instead of a
+            # stack trace; a real result never takes this path
+            emit(
+                metric=f"config_{cid}_error",
+                value=None,
+                unit="error",
+                vs_baseline=None,
+                config=int(cid) if cid.isdigit() else cid,
+                error=f"{type(exc).__name__}: {exc}"[:300],
+            )
 
 
 if __name__ == "__main__":
