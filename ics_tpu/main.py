@@ -405,6 +405,11 @@ def create_app(db: Database | None = None) -> App:
                 registry.gauge(
                     f"tpu_{key}_total", f"images via {key} lane"
                 ).set(stats.get(key, 0))
+            batcher = stats.get("batcher") or {}
+            registry.gauge(
+                "tpu_pipelined_flushes_total",
+                "flushes whose staging/H2D overlapped prior compute",
+            ).set(batcher.get("pipelined", 0))
         return PlainTextResponse(registry.expose())
 
     @app.post("/monitor/latency-budget")
