@@ -21,6 +21,7 @@ Appends JSON lines to scripts/bench_donation.log.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -83,17 +84,22 @@ def main():
             o = jax.tree_util.tree_map(jnp.array, opt_state)
 
             mem = {}
-            try:
-                compiled = step.lower(v, o, canvas_u8, sizes, labels).compile()
-                ma = compiled.memory_analysis()
-                mem = {
-                    "arg_mb": round(ma.argument_size_in_bytes / 2**20, 1),
-                    "out_mb": round(ma.output_size_in_bytes / 2**20, 1),
-                    "alias_mb": round(ma.alias_size_in_bytes / 2**20, 1),
-                    "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
-                }
-            except Exception as e:  # remote-compile may not expose it
-                mem = {"memory_analysis": f"unavailable: {e!r}"}
+            if os.environ.get("ICS_DONATION_MEM"):
+                # opt-in: the AOT lower().compile() is a SECOND compile of
+                # the same step over the remote tunnel (minutes cold)
+                try:
+                    compiled = step.lower(
+                        v, o, canvas_u8, sizes, labels
+                    ).compile()
+                    ma = compiled.memory_analysis()
+                    mem = {
+                        "arg_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+                        "out_mb": round(ma.output_size_in_bytes / 2**20, 1),
+                        "alias_mb": round(ma.alias_size_in_bytes / 2**20, 1),
+                        "temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+                    }
+                except Exception as e:  # remote-compile may not expose it
+                    mem = {"memory_analysis": f"unavailable: {e!r}"}
 
             t0 = time.perf_counter()
             v, o, m = step(v, o, canvas_u8, sizes, labels)
