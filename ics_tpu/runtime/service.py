@@ -545,9 +545,9 @@ async def _drain_and_stop(service: InferenceService,
         b for s in parts for b in (s.batcher, *s.coeff_batchers.values())
     ]
     while asyncio.get_running_loop().time() < deadline:
-        if all(b._queue.empty() for b in batchers) and all(
-            s._incoming.value == 0 for s in parts
-        ):
+        if all(
+            b._queue.empty() and b._in_flight is None for b in batchers
+        ) and all(s._incoming.value == 0 for s in parts):
             break
         await asyncio.sleep(0.25)
     # let a flush already handed to the executor resolve its futures —
