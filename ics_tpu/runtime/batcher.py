@@ -69,12 +69,17 @@ class DynamicBatcher:
         self._incoming_counter = incoming or IncomingCounter()
         # two-deep pipelined flush (SURVEY §7 step 8 "H2D overlap"):
         # predict_dispatch(canvas, sizes) -> zero-arg resolver. When set,
-        # a dispatched batch parks here while the flusher stages + enqueues
-        # the NEXT batch (host canvas assembly and H2D ride under device
-        # compute); it resolves as soon as the queue runs dry, so sparse
-        # traffic keeps today's latency exactly.
+        # each dispatched batch gets its own RESOLVE TASK immediately (the
+        # blocking D2H fetch rides an executor thread and completes the
+        # moment device compute does), while the flusher already collects,
+        # stages and H2D-enqueues the NEXT batch. Depth is bounded at two:
+        # before a third dispatch the oldest resolve is awaited, so device
+        # work and parked host batches can't pile up unboundedly. A lone
+        # batch resolves as soon as its compute finishes — sparse-traffic
+        # latency is unchanged, and a finished batch's latency is never
+        # coupled to the next batch's coalescing window.
         self.predict_dispatch = predict_dispatch
-        self._in_flight: Optional[tuple[list, Callable]] = None
+        self._resolve_tasks: list[asyncio.Task] = []
         self.stats = {"flushes": 0, "queued": 0, "max_batch_seen": 0,
                       "pipelined": 0}
 
@@ -105,15 +110,16 @@ class DynamicBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
-        # a dispatched-but-unresolved batch dies with the flusher: fail it
-        if self._in_flight is not None:
-            batch, _resolve = self._in_flight
-            self._in_flight = None
-            for p in batch:
-                if not p.future.done():
-                    p.future.set_exception(
-                        RuntimeError("batcher stopped mid-flight")
-                    )
+        # outstanding resolve tasks: give them a brief chance to finish
+        # (results may already be on their way back), then cancel — the
+        # _resolve_batch CancelledError handler fails their futures
+        if self._resolve_tasks:
+            tasks, self._resolve_tasks = list(self._resolve_tasks), []
+            done, pending = await asyncio.wait(tasks, timeout=1.0)
+            for t in pending:
+                t.cancel()
+            if pending:
+                await asyncio.wait(pending)
         # fail anything still queued so callers don't await forever
         while not self._queue.empty():
             pending = self._queue.get_nowait()
@@ -145,11 +151,6 @@ class DynamicBatcher:
 
     async def _flusher(self) -> None:
         while not self._stopping:
-            if self._in_flight is not None and self._queue.empty():
-                # nothing ready to pipeline behind the in-flight batch:
-                # resolve it now so sparse traffic never waits on parking
-                await self._resolve_in_flight()
-                continue
             first = await self._queue.get()
             batch = [first]
             try:
@@ -216,11 +217,11 @@ class DynamicBatcher:
 
         if self.predict_dispatch is not None:
             # pipelined: stage + H2D + enqueue compute off the event loop,
-            # then PARK the batch; resolving happens after the NEXT batch
-            # dispatches (its staging/H2D overlaps this one's compute) or
-            # as soon as the queue runs dry. NOTE: the engine's recorded
-            # step time then includes the parked interval — that is what
-            # the client actually waited, so the percentiles stay honest.
+            # then hand the batch to its own resolve task — the blocking
+            # D2H fetch rides an executor thread and completes the moment
+            # device compute does, while this flusher already collects and
+            # dispatches the NEXT batch (its staging/H2D overlaps this
+            # one's compute).
             def stage_and_dispatch():
                 canvas, sizes = self.stage_batch(images)
                 return self.predict_dispatch(canvas, sizes)
@@ -233,10 +234,22 @@ class DynamicBatcher:
                     if not p.future.done():
                         p.future.set_exception(exc)
                 return
-            prev, self._in_flight = self._in_flight, (batch, resolve)
-            if prev is not None:
+            self._resolve_tasks = [
+                t for t in self._resolve_tasks if not t.done()
+            ]
+            if self._resolve_tasks:
+                # a prior batch is still computing/fetching while this one
+                # was staged + dispatched: that's the overlap working
                 self.stats["pipelined"] += 1
-                await self._resolve_batch(prev)
+            self._resolve_tasks.append(
+                asyncio.ensure_future(self._resolve_batch((batch, resolve)))
+            )
+            # depth bound (two-deep): never let a third batch start
+            # collecting while two are still unresolved — device work and
+            # parked host batches must not pile up unboundedly
+            while len(self._resolve_tasks) > 1:
+                oldest = self._resolve_tasks.pop(0)
+                await oldest
             return
 
         try:
@@ -256,11 +269,6 @@ class DynamicBatcher:
                 if not p.future.done():
                     p.future.set_exception(exc)
 
-    async def _resolve_in_flight(self) -> None:
-        parked, self._in_flight = self._in_flight, None
-        if parked is not None:
-            await self._resolve_batch(parked)
-
     async def _resolve_batch(self, parked: tuple[list, Callable]) -> None:
         batch, resolve = parked
         loop = asyncio.get_running_loop()
@@ -271,8 +279,8 @@ class DynamicBatcher:
                 if not p.future.done():
                     p.future.set_result((idx[i], scores[i]))
         except asyncio.CancelledError:
-            # stop() cancelled us after _in_flight was detached: fail these
-            # futures here or their clients hang forever
+            # stop() cancelled this resolve task: fail the batch's futures
+            # here or their clients hang forever
             for p in batch:
                 if not p.future.done():
                     p.future.set_exception(

@@ -546,7 +546,10 @@ async def _drain_and_stop(service: InferenceService,
     ]
     while asyncio.get_running_loop().time() < deadline:
         if all(
-            b._queue.empty() and b._in_flight is None for b in batchers
+            b._queue.empty() and not any(
+                not t.done() for t in b._resolve_tasks
+            )
+            for b in batchers
         ) and all(s._incoming.value == 0 for s in parts):
             break
         await asyncio.sleep(0.25)

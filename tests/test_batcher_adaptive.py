@@ -245,3 +245,56 @@ class TestPipelinedFlush:
             assert idx.shape == (5,)
         finally:
             await b.stop()
+
+    @pytest.mark.anyio
+    async def test_parked_batch_survives_later_dispatch_failures(self):
+        # code-review r4 finding: batch N dispatched cleanly (still
+        # computing) while every LATER dispatch fails — N's clients must
+        # still get their results (its resolve task runs autonomously,
+        # never gated on a subsequent successful dispatch)
+        import time as _time
+
+        from ics_tpu.runtime.batcher import DynamicBatcher
+
+        calls = []
+
+        def stage(images):
+            return np.stack(images), np.zeros((len(images), 2), np.int32)
+
+        def dispatch(canvas, sizes):
+            calls.append(canvas.shape[0])
+            if len(calls) > 1:
+                raise RuntimeError("device wedged")
+            n = canvas.shape[0]
+            ready_at = _time.perf_counter() + 0.15
+
+            def resolve():
+                wait = ready_at - _time.perf_counter()
+                if wait > 0:
+                    _time.sleep(wait)
+                return (np.zeros((n, 5), np.int64),
+                        np.zeros((n, 5), np.float32))
+
+            return resolve
+
+        b = DynamicBatcher(
+            lambda c, s: dispatch(c, s)(), stage, max_batch=1,
+            deadline_us=500, predict_dispatch=dispatch,
+        )
+        await b.start()
+        img = np.zeros((4, 4, 3), np.uint8)
+        try:
+            first = asyncio.ensure_future(b.submit(img))
+            for _ in range(100):  # wait until batch 1 is dispatched
+                await asyncio.sleep(0.002)
+                if calls:
+                    break
+            # open-loop failures arriving while batch 1 still computes
+            losers = [asyncio.ensure_future(b.submit(img)) for _ in range(3)]
+            idx, _ = await asyncio.wait_for(first, timeout=5.0)
+            assert idx.shape == (5,)
+            for t in losers:
+                with pytest.raises(RuntimeError):
+                    await asyncio.wait_for(t, timeout=5.0)
+        finally:
+            await b.stop()
