@@ -84,7 +84,16 @@ async def classificar_direto(request: Request):
             raise HTTPException(
                 422, f"Modelo desconhecido: {modelo}. Use /inferencia/modelos."
             )
-        service = await pool.get(modelo)
+        try:
+            service = await pool.get(modelo)
+        except (RuntimeError, ValueError) as exc:
+            # deployment-config incompatibility (e.g. a non-transformer
+            # trunk on a TPU_PP_STAGES pipeline mesh) — the client picked
+            # a model this deployment cannot serve: 422, not 500
+            raise HTTPException(
+                422,
+                f"Modelo '{modelo}' indisponível nesta configuração: {exc}",
+            )
     else:
         service = _engine(request)
     form = await request.form()

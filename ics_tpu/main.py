@@ -78,6 +78,9 @@ async def lifespan(app: App):
                 precision=settings.TPU_PRECISION,
                 buckets=settings.get_batch_buckets(),
                 canvas=settings.TPU_CANVAS,
+                # under PP, pool engines must use the CONFIGURED microbatch
+                # count (the engine activates PP from the mesh's 'pp' axis)
+                pp_microbatches=settings.TPU_PP_MICROBATCHES,
                 mesh=service.engine.mesh,  # pool models share the mesh
                 # hedged boot: pool-created models (non-default + trained)
                 # get one engine per replica device group too, so they are

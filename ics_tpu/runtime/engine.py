@@ -303,11 +303,25 @@ class InferenceEngine:
         return self.predict_coeff_staged_async(staged, mode, record)()
 
     # -- test-time augmentation ----------------------------------------------
+    def _require_no_pp(self, what: str) -> None:
+        """The diagnostic steps (TTA/explain/embed) run the FULL trunk in
+        one plain jit — under pipeline parallelism the model by premise
+        doesn't fit one stage, so reaching them would OOM a device and
+        could wedge serving. Fail cleanly instead (same posture as
+        :meth:`_get_coeff_step`)."""
+        if self.pp_microbatches:
+            raise RuntimeError(
+                f"{what} indisponível com pipeline parallelism "
+                "(TPU_PP_STAGES) — o passo roda o tronco inteiro "
+                "não-pipelinado em um device"
+            )
+
     def _get_tta_step(self):
         """Compiled TTA step: average class probabilities over the image
         and its horizontal flip — one fused graph (the flip is a reverse
         on the width axis AFTER preproc, so decode/staging cost nothing
         extra; the forward runs on a 2N batch)."""
+        self._require_no_pp("TTA")
         if getattr(self, "_tta_step", None) is None:
             model = self.model
             spec = self.spec
@@ -394,6 +408,7 @@ class InferenceEngine:
         and drives the top-k), ALL sample gradients come out of the one
         batched backward, and the map averages them — vanilla-gradient
         speckle cancels at ~n× device FLOPs, still one graph."""
+        self._require_no_pp("explicar (saliência)")
         steps = getattr(self, "_explain_steps", None)
         if steps is None:
             steps = self._explain_steps = {}
@@ -496,6 +511,7 @@ class InferenceEngine:
         ``apply_folded`` return the penultimate features verbatim) — one
         mechanism for all model families, no per-model feature plumbing.
         The DxD identity matmul is noise next to the backbone."""
+        self._require_no_pp("embeddings")
         if getattr(self, "_embed_step", None) is None:
             d = self.embed_dim
             if self.mesh is not None:

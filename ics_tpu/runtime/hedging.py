@@ -102,11 +102,27 @@ class HedgedInferenceService:
         groups = partition_devices(
             jax.devices(), settings.TPU_SERVING_REPLICAS
         )
+        # DP composes with PP via replicas (the documented composition:
+        # TPU_PP_STAGES x TPU_SERVING_REPLICAS, never DPxPP in one mesh):
+        # with PP on, each replica group IS one pipeline — it must have
+        # exactly TPU_PP_STAGES devices and gets a ('pp',) mesh, so the
+        # setting is honored instead of silently dropped (review r4)
+        pp = int(getattr(settings, "TPU_PP_STAGES", 0) or 0)
+        if pp >= 2 and len(groups[0]) != pp:
+            raise RuntimeError(
+                f"TPU_PP_STAGES={pp} com TPU_SERVING_REPLICAS="
+                f"{settings.TPU_SERVING_REPLICAS}: cada réplica recebe "
+                f"{len(groups[0])} devices, mas um pipeline precisa de "
+                f"exatamente {pp} — ajuste réplicas x estágios aos chips"
+            )
         replicas = []
         for group in groups:
-            mesh = make_mesh(
-                shape=(len(group),), axes=("data",), devices=group
-            )
+            if pp >= 2:
+                mesh = make_mesh(shape=(pp,), axes=("pp",), devices=group)
+            else:
+                mesh = make_mesh(
+                    shape=(len(group),), axes=("data",), devices=group
+                )
             replicas.append(
                 InferenceService.from_settings(mesh=mesh, **engine_overrides)
             )

@@ -592,10 +592,16 @@ class InferenceServicePool:
         def one(mesh):
             kwargs = dict(self.engine_kwargs)
             kwargs["mesh"] = mesh
+            engine = make_engine(kwargs)
+            # mirror InferenceService.from_settings: under pipeline
+            # parallelism the decode-on-TPU lanes would run the trunk
+            # unpipelined (the engine hard-raises if one is reached), so
+            # pool-created services must decode on host too (review r4)
+            device_decode = self.device_decode and not engine.pp_microbatches
             return InferenceService(
-                make_engine(kwargs),
+                engine,
                 deadline_us=self.deadline_us,
-                device_decode=self.device_decode,
+                device_decode=device_decode,
                 max_deadline_us=self.max_deadline_us,
             )
 
