@@ -84,8 +84,13 @@ async def login(request: Request):
             if fwd:
                 parts = [p.strip() for p in fwd.split(",") if p.strip()]
                 hops = max(1, int(settings.LOGIN_RATE_XFF_HOPS or 1))
-                if parts:
-                    ip = parts[-hops] if hops <= len(parts) else parts[0]
+                if hops <= len(parts):
+                    ip = parts[-hops]
+                # else: chain shorter than the configured trusted hops —
+                # every element is then potentially client-supplied, so
+                # fall back to the SOCKET ip (the proxy), never parts[0]
+                # (an attacker-chosen key = unlimited attempts, or a
+                # forged victim IP lockout)
         rl_key = f"{username.strip().lower()}|{ip}"
         wait = login_failures.attempt(
             rl_key, limit, settings.LOGIN_RATE_WINDOW_S

@@ -507,3 +507,50 @@ class TestLoginRateLimit:
         finally:
             ratelimit.login_failures = ratelimit.AttemptWindow()
             reload_settings()
+
+
+class TestXffShortChainFallback:
+    @pytest.mark.anyio
+    async def test_chain_shorter_than_hops_keys_on_socket_ip(self, tmp_path):
+        """review r4: with LOGIN_RATE_XFF_HOPS=2 but a 1-element chain,
+        the old fallback keyed on parts[0] — fully client-forgeable.
+        Rotating forged XFF values must NOT grant fresh windows: the key
+        falls back to the socket IP, so all attempts share one window."""
+        from ics_tpu.core import ratelimit
+        from ics_tpu.core.config import reload_settings
+
+        reload_settings(LOGIN_RATE_LIMIT="2", LOGIN_RATE_WINDOW_S="60",
+                        LOGIN_RATE_TRUST_FORWARDED="true",
+                        LOGIN_RATE_XFF_HOPS="2")
+        ratelimit.login_failures = ratelimit.AttemptWindow(
+            clock=lambda: 0.0
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/rlg.db")
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    bad = {"username": settings.ADMIN_EMAIL,
+                           "password": "errada"}
+                    # 1-element chains (shorter than hops=2), rotating
+                    # forged values — all must land in ONE socket-IP window
+                    for forged in ("6.6.6.1", "6.6.6.2"):
+                        r = await c.post(
+                            "/auth/login", data=bad,
+                            headers={"X-Forwarded-For": forged},
+                        )
+                        assert r.status_code == 401
+                    r = await c.post(
+                        "/auth/login", data=bad,
+                        headers={"X-Forwarded-For": "6.6.6.3"},
+                    )
+                    assert r.status_code == 429
+            finally:
+                await a.shutdown()
+        finally:
+            ratelimit.login_failures = ratelimit.AttemptWindow()
+            reload_settings()
