@@ -118,85 +118,71 @@ class InferenceService:
             self.coeff_batchers[key] = lane
         return lane
 
-    def _predict_resilient(self, canvas, sizes):
-        """One retry with a fresh compiled step on device error — transient
-        TPU/runtime faults must not poison the compiled-step cache
-        (failure-detection note, SURVEY.md §5)."""
+    # -- device-error resilience (one policy, four lanes) --------------------
+    # transient TPU/runtime faults must not poison the compiled-step cache
+    # (failure-detection note, SURVEY.md §5): every device call retries
+    # EXACTLY once on a freshly-compiled step. ``invalidate`` drops the
+    # lane's cached step; ``what`` labels the log line.
+    def _retry_once(self, fn, invalidate, what: str):
         try:
-            return self.engine.predict_staged(canvas, sizes)
+            return fn()
         except Exception:
             self._device_errors += 1
-            logger.exception(
-                "device step failed; recompiling and retrying once"
-            )
-            self.engine._step = None  # drop the (possibly wedged) step
-            return self.engine.predict_staged(canvas, sizes)
+            logger.exception("%s failed; recompiling and retrying once", what)
+            invalidate()
+            return fn()
+
+    def _resilient_dispatch(self, dispatch, sync, invalidate, what: str):
+        """Pipelined flavor: ``dispatch()`` (pad + H2D + enqueue, retried
+        once inline) returns a resolver; a RESOLVE-time device error falls
+        back to one full synchronous retry via ``sync()`` on a fresh step
+        (the staged arrays are still in the closure — nothing re-stages)."""
+        resolve = self._retry_once(dispatch, invalidate, f"{what} dispatch")
+
+        def resolve_resilient():
+            try:
+                return resolve()
+            except Exception:
+                self._device_errors += 1
+                logger.exception(
+                    "%s resolve failed; recompiling and retrying once", what
+                )
+                invalidate()
+                return sync()
+
+        return resolve_resilient
+
+    def _drop_pixel_step(self) -> None:
+        self.engine._step = None  # drop the (possibly wedged) step
+
+    def _drop_coeff_step(self, mode: str) -> None:
+        getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
+
+    def _predict_resilient(self, canvas, sizes):
+        return self._retry_once(
+            lambda: self.engine.predict_staged(canvas, sizes),
+            self._drop_pixel_step, "device step",
+        )
 
     def _dispatch_resilient(self, canvas, sizes):
-        """Pipelined twin of :meth:`_predict_resilient`: dispatch without
-        fetching, returning a resolver. Dispatch errors recompile + retry
-        inline; a resolve-time device error falls back to ONE full
-        synchronous retry on a fresh step (the staged canvas is still in
-        scope, so the retry re-stages nothing)."""
-        try:
-            resolve = self.engine.predict_staged_async(canvas, sizes)
-        except Exception:
-            self._device_errors += 1
-            logger.exception(
-                "device dispatch failed; recompiling and retrying once"
-            )
-            self.engine._step = None  # drop the (possibly wedged) step
-            resolve = self.engine.predict_staged_async(canvas, sizes)
-
-        def resolve_resilient():
-            try:
-                return resolve()
-            except Exception:
-                self._device_errors += 1
-                logger.exception(
-                    "device resolve failed; recompiling and retrying once"
-                )
-                self.engine._step = None
-                return self.engine.predict_staged(canvas, sizes)
-
-        return resolve_resilient
+        return self._resilient_dispatch(
+            lambda: self.engine.predict_staged_async(canvas, sizes),
+            lambda: self.engine.predict_staged(canvas, sizes),
+            self._drop_pixel_step, "device step",
+        )
 
     def _predict_coeff_resilient(self, staged, mode: str):
-        try:
-            return self.engine.predict_coeff_staged(staged, mode=mode)
-        except Exception:
-            self._device_errors += 1
-            logger.exception(
-                "device coeff step failed; recompiling and retrying once"
-            )
-            getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
-            return self.engine.predict_coeff_staged(staged, mode=mode)
+        return self._retry_once(
+            lambda: self.engine.predict_coeff_staged(staged, mode=mode),
+            lambda: self._drop_coeff_step(mode), "device coeff step",
+        )
 
     def _dispatch_coeff_resilient(self, staged, mode: str):
-        """Pipelined twin of :meth:`_predict_coeff_resilient` (same
-        contract as :meth:`_dispatch_resilient`)."""
-        try:
-            resolve = self.engine.predict_coeff_staged_async(staged, mode=mode)
-        except Exception:
-            self._device_errors += 1
-            logger.exception(
-                "device coeff dispatch failed; recompiling and retrying once"
-            )
-            getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
-            resolve = self.engine.predict_coeff_staged_async(staged, mode=mode)
-
-        def resolve_resilient():
-            try:
-                return resolve()
-            except Exception:
-                self._device_errors += 1
-                logger.exception(
-                    "device coeff resolve failed; recompiling and retrying once"
-                )
-                getattr(self.engine, "_coeff_steps", {}).pop(mode, None)
-                return self.engine.predict_coeff_staged(staged, mode=mode)
-
-        return resolve_resilient
+        return self._resilient_dispatch(
+            lambda: self.engine.predict_coeff_staged_async(staged, mode=mode),
+            lambda: self.engine.predict_coeff_staged(staged, mode=mode),
+            lambda: self._drop_coeff_step(mode), "device coeff step",
+        )
 
     @classmethod
     def from_settings(cls, **engine_overrides) -> "InferenceService":
