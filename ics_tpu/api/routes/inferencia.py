@@ -34,7 +34,8 @@ def _engine(request: Request):
 async def listar_modelos(request: Request):
     get_current_user(request)
     out = []
-    for name in list_models():
+    # public surface: dev/CI toy models (random weights) are not offered
+    for name in list_models(include_dev=False):
         spec = get_model(name)
         out.append(
             {
@@ -80,7 +81,10 @@ async def classificar_direto(request: Request):
     if modelo and pool is not None:
         from ics_tpu.models.registry import list_models
 
-        if modelo not in list_models():
+        if modelo not in list_models(include_dev=False):
+            # dev/CI toy models resolve internally (tests, dryrun) but are
+            # not selectable by API clients — random weights served as if
+            # they were a zoo model would be silently meaningless scores
             raise HTTPException(
                 422, f"Modelo desconhecido: {modelo}. Use /inferencia/modelos."
             )

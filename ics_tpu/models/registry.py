@@ -17,14 +17,22 @@ class ModelSpec:
     image_size: int
     resize_short: int
     description: str = ""
+    # dev/CI-only models (resnet_tiny, vit_tiny, swin_micro): resolvable
+    # by name everywhere (tests, dryrun, TPU_DEFAULT_MODEL overrides) but
+    # EXCLUDED from the public API surface — a production client must not
+    # be able to classify against randomly-initialized toy weights
+    dev_only: bool = False
 
 
 _REGISTRY: dict[str, ModelSpec] = {}
 
 
 def register_model(name: str, build: Callable, image_size: int,
-                   resize_short: int, description: str = "") -> None:
-    _REGISTRY[name] = ModelSpec(name, build, image_size, resize_short, description)
+                   resize_short: int, description: str = "",
+                   dev_only: bool = False) -> None:
+    _REGISTRY[name] = ModelSpec(
+        name, build, image_size, resize_short, description, dev_only
+    )
 
 
 def get_model(name: str) -> ModelSpec:
@@ -36,9 +44,13 @@ def get_model(name: str) -> ModelSpec:
     return _REGISTRY[name]
 
 
-def list_models() -> list[str]:
+def list_models(include_dev: bool = True) -> list[str]:
+    """All registered names; ``include_dev=False`` is the PUBLIC surface
+    (API routes) — dev/CI models stay reachable by explicit config only."""
     _ensure_populated()
-    return sorted(_REGISTRY)
+    return sorted(
+        n for n, s in _REGISTRY.items() if include_dev or not s.dev_only
+    )
 
 
 _populated = False
@@ -69,6 +81,7 @@ def _ensure_populated() -> None:
     register_model(
         "resnet_tiny", resnet.resnet_tiny, 64, 64,
         "ResNet tiny (1 block/stage @64px) — dev/CI serving-stack model",
+        dev_only=True,
     )
     try:
         from ics_tpu.models import vit
@@ -99,6 +112,7 @@ def _ensure_populated() -> None:
             "vit_tiny", vit.vit_tiny, 64, 64,
             "ViT tiny (8 blocks @64px) — dev/CI model for the PP/SP "
             "serving stack; not a zoo model",
+            dev_only=True,
         )
     except ImportError:
         pass
@@ -148,6 +162,7 @@ def _ensure_populated() -> None:
         register_model(
             "swin_micro", swin.swin_micro, 64, 64,
             "Swin micro (2 stages @64px) — dev/CI windowed-attention model",
+            dev_only=True,
         )
     except ImportError:
         pass
