@@ -169,7 +169,7 @@ def _chain_call(xp, packed_tuple, n, th, true_w, interpret):
         out_shape=jax.ShapeDtypeStruct((b, h, w_px, c), xp.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
             spec(w1), spec(s1), spec(b1),
             spec(w2), spec(s2), spec(b2),
             spec(w3), spec(s3), spec(b3),

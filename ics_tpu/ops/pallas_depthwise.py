@@ -88,7 +88,7 @@ def _dw_call(xp, w, b, k, th, true_w, has_bias, interpret):
         out_shape=jax.ShapeDtypeStruct((bsz, h, wp, c), xp.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # xp stays in HBM
             wspec(w), wspec(b),
         ],
         out_specs=pl.BlockSpec(
