@@ -29,6 +29,10 @@ class _Pending:
     image: np.ndarray                       # decoded uint8 HWC
     future: asyncio.Future = None           # resolves to (idx, scores)
     enqueued_at: float = field(default_factory=time.perf_counter)
+    # True once the batch holding this request was handed to a resolve
+    # task (pipelined flush) — its fate then belongs to that task, not
+    # to the flusher's cancellation handler
+    dispatched: bool = False
 
 
 class IncomingCounter:
@@ -186,8 +190,12 @@ class DynamicBatcher:
                         break
                 await self._flush(batch)
             except asyncio.CancelledError:
+                # a batch already handed to its own resolve task is NOT
+                # failed here — its resolve may still complete within
+                # stop()'s grace window (stop() cancels stragglers, whose
+                # handler fails any remaining futures)
                 for p in batch:
-                    if not p.future.done():
+                    if not p.future.done() and not p.dispatched:
                         p.future.set_exception(
                             RuntimeError("batcher stopped mid-flight")
                         )
@@ -241,6 +249,8 @@ class DynamicBatcher:
                 # a prior batch is still computing/fetching while this one
                 # was staged + dispatched: that's the overlap working
                 self.stats["pipelined"] += 1
+            for p in batch:
+                p.dispatched = True
             self._resolve_tasks.append(
                 asyncio.ensure_future(self._resolve_batch((batch, resolve)))
             )
