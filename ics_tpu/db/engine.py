@@ -75,7 +75,19 @@ class _PGAdapter:
 
     def commit(self) -> None:
         if self._conn._in_tx:
-            self._conn.execute("COMMIT")
+            _, _, tag = self._conn.execute("COMMIT")
+            if tag != "COMMIT":
+                # postgres turns COMMIT inside an aborted transaction into
+                # ROLLBACK and reports success via the tag — surfacing it
+                # as a committed write would be silent data loss (and a
+                # divergence from sqlite, which would have committed)
+                from ics_tpu.db.pg_wire import PGError
+
+                raise PGError({
+                    "C": "25P02",
+                    "M": ("COMMIT em transação abortada virou "
+                          f"{tag or 'ROLLBACK'} — nada foi gravado"),
+                })
 
     def rollback(self) -> None:
         if self._conn._in_tx:

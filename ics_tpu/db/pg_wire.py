@@ -21,8 +21,10 @@ import base64
 import hashlib
 import hmac
 import os
+import re
 import socket
 import struct
+import unicodedata
 from typing import Any, Iterable, Optional
 from urllib.parse import unquote, urlsplit
 
@@ -57,6 +59,72 @@ def parse_dsn(url: str) -> dict[str, Any]:
     }
 
 
+# -- SASLprep (RFC 4013) -------------------------------------------------------
+
+# B.1 commonly-mapped-to-nothing (explicit codepoints — invisible chars
+# in source literals are unreviewable)
+_B1 = frozenset(
+    [chr(0x00AD), chr(0x034F), chr(0x1806)]
+    + [chr(c) for c in range(0x180B, 0x180E)]   # mongolian selectors
+    + [chr(c) for c in range(0x200B, 0x200E)]   # zwsp/zwnj/zwj
+    + [chr(0x2060), chr(0xFEFF)]
+    + [chr(c) for c in range(0xFE00, 0xFE10)]   # variation selectors
+)
+# C.8 change-display + deprecated bidi controls; C.6 inappropriate for
+# plain text; C.7 inappropriate for canonical representation; C.9 tagging
+_PROHIBITED_EXTRA = frozenset(
+    [chr(0x200E), chr(0x200F)]
+    + [chr(c) for c in range(0x202A, 0x202F)]
+    + [chr(c) for c in range(0x206A, 0x2070)]
+    + [chr(c) for c in range(0xFFF9, 0xFFFE)]
+    + [chr(c) for c in range(0x2FF0, 0x2FFC)]
+    + [chr(0xE0001)]
+    + [chr(c) for c in range(0xE0020, 0xE0080)]
+)
+
+
+def saslprep(value: str) -> str:
+    """RFC 4013 stringprep profile for SCRAM passwords.
+
+    libpq runs pg_saslprep before hashing (and postgres itself did when
+    storing the verifier at CREATE ROLE), so skipping it makes some valid
+    non-ASCII passwords fail auth ONLY through this client. Raises
+    ValueError on prohibited input — callers mirror libpq's fallback of
+    using the raw password then."""
+    # map: B.1 -> nothing, C.1.2 (non-ASCII spaces) -> space
+    mapped = []
+    for ch in value:
+        if ch in _B1:
+            continue
+        if unicodedata.category(ch) == "Zs" and ch != " ":
+            mapped.append(" ")
+        else:
+            mapped.append(ch)
+    out = unicodedata.normalize("NFKC", "".join(mapped))
+    # prohibited output: C.2.1/C.2.2 controls, C.3 private use, C.5
+    # surrogates, C.4 noncharacters, plus the table-listed codepoints
+    for ch in out:
+        cat = unicodedata.category(ch)
+        cp = ord(ch)
+        if (
+            cat in ("Cc", "Co", "Cs")
+            or ch in _PROHIBITED_EXTRA
+            or (0xFDD0 <= cp <= 0xFDEF)
+            or (cp & 0xFFFE) == 0xFFFE  # U+xxFFFE / U+xxFFFF noncharacters
+        ):
+            raise ValueError("prohibited codepoint in SASL string")
+    # bidi (RFC 3454 §6): RandALCat and LCat must not mix; a RandALCat
+    # string must start AND end with RandALCat
+    cats = [unicodedata.bidirectional(ch) for ch in out]
+    has_ral = any(c in ("R", "AL") for c in cats)
+    if has_ral:
+        if any(c == "L" for c in cats):
+            raise ValueError("mixed bidi categories in SASL string")
+        if cats and (cats[0] not in ("R", "AL") or cats[-1] not in ("R", "AL")):
+            raise ValueError("RandALCat string must start/end RandALCat")
+    return out
+
+
 # -- SCRAM-SHA-256 (RFC 5802/7677) -------------------------------------------
 
 def _scram_client_first(user: str) -> tuple[str, str]:
@@ -80,6 +148,13 @@ def _scram_client_final(password: str, client_first_bare: str,
     client_nonce = client_first_bare.split("r=", 1)[1]
     if not r.startswith(client_nonce):
         raise ConnectionError("SCRAM server nonce does not extend client nonce")
+    # libpq applies pg_saslprep and falls back to the raw password when
+    # the input is prohibited/unnormalizable — mirror that exactly, or
+    # valid non-ASCII passwords fail auth only through this client
+    try:
+        password = saslprep(password)
+    except ValueError:
+        pass
     salted = hashlib.pbkdf2_hmac("sha256", password.encode(), s, i)
     client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
     stored_key = hashlib.sha256(client_key).digest()
@@ -132,6 +207,12 @@ class PGConnection:
         self.password = password
         self._sock = socket.create_connection((host, port), connect_timeout)
         self._sock.settimeout(self.READ_TIMEOUT_S)
+        # disable Nagle: the protocol is small request/reply frames, and
+        # any unbatched write would otherwise stall on delayed ACKs
+        try:
+            self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        except OSError:
+            pass  # not a TCP socket (tests may inject a pipe/unix pair)
         self._buf = b""
         self._in_tx = False
         self.broken = False  # protocol/socket fault -> do not reuse
@@ -158,10 +239,23 @@ class PGConnection:
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
+    # frame-length sanity bound: the biggest legitimate message for this
+    # ORM's workloads is a DataRow batch far below this; a corrupt or
+    # malicious peer (transport is plaintext TCP) must neither desync the
+    # stream (length < 4 would slice negatively and "succeed") nor make
+    # the client buffer ~4 GiB (length = 0xFFFFFFFF) on a 1-core host
+    MAX_FRAME_BYTES = 64 * 1024 * 1024
+
     def _recv_message(self) -> tuple[bytes, bytes]:
         header = self._recv_exact(5)
         type_byte = header[:1]
         length = struct.unpack("!I", header[1:5])[0]
+        if not 4 <= length <= self.MAX_FRAME_BYTES:
+            self.broken = True  # framing is gone: never reuse
+            raise ConnectionError(
+                f"postgres frame length inválido ({length}) — stream "
+                "corrompido"
+            )
         return type_byte, self._recv_exact(length - 4)
 
     @staticmethod
@@ -248,20 +342,25 @@ class PGConnection:
             return self._execute(sql, params)
         except PGError:
             raise  # server-reported error: the stream stays in sync
-        except Exception:
-            # ANY other mid-exchange fault (socket error, struct.error or
-            # UnicodeDecodeError from a half-parsed message) leaves the
+        except BaseException:
+            # ANY other mid-exchange fault (socket error, struct.error,
+            # UnicodeDecodeError — and BaseExceptions: a KeyboardInterrupt
+            # landing inside recv leaves unread replies that a pooled
+            # reuse would misattribute to the next query) leaves the
             # stream position unknown — poison the connection so the pool
             # discards it instead of corrupting a later session
             self.broken = True
             raise
+
+    @staticmethod
+    def _frame(type_byte: bytes, payload: bytes) -> bytes:
+        return type_byte + struct.pack("!I", len(payload) + 4) + payload
 
     def _execute(
         self, sql: str, params: Iterable[Any] = ()
     ) -> tuple[list[str], list[list[Any]], str]:
         params = list(params)
         parse = self._cstr("") + self._cstr(sql) + struct.pack("!H", 0)
-        self._send(b"P", parse)
         bind = self._cstr("") + self._cstr("")
         bind += struct.pack("!H", 0)  # all params text format
         bind += struct.pack("!H", len(params))
@@ -276,15 +375,23 @@ class PGConnection:
                     # "true" would fail to parse
                     raw = b"1" if p else b"0"
                 elif isinstance(p, (bytes, bytearray)):
-                    raw = bytes(p)
+                    # text-format BYTEA input is hex form; raw binary would
+                    # be rejected (invalid UTF-8) or silently mangled
+                    raw = b"\\x" + bytes(p).hex().encode("ascii")
                 else:
                     raw = str(p).encode("utf-8")
                 bind += struct.pack("!i", len(raw)) + raw
         bind += struct.pack("!H", 0)  # result columns: text
-        self._send(b"B", bind)
-        self._send(b"D", b"P" + self._cstr(""))  # describe portal
-        self._send(b"E", self._cstr("") + struct.pack("!I", 0))
-        self._send(b"S", b"")
+        # ONE write for the whole Parse/Bind/Describe/Execute/Sync batch:
+        # five small sendalls under Nagle serialize on delayed ACKs
+        # (~40 ms each worst case) — libpq buffers the batch the same way
+        self._sock.sendall(
+            self._frame(b"P", parse)
+            + self._frame(b"B", bind)
+            + self._frame(b"D", b"P" + self._cstr(""))  # describe portal
+            + self._frame(b"E", self._cstr("") + struct.pack("!I", 0))
+            + self._frame(b"S", b"")
+        )
 
         columns: list[str] = []
         oids: list[int] = []
@@ -340,13 +447,17 @@ class PGConnection:
             pass
 
 
+_DOLLAR_TAG = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
+
+
 def translate_placeholders(sql: str) -> str:
     """``?`` positional style (the ORM's) -> postgres ``$N``.
 
-    Skips quoted string literals, double-quoted identifiers AND SQL
-    comments (``--`` to end of line, ``/* */`` blocks) — a ``?`` inside
-    a comment must not shift the real parameters' ``$N`` numbers (the
-    sqlite dialect would silently accept the same SQL).
+    Skips quoted string literals, double-quoted identifiers, SQL comments
+    (``--`` to end of line, ``/* */`` blocks) AND dollar-quoted literals
+    (``$$...$$``, ``$tag$...$tag$``) — a ``?`` inside any of them must not
+    shift the real parameters' ``$N`` numbers (the sqlite dialect would
+    silently accept the same SQL).
     """
     out: list[str] = []
     n = 0
@@ -377,7 +488,25 @@ def translate_placeholders(sql: str) -> str:
             in_line = True
             out.append(ch)
         elif ch == "/" and nxt == "*":
+            # consume BOTH opener chars: leaving the '*' to be re-read
+            # inside the comment state made '/*/' parse as a complete
+            # comment (postgres reads to the real '*/')
             in_block = True
+            out.append(ch)
+            out.append(nxt)
+            i += 1
+        elif ch == "$":
+            m = _DOLLAR_TAG.match(sql, i)
+            if m:
+                # dollar-quoted literal: copy verbatim through the
+                # MATCHING close delimiter (or to end-of-string if
+                # unterminated — postgres would error on it anyway)
+                tag = m.group(0)
+                end = sql.find(tag, m.end())
+                stop = (end + len(tag)) if end != -1 else len(sql)
+                out.append(sql[i:stop])
+                i = stop
+                continue
             out.append(ch)
         elif ch == "'":
             in_s = True

@@ -166,6 +166,7 @@ class FakePostgres:
         sql = ""
         params: list = []
         failed = False
+        aborted = False  # error inside a tx: stays aborted until COMMIT/ROLLBACK
         while True:
             type_byte, body = self._recv_message(conn, buf)
             if type_byte == b"X":
@@ -195,18 +196,65 @@ class FakePostgres:
             elif type_byte == b"D":  # Describe — deferred to Execute
                 pass
             elif type_byte == b"E":  # Execute
-                failed, in_tx = self._run(conn, sql, params, in_tx)
+                failed, in_tx, aborted = self._run(
+                    conn, sql, params, in_tx, aborted
+                )
             elif type_byte == b"S":  # Sync
-                self._send(conn, b"Z", b"E" if failed else (b"T" if in_tx else b"I"))
+                self._send(
+                    conn, b"Z",
+                    b"E" if (failed or aborted)
+                    else (b"T" if in_tx else b"I"),
+                )
                 failed = False
 
-    def _run(self, conn, sql: str, params: list, in_tx: bool):
+    @staticmethod
+    def _tag_for(upper: str, rowcount: int) -> str:
+        """Real postgres CommandComplete tags (review r4: the fake said
+        'OK', hiding the COMMIT-in-aborted-tx -> ROLLBACK conversion the
+        adapter must detect)."""
+        verb = upper.split(None, 1)[0] if upper else ""
+        if verb == "INSERT":
+            return f"INSERT 0 {max(rowcount, 0)}"
+        if verb in ("UPDATE", "DELETE"):
+            return f"{verb} {max(rowcount, 0)}"
+        if verb in ("CREATE", "DROP", "ALTER"):
+            parts = upper.split()
+            return " ".join(parts[:2]) if len(parts) > 1 else verb
+        return verb or "OK"
+
+    def _run(self, conn, sql: str, params: list, in_tx: bool,
+             aborted: bool = False):
         stmt = re.sub(r"\$\d+", "?", sql)
         upper = stmt.strip().upper()
         if upper.startswith("BEGIN"):
             in_tx = True
-        elif upper.startswith(("COMMIT", "ROLLBACK")):
-            in_tx = False
+            with self._db_lock:
+                try:
+                    self.db.execute("BEGIN")
+                except sqlite3.Error:
+                    pass  # a tx is already open on the shared handle
+            self._send(conn, b"n", b"")
+            self._send(conn, b"C", _cstr("BEGIN"))
+            return False, in_tx, aborted
+        if upper.startswith(("COMMIT", "ROLLBACK")):
+            # real postgres: COMMIT inside an aborted tx becomes ROLLBACK
+            # and reports SUCCESS via the tag
+            rolled = aborted or upper.startswith("ROLLBACK")
+            with self._db_lock:
+                try:
+                    self.db.execute("ROLLBACK" if rolled else "COMMIT")
+                except sqlite3.Error:
+                    pass  # no underlying sqlite tx open
+            self._send(conn, b"n", b"")
+            self._send(conn, b"C", _cstr("ROLLBACK" if rolled else "COMMIT"))
+            return False, False, False
+        if in_tx and aborted:
+            self._send_error(
+                conn, "25P02",
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block",
+            )
+            return True, in_tx, True
         # emulate the introspection views the dialect uses
         if "FROM pg_tables" in stmt:
             with self._db_lock:
@@ -214,8 +262,8 @@ class FakePostgres:
                     "SELECT name FROM sqlite_master WHERE type='table'"
                 ).fetchall()
             self._send_rows(conn, ["name"], [[r["name"]] for r in rows])
-            self._send(conn, b"C", _cstr("SELECT"))
-            return False, in_tx
+            self._send(conn, b"C", _cstr("SELECT 1"))
+            return False, in_tx, aborted
         if "information_schema.columns" in stmt:
             table = re.search(r"table_name = '(\w+)'", stmt).group(1)
             with self._db_lock:
@@ -223,8 +271,8 @@ class FakePostgres:
             self._send_rows(
                 conn, ["column_name"], [[r["name"]] for r in rows]
             )
-            self._send(conn, b"C", _cstr("SELECT"))
-            return False, in_tx
+            self._send(conn, b"C", _cstr("SELECT 1"))
+            return False, in_tx, aborted
         if upper.startswith("DROP TABLE"):
             stmt = stmt.replace(" CASCADE", "")  # sqlite has no DROP CASCADE
         try:
@@ -234,18 +282,23 @@ class FakePostgres:
                 cols = (
                     [d[0] for d in cur.description] if cur.description else []
                 )
+                rowcount = cur.rowcount
         except sqlite3.IntegrityError as exc:
             self._send_error(conn, "23505", str(exc))
-            return True, in_tx
+            return True, in_tx, in_tx or aborted
         except sqlite3.Error as exc:
             self._send_error(conn, "42601", str(exc))
-            return True, in_tx
+            return True, in_tx, in_tx or aborted
         if cols:
             self._send_rows(conn, cols, [list(r) for r in rows])
         else:
             self._send(conn, b"n", b"")  # NoData
-        self._send(conn, b"C", _cstr("SELECT" if cols else "OK"))
-        return False, in_tx
+        self._send(
+            conn, b"C",
+            _cstr(f"SELECT {len(rows)}" if cols
+                  else self._tag_for(upper, rowcount)),
+        )
+        return False, in_tx, aborted
 
     def _send_rows(self, conn, cols, rows):
         # RowDescription with OIDs sniffed from the first row's python types
