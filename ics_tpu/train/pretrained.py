@@ -125,9 +125,19 @@ def load_safetensors(path: Path) -> dict[str, np.ndarray]:
     — the format is deliberately trivial. BF16 is widened to f32 (numpy
     has no bfloat16; the loader casts to f32 anyway)."""
     import json
+    import mmap
     import struct
 
-    raw = path.read_bytes()
+    # mmap instead of read_bytes: each tensor copies out individually, so
+    # peak memory is ~one checkpoint instead of raw-bytes + all copies
+    # (a ViT-L file is >1 GB on a small host)
+    f = path.open("rb")
+    try:
+        raw = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:
+        f.close()
+        raise PretrainedFormatError(f"safetensors truncado: {path}")
+    f.close()
     if len(raw) < 8:
         raise PretrainedFormatError(f"safetensors truncado: {path}")
     (hlen,) = struct.unpack("<Q", raw[:8])
@@ -137,27 +147,49 @@ def load_safetensors(path: Path) -> dict[str, np.ndarray]:
         header = json.loads(raw[8:8 + hlen])
     except ValueError as exc:
         raise PretrainedFormatError(f"safetensors com header inválido: {exc}")
+    if not isinstance(header, dict):
+        raise PretrainedFormatError(
+            f"safetensors com header inválido (não é um objeto): {path}"
+        )
     data = memoryview(raw)[8 + hlen:]
     out: dict[str, np.ndarray] = {}
     for name, meta in header.items():
         if name == "__metadata__":
             continue
-        start, end = meta["data_offsets"]
-        buf = data[start:end]
-        shape = tuple(meta["shape"])
-        dt = meta["dtype"]
-        if dt == "BF16":
-            u16 = np.frombuffer(buf, "<u2").astype(np.uint32) << 16
-            out[name] = u16.view(np.float32).reshape(shape).copy()
-            continue
-        np_dt = _SAFETENSORS_DTYPES.get(dt)
-        if np_dt is None:
+        try:
+            start, end = meta["data_offsets"]
+            shape = tuple(meta["shape"])
+            dt = meta["dtype"]
+        except (TypeError, KeyError, ValueError) as exc:
             raise PretrainedFormatError(
-                f"safetensors dtype não suportado: {dt} ({name})"
+                f"safetensors com entrada inválida ({name}): {exc!r}"
             )
-        out[name] = np.frombuffer(
-            buf, np.dtype(np_dt).newbyteorder("<")
-        ).reshape(shape).astype(np_dt, copy=True)
+        # offsets must be in-range and consistent: a truncated file would
+        # otherwise slice short and surface as an opaque frombuffer error
+        if not (isinstance(start, int) and isinstance(end, int)
+                and 0 <= start <= end <= len(data)):
+            raise PretrainedFormatError(
+                f"safetensors truncado/corrupto: offsets {start}:{end} "
+                f"fora dos {len(data)} bytes de dados ({name})"
+            )
+        buf = data[start:end]
+        try:
+            if dt == "BF16":
+                u16 = np.frombuffer(buf, "<u2").astype(np.uint32) << 16
+                out[name] = u16.view(np.float32).reshape(shape).copy()
+                continue
+            np_dt = _SAFETENSORS_DTYPES.get(dt)
+            if np_dt is None:
+                raise PretrainedFormatError(
+                    f"safetensors dtype não suportado: {dt} ({name})"
+                )
+            out[name] = np.frombuffer(
+                buf, np.dtype(np_dt).newbyteorder("<")
+            ).reshape(shape).astype(np_dt, copy=True)
+        except ValueError as exc:  # frombuffer/reshape size mismatch
+            raise PretrainedFormatError(
+                f"safetensors corrupto em {name}: {exc}"
+            )
     return out
 
 
@@ -178,9 +210,28 @@ def load_flat(source: str | Path) -> dict[str, np.ndarray]:
         except Exception as exc:  # pragma: no cover - torch is baked in
             raise PretrainedFormatError(f"torch indisponível para {path}: {exc}")
         state = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(state, dict) and "state_dict" in state:
-            state = state["state_dict"]
-        return {k: v.numpy() for k, v in state.items()}
+        # training-checkpoint wrappers: torchvision uses 'state_dict',
+        # timm/detectron-style save loops use 'model' (+ scalar metadata
+        # like 'epoch' beside it)
+        for wrapper in ("state_dict", "model"):
+            if (isinstance(state, dict) and wrapper in state
+                    and isinstance(state[wrapper], dict)):
+                state = state[wrapper]
+                break
+        if not isinstance(state, dict):
+            raise PretrainedFormatError(
+                f"checkpoint torch não é um state_dict: {path}"
+            )
+        out = {}
+        for k, v in state.items():
+            if not hasattr(v, "numpy"):
+                # scalar metadata (epoch/step) riding beside the weights
+                continue
+            if v.dtype == torch.bfloat16:
+                # numpy has no bfloat16: widen like the safetensors path
+                v = v.float()
+            out[k] = v.numpy()
+        return out
     with np.load(path) as data:
         return {k: np.asarray(data[k]) for k in data.files}
 
@@ -220,20 +271,8 @@ def _convbn(flat, conv_prefix, bn_prefix, bias: bool = False):
     conv = {"w": _conv_w(flat, f"{conv_prefix}.weight")}
     if bias:
         conv["b"] = _need(flat, f"{conv_prefix}.bias")
-    params = {
-        "conv": conv,
-        "bn": {
-            "gamma": _need(flat, f"{bn_prefix}.weight"),
-            "beta": _need(flat, f"{bn_prefix}.bias"),
-        },
-    }
-    state = {
-        "bn": {
-            "mean": _need(flat, f"{bn_prefix}.running_mean"),
-            "var": _need(flat, f"{bn_prefix}.running_var"),
-        }
-    }
-    return params, state
+    bn_params, bn_state = _bn(flat, bn_prefix)
+    return {"conv": conv, "bn": bn_params}, {"bn": bn_state}
 
 
 def _se(flat, fc1, fc2):
@@ -632,18 +671,28 @@ def _map_swin(model, flat):
                 }
             )
         params["stages"].append(blocks)
-        if si < len(model.merges):
-            dpfx = f"layers.{si}.downsample"
-            params["merges"].append(
-                {
-                    "norm": _ln(flat, f"{dpfx}.norm"),
-                    "reduction": {
-                        "w": np.asarray(
-                            flat[f"{dpfx}.reduction.weight"], np.float32
-                        ).T,  # torch Linear [out, in] -> [in, out]
-                    },
-                }
-            )
+    # old timm (<=0.8): PatchMerging lives at the END of stage s
+    # (layers.{s}.downsample); timm >= 0.9 (the layout that also
+    # introduced head.fc) moved it to the START of stage s+1
+    # (layers.{s+1}.downsample, layers.0.downsample is Identity).
+    # Same operation at the same position in the compute graph — only the
+    # index moved. Detect the layout ONCE by probing stage 0 (per-stage
+    # probing would misread layers.1.downsample, which exists in both
+    # layouts but holds DIFFERENT merges).
+    merge_off = 0 if "layers.0.downsample.reduction.weight" in flat else 1
+    for si in range(len(model.merges)):
+        dpfx = f"layers.{si + merge_off}.downsample"
+        params["merges"].append(
+            {
+                "norm": _ln(flat, f"{dpfx}.norm"),
+                "reduction": {
+                    "w": np.asarray(
+                        _need(flat, f"{dpfx}.reduction.weight"),
+                        np.float32,
+                    ).T,  # torch Linear [out, in] -> [in, out]
+                },
+            }
+        )
     return {"params": params, "state": {}}
 
 
@@ -738,8 +787,14 @@ def load_pretrained(
 
     if num_classes is not None and num_classes != ckpt_classes:
         model = spec.build(num_classes=num_classes)
-        fresh = model.init(jax.random.PRNGKey(seed))
-        variables["params"]["head"] = fresh["params"]["head"]
+        # init ONLY the head (every zoo family ends in a Dense self.head
+        # whose own init is what model.init uses internally) — a full
+        # model.init would random-initialize the whole backbone on the
+        # default device (ViT-L: ~300M params over the remote tunnel)
+        # just to throw it away
+        variables["params"]["head"] = model.head.init(
+            jax.random.PRNGKey(seed)
+        )
         logger.info(
             "cabeça re-inicializada: %d -> %d classes (backbone pré-treinado)",
             ckpt_classes, num_classes,

@@ -1027,7 +1027,15 @@ def _export_convnext(model, variables):
     return out
 
 
-def _export_swin(model, variables):
+def _export_swin(model, variables, new_timm: bool = False):
+    """Export in one of the two REAL timm layouts (review r4: the old
+    hybrid head.fc + old-index downsample export matched no timm version):
+
+    - old timm (<= 0.8): ``head.*`` + PatchMerging at the END of stage s
+      (``layers.{s}.downsample``)
+    - timm >= 0.9: ``head.fc.*`` + PatchMerging at the START of stage s+1
+      (``layers.{s+1}.downsample``; layers.0.downsample is Identity)
+    """
     p = variables["params"]
     out = {
         "patch_embed.proj.weight": _inv_conv(p["patch_embed"]["w"]),
@@ -1047,15 +1055,14 @@ def _export_swin(model, variables):
             _inv_linear(out, bp["fc1"], f"{pfx}.mlp.fc1")
             _inv_linear(out, bp["fc2"], f"{pfx}.mlp.fc2")
         if si < len(p["merges"]):
-            dpfx = f"layers.{si}.downsample"
+            dpfx = (f"layers.{si + 1}.downsample" if new_timm
+                    else f"layers.{si}.downsample")
             _inv_ln(out, p["merges"][si]["norm"], f"{dpfx}.norm")
             out[f"{dpfx}.reduction.weight"] = np.ascontiguousarray(
                 np.asarray(p["merges"][si]["reduction"]["w"]).T
             )
     _inv_ln(out, p["ln"], "norm")
-    # newer timm ClassifierHead layout (head.fc.*) — the mapper accepts
-    # both; export the newer one so THAT branch gets exercised
-    _inv_linear(out, p["head"], "head.fc")
+    _inv_linear(out, p["head"], "head.fc" if new_timm else "head")
     return out
 
 
@@ -1156,6 +1163,28 @@ class TestTorchLayoutRoundtrip:
             {"params": expected["params"], "state": expected["state"]},
             {"params": _np_variables(loaded["params"]),
              "state": _np_variables(loaded["state"])},
+        )
+
+    @pytest.mark.parametrize("name", ["swin_micro", "swin_tiny"])
+    def test_swin_new_timm_layout_roundtrip(self, name, tmp_path):
+        """timm >= 0.9 layout (head.fc + downsample at the START of stage
+        s+1) — review r4: this is the only layout real head.fc checkpoints
+        ship in, and the old mapper rejected every one of them."""
+        spec = get_model(name)
+        model = spec.build(num_classes=_small_classes(name))
+        variables = _np_variables(model.init(jax.random.PRNGKey(9)))
+        flat = _export_swin(model, variables, new_timm=True)
+        assert "head.fc.weight" in flat
+        assert "layers.0.downsample.reduction.weight" not in flat
+        assert "layers.1.downsample.reduction.weight" in flat
+        path = tmp_path / f"{name}_newtimm.npz"
+        np.savez(path, **flat)
+        model2, loaded = pt.load_pretrained(name, path)
+        loaded = dict(loaded)
+        loaded.setdefault("state", {})
+        _tree_allclose(
+            {"params": variables["params"]},
+            {"params": _np_variables(loaded["params"])},
         )
 
 
@@ -1264,3 +1293,89 @@ class TestJobWiring:
         assert mgr.resolve_pretrained(str(absolute)) == absolute
         with pytest.raises(FileNotFoundError, match="não encontrados"):
             mgr.resolve_pretrained("missing.npz")
+
+
+class TestContainerHardening:
+    """review r4: real-world container variants the loader used to crash
+    on with raw TypeError/AttributeError/ValueError instead of loading or
+    raising PretrainedFormatError."""
+
+    def test_pt_bf16_widens(self, tmp_path):
+        import torch
+
+        spec = get_model("resnet_tiny")
+        model = spec.build(num_classes=4)
+        variables = _np_variables(model.init(jax.random.PRNGKey(21)))
+        flat = _export_resnet(model, variables)
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v)).bfloat16()
+              for k, v in flat.items()}
+        path = tmp_path / "bf16.pth"
+        torch.save(sd, path)
+        out = pt.load_flat(path)
+        # widened to f32 with bf16 precision (not a crash)
+        assert out["fc.weight"].dtype == np.float32
+        np.testing.assert_allclose(
+            out["fc.weight"], flat["fc.weight"], rtol=1e-2, atol=1e-2
+        )
+
+    def test_pt_model_wrapper_with_metadata(self, tmp_path):
+        import torch
+
+        spec = get_model("resnet_tiny")
+        model = spec.build(num_classes=4)
+        variables = _np_variables(model.init(jax.random.PRNGKey(22)))
+        flat = _export_resnet(model, variables)
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in flat.items()}
+        path = tmp_path / "wrapped.pth"
+        torch.save({"model": sd, "epoch": 12}, path)
+        _, loaded = pt.load_pretrained("resnet_tiny", path)
+        _tree_allclose(variables, _np_variables(loaded))
+
+    def test_pt_non_state_dict_rejected(self, tmp_path):
+        import torch
+
+        path = tmp_path / "junk.pth"
+        torch.save([1, 2, 3], path)
+        with pytest.raises(pt.PretrainedFormatError, match="state_dict"):
+            pt.load_flat(path)
+
+    def test_safetensors_truncated_data_rejected(self, tmp_path):
+        import json
+        import struct
+
+        header = {
+            "x": {"dtype": "F32", "shape": [64],
+                  "data_offsets": [0, 256]},
+        }
+        hj = json.dumps(header).encode()
+        path = tmp_path / "trunc.safetensors"
+        # only 16 of the promised 256 data bytes
+        path.write_bytes(struct.pack("<Q", len(hj)) + hj + b"\x00" * 16)
+        with pytest.raises(pt.PretrainedFormatError):
+            pt.load_safetensors(path)
+
+    def test_safetensors_list_header_rejected(self, tmp_path):
+        import json
+        import struct
+
+        hj = json.dumps([1, 2]).encode()
+        path = tmp_path / "list.safetensors"
+        path.write_bytes(struct.pack("<Q", len(hj)) + hj)
+        with pytest.raises(pt.PretrainedFormatError):
+            pt.load_safetensors(path)
+
+    def test_safetensors_bad_size_for_shape_rejected(self, tmp_path):
+        import json
+        import struct
+
+        # 10 bytes for an F32[4] (needs 16): frombuffer/reshape must
+        # surface as PretrainedFormatError, not raw ValueError
+        header = {
+            "x": {"dtype": "F32", "shape": [4], "data_offsets": [0, 10]},
+        }
+        hj = json.dumps(header).encode()
+        path = tmp_path / "badsize.safetensors"
+        path.write_bytes(struct.pack("<Q", len(hj)) + hj + b"\x00" * 10)
+        with pytest.raises(pt.PretrainedFormatError):
+            pt.load_safetensors(path)
