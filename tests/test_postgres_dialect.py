@@ -286,3 +286,65 @@ class TestFrameBounds:
             assert conn.broken is True
         finally:
             conn.close()
+
+
+class TestFullAppOnPostgres:
+    @pytest.mark.anyio
+    async def test_boot_login_crud_over_the_wire(self, db, monkeypatch):
+        """The WHOLE app on the PG dialect (review r4 gap: ORM/migrations
+        had fake-server coverage but no test booted ics_tpu.main against
+        it): lifespan (schema + seed), form login over scrypt, an
+        authenticated CRUD route and the audit write path — every HTTP
+        request's session speaking the v3 wire protocol."""
+        import httpx
+
+        from ics_tpu.core.config import reload_settings
+        from ics_tpu.core.config import settings as live_settings
+        from ics_tpu.main import create_app
+
+        reload_settings(TPU_ENABLE_INFERENCE="false",
+                        NEXTCLOUD_BASE_URL="")
+        try:
+            a = create_app(db=db)
+            await a.startup()
+            try:
+                async with httpx.AsyncClient(
+                    transport=httpx.ASGITransport(app=a),
+                    base_url="http://test",
+                ) as c:
+                    r = await c.get("/health")
+                    assert r.status_code == 200
+                    r = await c.post(
+                        "/auth/login",
+                        data={"username": live_settings.ADMIN_EMAIL,
+                              "password": live_settings.ADMIN_SENHA},
+                    )
+                    assert r.status_code == 200, r.text
+                    token = r.json()["access_token"]
+                    hdr = {"Authorization": f"Bearer {token}"}
+                    # seeded data visible through the wire
+                    r = await c.get("/usuarios/", headers=hdr)
+                    assert r.status_code == 200
+                    assert any(
+                        u["email"] == live_settings.ADMIN_EMAIL
+                        for u in r.json()
+                    )
+                    # a write path: whitelist insert + duplicate 4xx via
+                    # the fake's IntegrityError -> 23505 mapping
+                    r = await c.post(
+                        "/whitelist/", headers=hdr,
+                        json={"email": "novo@x.com", "id_tipo": 1},
+                    )
+                    assert r.status_code in (200, 201), r.text
+                    r = await c.post(
+                        "/whitelist/", headers=hdr,
+                        json={"email": "novo@x.com", "id_tipo": 1},
+                    )
+                    assert 400 <= r.status_code < 500
+                    # audit trail landed on postgres
+                    r = await c.get("/auditoria/logs", headers=hdr)
+                    assert r.status_code == 200
+            finally:
+                await a.shutdown()
+        finally:
+            reload_settings()
