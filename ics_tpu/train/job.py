@@ -140,7 +140,8 @@ class TrainingJob:
         self.id_mod: Optional[str] = None
         self.versao: Optional[int] = None
         self.eval_accuracy: Optional[float] = None
-        self.n_examples = 0
+        self.n_examples = 0   # ALL labeled examples at admission
+        self.n_train = 0      # train split size (incl. pseudo-labels)
         self.n_sugestoes = 0  # pseudo-labels mixed in (distillation)
         self.ckpt_dir: Optional[str] = None  # set by _run (may be resumed)
         self.started_at = tz.utcnow()
@@ -155,6 +156,7 @@ class TrainingJob:
             "status": self.status,
             "erro": self.error,
             "exemplos": self.n_examples,
+            "exemplos_treino": self.n_train,
             "sugestoes": self.n_sugestoes,
             "passos": len(self.history),
             "ultimo_passo": last,
@@ -216,6 +218,7 @@ class TrainingJobManager:
             return live
 
         removed: list[str] = []
+        tombstones: list[tuple[Path, str]] = []
         kept = 0
         grace_s = 600.0  # writers commit their registry row within this
         now = time.time()
@@ -223,6 +226,11 @@ class TrainingJobManager:
         if root.is_dir():
             for d in sorted(root.glob("*/*/*")):
                 if not d.is_dir():
+                    continue
+                if d.name.endswith(".gc-tomb"):
+                    # a previous GC renamed it but crashed before the
+                    # rmtree: tombstones are never live, sweep them
+                    tombstones.append((d, str(d.relative_to(root))))
                     continue
                 path = str(d.resolve())
                 if path in referenced:
@@ -238,23 +246,36 @@ class TrainingJobManager:
                     # race a live writer
                     kept += 1
                     continue
-                # re-check the live set under the lock AND hold the lock
-                # across the rmtree: a retomar_de job started mid-GC adopts
-                # its predecessor's old dir (exactly the unreferenced case),
-                # and start() also takes this lock — so a dir can't become
-                # live between the check and the delete
+                # re-check the live set under the lock, then RENAME to a
+                # tombstone (atomic, microseconds) instead of rmtree'ing
+                # under the lock: a multi-GB orbax dir takes seconds to
+                # delete and start()/cancel()/worker-finally all contend
+                # on this lock (review r4). A retomar_de job started
+                # mid-GC adopts its predecessor's old dir — the rename
+                # under the same lock start() takes closes that race.
                 with self._lock:
                     if path in live_dirs():
                         kept += 1
                         continue
+                    tomb = d.with_name(d.name + ".gc-tomb")
                     try:
-                        shutil.rmtree(d)
-                        removed.append(str(d.relative_to(root)))
+                        d.rename(tomb)
                     except OSError:
                         kept += 1
                         logger.warning(
-                            "checkpoint gc: could not remove %s", d
+                            "checkpoint gc: could not stage %s", d
                         )
+                        continue
+                tombstones.append((tomb, str(d.relative_to(root))))
+        # the slow deletes run OUTSIDE the lock — the control plane
+        # (start/cancel/slot release) never blocks on filesystem work
+        for tomb, rel in tombstones:
+            try:
+                shutil.rmtree(tomb)
+                removed.append(rel)
+            except OSError:
+                kept += 1
+                logger.warning("checkpoint gc: could not remove %s", tomb)
         logger.info(
             "checkpoint gc: %d removed, %d kept", len(removed), kept
         )
@@ -315,32 +336,21 @@ class TrainingJobManager:
             raise TrainingUnavailable(
                 "nenhuma fonte de bytes configurada (NextCloud indisponível)"
             )
-        with self._lock:
-            if self._running is not None and self._running.status in (
-                "pendente", "executando"
-            ):
-                raise RuntimeError(
-                    f"treinamento {self._running.id_job} já em execução"
-                )
-            job = TrainingJob(
-                snap["id_amb"], snap["nome"],
-                {"tipo": "avaliacao", "id_mod_avaliado": snap["id_mod"],
-                 "versao_avaliada": snap["versao"],
-                 "batch_size": batch_size, "canvas": canvas},
-            )
-            # the evaluated version's checkpoint dir joins the live set so
-            # gc_checkpoints cannot delete it mid-restore
-            job.ckpt_dir = snap["dir_checkpoint"]
-            self.jobs[job.id_job] = job
-            self._running = job
-        thread = threading.Thread(
-            target=self._run_eval,
-            args=(job, fetch, snap, batch_size, canvas, compute_dtype),
-            name=f"eval-{job.id_job}",
-            daemon=True,
+        job = TrainingJob(
+            snap["id_amb"], snap["nome"],
+            {"tipo": "avaliacao", "id_mod_avaliado": snap["id_mod"],
+             "versao_avaliada": snap["versao"],
+             "batch_size": batch_size, "canvas": canvas},
         )
-        thread.start()
-        job.thread = thread
+        # the evaluated version's checkpoint dir joins the live set so
+        # gc_checkpoints cannot delete it mid-restore
+        job.ckpt_dir = snap["dir_checkpoint"]
+        self._claim_slot(job)
+        self._launch(
+            job, self._run_eval,
+            (job, fetch, snap, batch_size, canvas, compute_dtype),
+            f"eval-{job.id_job}",
+        )
         return job
 
     def _run_eval(self, job: TrainingJob, fetch: BytesProvider, snap: dict,
@@ -495,8 +505,47 @@ class TrainingJobManager:
         job.cancel_event.set()
         return job
 
+    def _claim_slot(self, job: TrainingJob) -> None:
+        """Atomically claim the SINGLE job slot (the chip is shared with
+        serving — one training/eval job at a time). One copy of the
+        invariant for start() and start_evaluation() (review r4)."""
+        with self._lock:
+            if self._running is not None and self._running.status in (
+                "pendente", "executando"
+            ):
+                raise RuntimeError(
+                    f"treinamento {self._running.id_job} já em execução"
+                )
+            self.jobs[job.id_job] = job
+            self._running = job
+
+    def _launch(self, job: TrainingJob, target, args, name: str) -> None:
+        """Start the worker thread; on failure RELEASE the claimed slot —
+        a job stuck in 'pendente' with no thread would otherwise block
+        every future training request until process restart (review r4)."""
+        thread = threading.Thread(
+            target=target, args=args, name=name, daemon=True
+        )
+        try:
+            thread.start()
+        except RuntimeError as exc:
+            with self._lock:
+                job.status = "falhou"
+                job.error = f"não foi possível iniciar a thread: {exc}"
+                job.finished_at = tz.utcnow()
+                if self._running is job:
+                    self._running = None
+            raise TrainingUnavailable(
+                "sem recursos para iniciar a thread do job — tente novamente"
+            )
+        job.thread = thread
+
     def list_jobs(self) -> list[dict]:
-        return [j.to_dict() for j in self.jobs.values()]
+        # snapshot under the lock: start() inserts concurrently and a
+        # dict-view iterator would raise "changed size during iteration"
+        with self._lock:
+            jobs = list(self.jobs.values())
+        return [j.to_dict() for j in jobs]
 
     def start(
         self,
@@ -535,6 +584,37 @@ class TrainingJobManager:
         # validate up front (422 at the route, not a failed job); the real
         # optimizer is rebuilt in the worker with the LR schedule
         make_optimizer(lr=lr, kind=otimizador)
+        batch_size = int(batch_size)
+        if batch_size < 1:
+            raise ValueError(f"batch_size deve ser >= 1: {batch_size!r}")
+        max_steps = int(max_steps)
+        if max_steps < 1:
+            raise ValueError(f"max_steps deve ser >= 1: {max_steps!r}")
+        if epochs is not None:
+            epochs = int(epochs)
+            if epochs < 1:
+                raise ValueError(f"epochs deve ser >= 1: {epochs!r}")
+        eval_fraction = float(eval_fraction)
+        if not (0.0 <= eval_fraction < 1.0):
+            # 1.0 would silently empty the TRAIN split: zero steps, then
+            # (before the empty-history guard) a random-init model
+            # registered as 'concluido'
+            raise ValueError(
+                f"eval_fraction fora de [0, 1): {eval_fraction!r}"
+            )
+        if retomar_de is not None:
+            import re as _re
+
+            retomar_de = str(retomar_de)
+            # the id is uuid4().hex[:12]; anything else (separators, '..')
+            # would be interpolated into the checkpoint PATH — a traversal
+            # could make this job WRITE into another ambiente's registered
+            # model dir (review r4)
+            if not _re.fullmatch(r"[0-9a-f]{12}", retomar_de):
+                raise ValueError(
+                    f"retomar_de inválido: {retomar_de!r} (esperado o id "
+                    "de um job: 12 dígitos hex)"
+                )
         ema_decaimento = float(ema_decaimento)
         if ema_decaimento and not (0.0 < ema_decaimento < 1.0):
             raise ValueError(
@@ -598,52 +678,41 @@ class TrainingJobManager:
             raise TrainingUnavailable(
                 "nenhuma fonte de bytes configurada (NextCloud indisponível)"
             )
-        with self._lock:
-            if self._running is not None and self._running.status in (
-                "pendente", "executando"
-            ):
-                raise RuntimeError(
-                    f"treinamento {self._running.id_job} já em execução"
-                )
-            job = TrainingJob(
-                id_amb, model_name,
-                {"max_steps": max_steps, "batch_size": batch_size, "lr": lr,
-                 "augmentar": bool(augmentar),
-                 "mixup_alpha": float(mixup_alpha),
-                 "cutmix_alpha": float(cutmix_alpha),
-                 "suavizacao_rotulo": float(suavizacao_rotulo),
-                 "agenda_lr": agenda_lr,
-                 "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),
-                 "otimizador": otimizador,
-                 "ema_decaimento": ema_decaimento,
-                 "acumular_gradientes": acumular_gradientes,
-                 "paciencia": paciencia,
-                 "avaliar_cada": avaliar_cada,
-                 "llrd": llrd},
-            )
-            # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
-            # its predecessor's dir) so gc_checkpoints' live-set protects
-            # the real dir from the moment the job exists, not only once
-            # _run gets past its DB work
-            job.ckpt_dir = str(
-                Path(self.checkpoint_root) / job.id_amb / model_name
-                / (retomar_de or job.id_job)
-            )
-            self.jobs[job.id_job] = job
-            self._running = job
-        thread = threading.Thread(
-            target=self._run,
-            args=(job, fetch, max_steps, batch_size, lr, epochs, canvas,
-                  compute_dtype, ativar, seed, eval_fraction, remat,
-                  usar_sugestoes, sugestao_min_score, retomar_de,
-                  pesos_iniciais, augment, agenda_lr,
-                  treinar_apenas_cabeca, otimizador, ema_decaimento,
-                  acumular_gradientes, paciencia, avaliar_cada, llrd),
-            name=f"train-{job.id_job}",
-            daemon=True,
+        job = TrainingJob(
+            id_amb, model_name,
+            {"max_steps": max_steps, "batch_size": batch_size, "lr": lr,
+             "augmentar": bool(augmentar),
+             "mixup_alpha": float(mixup_alpha),
+             "cutmix_alpha": float(cutmix_alpha),
+             "suavizacao_rotulo": float(suavizacao_rotulo),
+             "agenda_lr": agenda_lr,
+             "treinar_apenas_cabeca": bool(treinar_apenas_cabeca),
+             "otimizador": otimizador,
+             "ema_decaimento": ema_decaimento,
+             "acumular_gradientes": acumular_gradientes,
+             "paciencia": paciencia,
+             "avaliar_cada": avaliar_cada,
+             "llrd": llrd},
         )
-        thread.start()
-        job.thread = thread
+        # resolve the checkpoint dir UP FRONT (a retomar_de job reuses
+        # its predecessor's dir) so gc_checkpoints' live-set protects
+        # the real dir from the moment the job exists, not only once
+        # _run gets past its DB work
+        job.ckpt_dir = str(
+            Path(self.checkpoint_root) / job.id_amb / model_name
+            / (retomar_de or job.id_job)
+        )
+        self._claim_slot(job)
+        self._launch(
+            job, self._run,
+            (job, fetch, max_steps, batch_size, lr, epochs, canvas,
+             compute_dtype, ativar, seed, eval_fraction, remat,
+             usar_sugestoes, sugestao_min_score, retomar_de,
+             pesos_iniciais, augment, agenda_lr,
+             treinar_apenas_cabeca, otimizador, ema_decaimento,
+             acumular_gradientes, paciencia, avaliar_cada, llrd),
+            f"train-{job.id_job}",
+        )
         return job
 
     # -- job body (worker thread) -------------------------------------------
@@ -768,7 +837,11 @@ class TrainingJobManager:
                 )
                 train_examples = train_examples + pseudo
                 job.n_sugestoes = len(pseudo)
-            job.n_examples = len(train_examples)
+            # n_examples keeps its meaning (ALL labeled examples, set when
+            # the job was admitted); the train-split size incl. pseudo-
+            # labels is its own field so the payload's 'exemplos' doesn't
+            # silently change meaning mid-run (review r4)
+            job.n_train = len(train_examples)
             # periodic eval (paciencia > 0 and/or avaliar_cada): eval on
             # the held-out split every eval_every steps; the BEST snapshot
             # gets registered, and with paciencia > 0 the loop also stops
@@ -838,7 +911,18 @@ class TrainingJobManager:
                     job.id_job, len(history),
                 )
                 return
-            final = history[-1] if history else {}
+            if not history:
+                # zero steps executed (every batch's fetch/decode failed —
+                # NextCloud down — or the train split came out empty):
+                # registering (let alone PROMOTING) a version whose orbax
+                # dir has no checkpoint would 500 every later inference
+                # for the ambiente when get_trained tries to restore it
+                raise RuntimeError(
+                    "nenhum passo de treino executado (fetch/decodificação "
+                    "falhou para todos os batches, ou o split de treino "
+                    "ficou vazio) — nada foi registrado"
+                )
+            final = history[-1]
             best = getattr(tuner, "best", None)
             if best is not None:
                 # early stopping: register/serve the BEST periodic-eval

@@ -109,3 +109,90 @@ async def test_cancel_running_job(app):  # noqa: F811
         # does the registered version's dir
         assert fresh.exists()
         assert gc["mantidos"] >= 2
+
+
+
+@pytest.mark.anyio
+async def test_retomar_de_traversal_rejected(app):  # noqa: F811
+    """review r4: retomar_de interpolates into the checkpoint PATH — a
+    '../'-style value could make the job write into another ambiente's
+    registered model dir. Only a 12-hex job id is accepted."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        for bad in ("../../x/y/z", "..", "abc/def", "ABCDEF123456", "zz"):
+            r = await c.post(
+                f"/treinamento/ambiente/{id_amb}",
+                json={"modelo": "resnet_tiny", "max_steps": 1,
+                      "batch_size": 4, "canvas": 64, "retomar_de": bad},
+                headers=admin,
+            )
+            assert r.status_code == 422, (bad, r.status_code, r.text)
+
+
+@pytest.mark.anyio
+async def test_eval_fraction_bounds_rejected(app):  # noqa: F811
+    """review r4: eval_fraction=1.0 silently emptied the TRAIN split."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        for bad in (1.0, 1.5, -0.1):
+            r = await c.post(
+                f"/treinamento/ambiente/{id_amb}",
+                json={"modelo": "resnet_tiny", "max_steps": 1,
+                      "batch_size": 4, "canvas": 64,
+                      "eval_fraction": bad},
+                headers=admin,
+            )
+            assert r.status_code == 422, (bad, r.status_code, r.text)
+        # batch_size=0 is falsy -> the route's `or 32` default applies;
+        # a NEGATIVE value reaches the validator and must 422
+        r = await c.post(
+            f"/treinamento/ambiente/{id_amb}",
+            json={"modelo": "resnet_tiny", "max_steps": 1,
+                  "batch_size": -1, "canvas": 64},
+            headers=admin,
+        )
+        assert r.status_code == 422
+
+
+@pytest.mark.anyio
+async def test_zero_steps_registers_nothing(app):  # noqa: F811
+    """review r4: a job whose every fetch fails (NextCloud down) executed
+    zero steps yet registered AND promoted an empty-checkpoint version —
+    bricking serving for the ambiente. It must fail instead."""
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://t") as c:
+        admin = await _login(c, **ADMIN)
+        id_amb = app.state.id_amb
+        trainer = app.state.trainer
+        real_fetch = trainer.fetch_bytes
+        trainer.fetch_bytes = lambda h, p: (_ for _ in ()).throw(
+            IOError("nextcloud fora do ar")
+        )
+        try:
+            r = await c.post(
+                f"/treinamento/ambiente/{id_amb}",
+                json={"modelo": "resnet_tiny", "max_steps": 3,
+                      "batch_size": 4, "canvas": 64},
+                headers=admin,
+            )
+            assert r.status_code == 202, r.text
+            id_job = r.json()["id_job"]
+            for _ in range(300):
+                r = await c.get(f"/treinamento/jobs/{id_job}", headers=admin)
+                status = r.json()
+                if status["status"] not in ("pendente", "executando"):
+                    break
+                await asyncio.sleep(0.1)
+            assert status["status"] == "falhou", status
+            assert "nenhum passo" in (status["erro"] or "")
+            assert status["id_mod"] is None
+            r = await c.get(
+                f"/treinamento/modelos?id_amb={id_amb}", headers=admin
+            )
+            assert r.json()["total"] == 0
+        finally:
+            trainer.fetch_bytes = real_fetch
