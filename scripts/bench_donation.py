@@ -117,8 +117,12 @@ def main():
         report(model=name, batch=batch, summary=True,
                speedup_pct=round((out[False] / out[True] - 1) * 100, 1))
 
-    bench("resnet50", batch=128)
-    bench("swin_b", batch=64)
+    import sys
+
+    models = sys.argv[1:] or ["resnet50:128", "swin_base:64"]
+    for spec_arg in models:
+        name, _, b = spec_arg.partition(":")
+        bench(name, batch=int(b or 64))
 
 
 if __name__ == "__main__":
