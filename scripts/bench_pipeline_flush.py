@@ -93,8 +93,16 @@ async def run(pipelined: bool):
 
 
 if __name__ == "__main__":
-    off = asyncio.run(run(pipelined=False))
-    on = asyncio.run(run(pipelined=True))
+    # --reverse runs the ON arm first: rules out same-process order/warmup
+    # skew (second arm rides in-process tracing caches).
+    import sys
+
+    if "--reverse" in sys.argv:
+        on = asyncio.run(run(pipelined=True))
+        off = asyncio.run(run(pipelined=False))
+    else:
+        off = asyncio.run(run(pipelined=False))
+        on = asyncio.run(run(pipelined=True))
     summary = {
         "summary": True,
         "speedup_pct": round((on["req_per_s"] / off["req_per_s"] - 1) * 100, 1),
