@@ -36,7 +36,7 @@ def make_jpegs(n=32, hw=(480, 400)):
     return blobs
 
 
-async def run(pipelined: bool):
+async def run(pipelined: bool, device_decode: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ics_tpu_xla_cache")
@@ -51,12 +51,13 @@ async def run(pipelined: bool):
         canvas=512,
     )
     svc = InferenceService(
-        engine, deadline_us=2000, device_decode=False,
+        engine, deadline_us=2000, device_decode=device_decode,
         max_deadline_us=50_000,
     )
     await svc.start(warm=True)
     blobs = make_jpegs()
-    await svc.classify_bytes(blobs[0])  # warm the lane
+    for _ in range(3):  # warm the lane (all buckets load from disk cache)
+        await svc.classify_bytes(blobs[0])
 
     n_clients, per_client = 8, 25
     latencies: list[float] = []
@@ -77,7 +78,8 @@ async def run(pipelined: bool):
     total = n_clients * per_client
     arr = np.asarray(latencies)
     rec = {
-        "segment": f"serving_pipelined_{'on' if pipelined else 'off'}",
+        "segment": (f"serving_pipelined_{'on' if pipelined else 'off'}"
+                    + ("_devdecode" if device_decode else "")),
         "requests": total,
         "req_per_s": round(total / wall, 1),
         "p50_ms": round(float(np.percentile(arr, 50)), 1),
@@ -95,14 +97,17 @@ async def run(pipelined: bool):
 if __name__ == "__main__":
     # --reverse runs the ON arm first: rules out same-process order/warmup
     # skew (second arm rides in-process tracing caches).
+    # --device-decode measures the decode-on-TPU coeff lanes (pipelined
+    # dispatch path in runtime/service.py) instead of the host-decode lane.
     import sys
 
+    dd = "--device-decode" in sys.argv
     if "--reverse" in sys.argv:
-        on = asyncio.run(run(pipelined=True))
-        off = asyncio.run(run(pipelined=False))
+        on = asyncio.run(run(pipelined=True, device_decode=dd))
+        off = asyncio.run(run(pipelined=False, device_decode=dd))
     else:
-        off = asyncio.run(run(pipelined=False))
-        on = asyncio.run(run(pipelined=True))
+        off = asyncio.run(run(pipelined=False, device_decode=dd))
+        on = asyncio.run(run(pipelined=True, device_decode=dd))
     summary = {
         "summary": True,
         "speedup_pct": round((on["req_per_s"] / off["req_per_s"] - 1) * 100, 1),
