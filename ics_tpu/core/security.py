@@ -47,6 +47,14 @@ def hash_password(password: str) -> str:
 
 def verify_password(password: str, stored: str) -> bool:
     try:
+        if stored.startswith("$2"):
+            # bcrypt digest from an adopted reference database
+            # (reference ``app/core/utils.py:5-10``); verified here, and
+            # rehashed to scrypt on first successful login by
+            # ``services/auth_service.authenticate_user``.
+            from ics_tpu.core.bcrypt_compat import bcrypt_verify
+
+            return bcrypt_verify(password, stored)
         scheme, n, r, p, salt_b64, dk_b64 = stored.split("$")
         if scheme != "scrypt":
             return False
@@ -59,6 +67,13 @@ def verify_password(password: str, stored: str) -> bool:
         return hmac.compare_digest(dk, expected)
     except Exception:
         return False
+
+
+def password_needs_rehash(stored: str) -> bool:
+    """True when a stored credential should be upgraded to the current
+    scheme (scrypt) on the next successful login — i.e. any bcrypt hash
+    carried over from an adopted reference database."""
+    return isinstance(stored, str) and stored.startswith("$2")
 
 
 def _b64url(data: bytes) -> str:

@@ -15,7 +15,14 @@ from typing import Optional, Union
 
 from ics_tpu.core import timezone as tz
 from ics_tpu.core.config import settings
-from ics_tpu.core.security import TokenError, jwt_decode, jwt_encode, verify_password
+from ics_tpu.core.security import (
+    TokenError,
+    hash_password,
+    jwt_decode,
+    jwt_encode,
+    password_needs_rehash,
+    verify_password,
+)
 from ics_tpu.crud import user_crud
 from ics_tpu.db.engine import Session
 from ics_tpu.db.models import TipoUsuario, Usuario
@@ -37,6 +44,12 @@ def authenticate_user(
         return INACTIVE
     if not verify_password(password, user.senha_hash):
         return None
+    if password_needs_rehash(user.senha_hash):
+        # bcrypt credential carried over from an adopted reference DB
+        # (``db/adopt.py``): upgrade to scrypt now that we hold the
+        # plaintext; the login route's commit persists it, so the slow
+        # bcrypt check runs exactly once per adopted user.
+        user.senha_hash = hash_password(password)
     return user
 
 
