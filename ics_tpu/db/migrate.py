@@ -76,6 +76,58 @@ def upgrade_head(db: Database) -> list[str]:
     return applied
 
 
+def downgrade(db: Database, target: str = "-1") -> list[str]:
+    """Revert applied revisions until ``target`` is the head.
+
+    ``target`` is a revision id (full, or unambiguous prefix like
+    ``"0004"``), ``"base"`` (revert everything), or ``"-1"`` (revert just
+    the newest applied revision) — alembic's CLI semantics
+    (reference ``alembic downgrade``; every reference revision implements
+    ``downgrade()``, e.g.
+    ``alembic/versions/a3f2b1c4d5e6_add_sync_status_columns.py:44``).
+
+    Each reverted revision runs its ``downgrade(session)`` and has its
+    ``schema_migrations`` row deleted, newest first, one commit at the
+    end (all-or-nothing like ``upgrade_head``)."""
+    chain = _load_revisions()
+    reverted: list[str] = []
+    with db.session() as s:
+        done = applied_revisions(s)
+        applied_chain = [m for m in chain if m.revision in done]
+        if not applied_chain:
+            return []
+        if target == "-1":
+            to_revert = applied_chain[-1:]
+        elif target == "base":
+            to_revert = applied_chain
+        else:
+            matches = [
+                i for i, m in enumerate(applied_chain)
+                if m.revision == target or m.revision.startswith(target)
+            ]
+            if len(matches) != 1:
+                raise ValueError(
+                    f"target revision {target!r} is "
+                    + ("ambiguous" if matches else "not an applied revision")
+                )
+            to_revert = applied_chain[matches[0] + 1:]
+        for mod in reversed(to_revert):
+            fn = getattr(mod, "downgrade", None)
+            if fn is None:
+                raise RuntimeError(
+                    f"revision {mod.revision} has no downgrade()"
+                )
+            logger.info("reverting migration %s", mod.revision)
+            fn(s)
+            s.execute(
+                "DELETE FROM schema_migrations WHERE revision = ?",
+                (mod.revision,),
+            )
+            reverted.append(mod.revision)
+        s.commit()
+    return reverted
+
+
 def stamp_head(db: Database) -> list[str]:
     from ics_tpu.core.timezone import utcnow
 

@@ -12,3 +12,13 @@ def upgrade(session) -> None:
     for model in models_in_fk_order():
         for stmt in create_table_sql(model):
             session.execute(stmt)
+
+
+def downgrade(session) -> None:
+    """Drop every model table (reverse FK order so referrers go first) —
+    the base revision's inverse, like the reference's alembic downgrades
+    (``alembic/versions/*.py`` all implement ``downgrade()``)."""
+    import ics_tpu.db.models  # noqa: F401
+
+    for model in reversed(models_in_fk_order()):
+        session.execute(f"DROP TABLE IF EXISTS {model.__tablename__}")

@@ -29,3 +29,11 @@ def upgrade(session) -> None:
         session.execute(
             "ALTER TABLE sync_status ADD COLUMN last_activity_id INTEGER"
         )
+
+
+def downgrade(session) -> None:
+    """Drop the ID watermark; other sync_status columns/rows are preserved
+    (matches the reference's column-dropping downgrade shape,
+    ``alembic/versions/a3f2b1c4d5e6_add_sync_status_columns.py:44``).
+    Both dialects support DROP COLUMN (sqlite >= 3.35; PG always)."""
+    session.execute("ALTER TABLE sync_status DROP COLUMN last_activity_id")

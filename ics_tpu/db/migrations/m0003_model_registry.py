@@ -18,3 +18,9 @@ def upgrade(session) -> None:
     for model in (ModeloTreinado, SugestaoModelo):
         for stmt in create_table_sql(model):
             session.execute(stmt)
+
+
+def downgrade(session) -> None:
+    # referrer first: sugestoes_modelo FKs modelos_treinados
+    session.execute("DROP TABLE IF EXISTS sugestoes_modelo")
+    session.execute("DROP TABLE IF EXISTS modelos_treinados")

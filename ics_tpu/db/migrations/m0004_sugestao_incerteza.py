@@ -75,3 +75,13 @@ def upgrade(session) -> None:
                 "UPDATE sugestoes_modelo SET incerteza = ? WHERE id_sug = ?",
                 (inc, r["id_sug"]),
             )
+
+
+def downgrade(session) -> None:
+    """Drop the index then the column; suggestion rows themselves are
+    preserved (the reference's index/column downgrades are likewise
+    non-destructive to unrelated data,
+    ``alembic/versions/b4e5c6d7e8f9_add_idx_imagem_id_cnj_existe.py:28``,
+    ``e7efd594e4cd_add_multipla_escolha.py:25``)."""
+    session.execute("DROP INDEX IF EXISTS idx_sugestao_amb_incerteza")
+    session.execute("ALTER TABLE sugestoes_modelo DROP COLUMN incerteza")

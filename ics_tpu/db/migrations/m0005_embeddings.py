@@ -16,3 +16,7 @@ def upgrade(session) -> None:
 
     for stmt in create_table_sql(EmbeddingImagem):
         session.execute(stmt)
+
+
+def downgrade(session) -> None:
+    session.execute("DROP TABLE IF EXISTS embeddings_imagem")
