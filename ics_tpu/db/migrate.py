@@ -128,6 +128,38 @@ def downgrade(db: Database, target: str = "-1") -> list[str]:
     return reverted
 
 
+def stamp(db: Database, target: str) -> list[str]:
+    """Record revisions up to ``target`` as applied WITHOUT running them —
+    ``alembic stamp <rev>`` semantics, for databases whose schema already
+    matches (the reference-DB adoption path, ``db/adopt.py``: a reference
+    DB at alembic head e7efd594e4cd is m0001 by construction)."""
+    from ics_tpu.core.timezone import utcnow
+
+    chain = _load_revisions()
+    matches = [
+        i for i, m in enumerate(chain)
+        if m.revision == target or m.revision.startswith(target)
+    ]
+    if len(matches) != 1:
+        raise ValueError(
+            f"target revision {target!r} is "
+            + ("ambiguous" if matches else "unknown")
+        )
+    stamped: list[str] = []
+    with db.session() as s:
+        done = applied_revisions(s)
+        for mod in chain[: matches[0] + 1]:
+            if mod.revision in done:
+                continue
+            s.execute(
+                "INSERT INTO schema_migrations (revision, applied_at) VALUES (?, ?)",
+                (mod.revision, utcnow().isoformat()),
+            )
+            stamped.append(mod.revision)
+        s.commit()
+    return stamped
+
+
 def stamp_head(db: Database) -> list[str]:
     from ics_tpu.core.timezone import utcnow
 
@@ -144,3 +176,57 @@ def stamp_head(db: Database) -> list[str]:
             stamped.append(mod.revision)
         s.commit()
     return stamped
+
+
+def main(argv: Optional[list] = None) -> int:
+    """Operator CLI — alembic-command parity:
+
+        python -m ics_tpu.db.migrate upgrade            # -> head
+        python -m ics_tpu.db.migrate downgrade -1       # revert newest
+        python -m ics_tpu.db.migrate downgrade 0001     # back to m0001
+        python -m ics_tpu.db.migrate downgrade base     # revert everything
+        python -m ics_tpu.db.migrate stamp 0001         # record, don't run
+        python -m ics_tpu.db.migrate current            # applied revisions
+    """
+    import argparse
+    import sys
+
+    from ics_tpu.core.config import settings
+
+    parser = argparse.ArgumentParser(prog="python -m ics_tpu.db.migrate")
+    parser.add_argument(
+        "command", choices=["upgrade", "downgrade", "stamp", "current"]
+    )
+    parser.add_argument("target", nargs="?", default=None)
+    parser.add_argument("--database-url", default=settings.DATABASE_URL)
+    raw = list(sys.argv[1:] if argv is None else argv)
+    # argparse would read the "-1" target as an option flag
+    args = parser.parse_args(["last" if a == "-1" else a for a in raw])
+    if args.target == "last":
+        args.target = "-1"
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    db = Database(args.database_url)
+    if not db.wait_until_ready():
+        print("banco indisponível", file=sys.stderr)
+        return 2
+    if args.command == "upgrade":
+        print(f"aplicadas: {upgrade_head(db) or '(nenhuma pendente)'}")
+    elif args.command == "downgrade":
+        if args.target is None:
+            parser.error("downgrade requer alvo: <revisão>, -1 ou base")
+        print(f"revertidas: {downgrade(db, args.target) or '(nenhuma)'}")
+    elif args.command == "stamp":
+        if args.target is None:
+            parser.error("stamp requer alvo: <revisão>")
+        print(f"registradas: {stamp(db, args.target) or '(nenhuma)'}")
+    else:
+        with db.session() as s:
+            chain = [m.revision for m in _load_revisions()]
+            done = applied_revisions(s)
+        for rev in chain:
+            print(f"{'x' if rev in done else ' '} {rev}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,20 +12,9 @@ down_revision = "0001_initial_schema"
 
 
 def upgrade(session) -> None:
-    if getattr(session, "dialect", "sqlite") == "postgres":
-        cols = {
-            r["column_name"]
-            for r in session.fetchall(
-                "SELECT column_name FROM information_schema.columns "
-                "WHERE table_name = 'sync_status'"
-            )
-        }
-    else:
-        cols = {
-            r["name"]
-            for r in session.fetchall("PRAGMA table_info(sync_status)")
-        }
-    if "last_activity_id" not in cols:
+    from ics_tpu.db.introspect import column_names
+
+    if "last_activity_id" not in column_names(session, "sync_status"):
         session.execute(
             "ALTER TABLE sync_status ADD COLUMN last_activity_id INTEGER"
         )

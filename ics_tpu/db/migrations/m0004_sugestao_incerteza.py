@@ -14,23 +14,12 @@ down_revision = "0003_model_registry"
 def upgrade(session) -> None:
     from ics_tpu.crud.modelo_crud import calcular_incerteza
 
+    from ics_tpu.db.introspect import column_names
+
     # IF-NOT-EXISTS guard: a fresh upgrade_head run creates the table from
     # the CURRENT model (m0003 create_table_sql), which already carries the
     # column — the same pattern m0002 uses for sync_status
-    if getattr(session, "dialect", "sqlite") == "postgres":
-        cols = {
-            r["column_name"]
-            for r in session.fetchall(
-                "SELECT column_name FROM information_schema.columns "
-                "WHERE table_name = 'sugestoes_modelo'"
-            )
-        }
-    else:
-        cols = {
-            r["name"]
-            for r in session.fetchall("PRAGMA table_info(sugestoes_modelo)")
-        }
-    if "incerteza" not in cols:
+    if "incerteza" not in column_names(session, "sugestoes_modelo"):
         session.execute(
             "ALTER TABLE sugestoes_modelo ADD COLUMN incerteza REAL"
         )

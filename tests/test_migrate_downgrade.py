@@ -189,3 +189,34 @@ class TestDowngradePGWire:
     def test_base_over_wire(self, pgdb):
         assert downgrade(pgdb, "base") == list(reversed(ALL))
         assert upgrade_head(pgdb) == ALL
+
+
+class TestMigrateCLI:
+    """Operator CLI: ``python -m ics_tpu.db.migrate <cmd>`` (alembic-command
+    parity — upgrade/downgrade/stamp/current)."""
+
+    def test_full_cycle(self, tmp_path, capsys):
+        from ics_tpu.db.migrate import main
+
+        url = f"sqlite:///{tmp_path}/cli.db"
+        assert main(["upgrade", "--database-url", url]) == 0
+        assert "0005_embeddings" in capsys.readouterr().out
+        # "-1" must survive argparse's option parsing
+        assert main(["downgrade", "-1", "--database-url", url]) == 0
+        assert "0005_embeddings" in capsys.readouterr().out
+        assert main(["downgrade", "0002", "--database-url", url]) == 0
+        capsys.readouterr()
+        assert main(["current", "--database-url", url]) == 0
+        out = capsys.readouterr().out
+        assert "x 0002_activity_id_watermark" in out
+        assert "  0003_model_registry" in out
+        assert main(["upgrade", "--database-url", url]) == 0
+
+    def test_stamp_target(self, tmp_path, capsys):
+        from ics_tpu.db.migrate import main
+
+        url = f"sqlite:///{tmp_path}/stamp.db"
+        assert main(["stamp", "0002", "--database-url", url]) == 0
+        db = Database(url)
+        with db.session() as s:
+            assert applied_revisions(s) == set(ALL[:2])
