@@ -413,6 +413,22 @@ def create_app(db: Database | None = None) -> App:
                 "tpu_pipelined_flushes_total",
                 "flushes whose staging/H2D overlapped prior compute",
             ).set(batcher.get("pipelined", 0))
+            # per-lane flush/pipelined counters (pixel lane + every
+            # decode-on-TPU coeff lane) — so a wrong-lane read in any
+            # downstream harness is visible at a glance on the scrape
+            for lane_name, lane_stats in (
+                ("pixel", batcher),
+                *sorted((stats.get("coeff_lanes") or {}).items()),
+            ):
+                safe = lane_name.replace(":", "_")
+                registry.gauge(
+                    f"tpu_lane_flushes_{safe}_total",
+                    f"batch flushes on the {lane_name} lane",
+                ).set(lane_stats.get("flushes", 0))
+                registry.gauge(
+                    f"tpu_lane_pipelined_{safe}_total",
+                    f"pipelined (overlapped) flushes on the {lane_name} lane",
+                ).set(lane_stats.get("pipelined", 0))
         return PlainTextResponse(registry.expose())
 
     @app.post("/monitor/latency-budget")

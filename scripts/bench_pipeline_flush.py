@@ -68,12 +68,29 @@ async def run(pipelined: bool, device_decode: bool = False):
             await svc.classify_bytes(blobs[(cid * per_client + r) % len(blobs)])
             latencies.append((time.perf_counter() - t0) * 1000)
 
-    flushes_before = svc.batcher.stats["flushes"]
+    def lane_totals() -> dict:
+        """Aggregate flush/pipelined counters from the lanes traffic
+        actually rides: the pixel-lane batcher under host decode, the
+        per-(mode, luma-bucket) coeff batchers under --device-decode
+        (ADVICE r4: the old read of svc.batcher.stats under device_decode
+        counted an idle lane — flushes=0, mean_batch=200.0 garbage)."""
+        lanes = (
+            list(svc.coeff_batchers.values()) if device_decode
+            else [svc.batcher]
+        )
+        return {
+            "flushes": sum(b.stats["flushes"] for b in lanes),
+            "pipelined": sum(b.stats.get("pipelined", 0) for b in lanes),
+            "lanes_active": sum(1 for b in lanes if b.stats["flushes"]),
+        }
+
+    before = lane_totals()
     t0 = time.perf_counter()
     await asyncio.gather(*(client(i) for i in range(n_clients)))
     wall = time.perf_counter() - t0
-    flushes = svc.batcher.stats["flushes"] - flushes_before
-    pipelined_count = svc.batcher.stats.get("pipelined", 0)
+    after = lane_totals()
+    flushes = after["flushes"] - before["flushes"]
+    pipelined_count = after["pipelined"] - before["pipelined"]
     await svc.stop()
     total = n_clients * per_client
     arr = np.asarray(latencies)
@@ -85,8 +102,10 @@ async def run(pipelined: bool, device_decode: bool = False):
         "p50_ms": round(float(np.percentile(arr, 50)), 1),
         "p99_ms": round(float(np.percentile(arr, 99)), 1),
         "flushes": flushes,
-        "mean_batch": round(total / max(flushes, 1), 1),
+        "mean_batch": round(total / flushes, 1) if flushes else None,
         "pipelined_flushes": pipelined_count,
+        "lanes_active": after["lanes_active"],
+        "ts": round(time.time(), 1),
     }
     print(json.dumps(rec), flush=True)
     with open("scripts/bench_pipeline_flush.log", "a") as log:
@@ -110,9 +129,12 @@ if __name__ == "__main__":
         on = asyncio.run(run(pipelined=True, device_decode=dd))
     summary = {
         "summary": True,
+        "mode": "devdecode" if dd else "host_decode",
+        "order": "on_first" if "--reverse" in sys.argv else "off_first",
         "speedup_pct": round((on["req_per_s"] / off["req_per_s"] - 1) * 100, 1),
         "p50_delta_ms": round(on["p50_ms"] - off["p50_ms"], 1),
         "p99_delta_ms": round(on["p99_ms"] - off["p99_ms"], 1),
+        "ts": round(time.time(), 1),
     }
     print(json.dumps(summary), flush=True)
     with open("scripts/bench_pipeline_flush.log", "a") as log:

@@ -131,3 +131,73 @@ async def test_monitor_painel_serves_dashboard(tmp_path):
             assert "http://" not in html and "https://" not in html
     finally:
         await a.shutdown()
+
+
+class TestPerLaneMetrics:
+    """Per-lane flush/pipelined gauges on /monitor/metrics (VERDICT r4
+    item 3: the wrong-lane A/B read must be visible on the scrape)."""
+
+    @pytest.fixture()
+    async def tpu_app(self, tmp_path):
+        from ics_tpu.core.config import reload_settings
+
+        reload_settings(
+            TPU_ENABLE_INFERENCE="true",
+            TPU_MESH_SHAPE="1",
+            TPU_DEFAULT_MODEL="resnet_tiny",
+            TPU_NUM_CLASSES="16",
+            TPU_PRECISION="fp32",
+            TPU_CANVAS="64",
+            TPU_BATCH_BUCKETS="4",
+            TPU_BATCH_DEADLINE_US="5000",
+            TPU_WARMUP_ON_STARTUP="false",
+            TPU_DEVICE_DECODE="false",
+        )
+        try:
+            db = Database(f"sqlite:///{tmp_path}/lanes.db")
+            a = create_app(db=db)
+            await a.startup()
+            yield a
+            await a.shutdown()
+        finally:
+            reload_settings()
+
+    @pytest.mark.anyio
+    async def test_lane_gauges_exposed_and_counting(self, tpu_app):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (48, 64, 3), np.uint8)
+        ).save(buf, "JPEG")
+        async with httpx.AsyncClient(
+            transport=httpx.ASGITransport(app=tpu_app), base_url="http://t"
+        ) as client:
+            from ics_tpu.core.config import settings
+
+            r = await client.post("/auth/login", data={
+                "username": settings.ADMIN_EMAIL,
+                "password": settings.ADMIN_SENHA,
+            })
+            hdr = {"Authorization": f"Bearer {r.json()['access_token']}"}
+            r = await client.post(
+                "/inferencia/classificar",
+                files={"files": ("a.jpg", buf.getvalue(), "image/jpeg")},
+                headers=hdr,
+            )
+            assert r.status_code == 200, r.text
+            r = await client.get("/monitor/metrics")
+            assert r.status_code == 200
+            body = r.text
+            assert "tpu_lane_flushes_pixel_total" in body
+            assert "tpu_lane_pipelined_pixel_total" in body
+            # the classify above rode the pixel lane: >= 1 flush
+            line = next(
+                ln for ln in body.splitlines()
+                if ln.startswith("tpu_lane_flushes_pixel_total ")
+            )
+            assert float(line.split()[1]) >= 1
