@@ -36,6 +36,8 @@ import os
 import statistics
 import time
 
+import ics_tpu  # noqa: F401  (arms AXON_JOURNAL_COMPACT before device use)
+
 HEADLINE_TARGET = 5000.0
 HEADLINE_BATCH = 128
 HEADLINE_CANVAS = 512  # the SHIPPED serving canvas (VERDICT r2 weak 3)

@@ -21,3 +21,19 @@ classification over a NextCloud-synced corpus) redesigned TPU-first:
 """
 
 __version__ = "0.3.0"
+
+import os as _os
+
+# Axon remote-TPU tunnel: the PJRT client journals every op — INCLUDING
+# full H2D payloads — for session rebind, and journal compaction is off
+# by default. Under serving load that retains every transferred batch in
+# host RSS forever: measured +6.2 MB/call for a 6.3 MB input, 17 GB RSS
+# growth in a 10-minute soak (scripts/soak_e2e.py, r5), and deleting the
+# jax arrays recovers nothing. AXON_JOURNAL_COMPACT=1 enables compaction
+# (acked journal entries are dropped): the same loop then holds steady
+# (~0 KB/call after warm; results verified identical). The client reads
+# the env at first device use, so setting it at package import — after
+# sitecustomize's pre-main `import jax` — is early enough. Harmless on
+# real TPU hosts / CPU (nothing reads it). setdefault: an operator can
+# still force it off to debug a rebind.
+_os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")

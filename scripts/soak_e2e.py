@@ -135,7 +135,11 @@ async def main(args) -> int:
 
         data = make_jpeg(i)
         state.add_image("soak", f"img{i:05d}.jpg", data)
-        state.record_event("file_created", f"img{i:05d}.jpg")
+        # activity events carry the FULL path — a bare filename resolves
+        # against the root folder, finds nothing, and is silently marked
+        # failed (this exact bug stalled the r5 soak's ingest at the seed
+        # images; see the r5 ingest-stall row in docs/benchmarks.md)
+        state.record_event("file_created", f"soak/img{i:05d}.jpg")
         blobs[hashlib.sha256(data).hexdigest()] = data
 
     n_seed = args.initial_images
@@ -270,6 +274,17 @@ async def main(args) -> int:
                 if r_.get("skipped"):
                     log_line({"soak": "sync_skipped",
                               "reason": r_.get("reason")})
+                # sync_periodic swallows per-event failures into the stats
+                # dict — surface them, or an ingest stall is invisible
+                # until the summary (r5 lesson)
+                elif r_.get("error") or r_.get("errors"):
+                    log_line({"soak": "sync_error",
+                              "mode": r_.get("mode"),
+                              "error": str(r_.get("error"))[:200]
+                              if r_.get("error") else None,
+                              "event_errors": [
+                                  str(e)[:200] for e in r_.get("errors", [])
+                              ][:5]})
             except Exception as exc:
                 log_line({"soak": "sync_error", "error": str(exc)[:200]})
             await asyncio.sleep(args.ingest_interval_s)
@@ -390,8 +405,16 @@ async def main(args) -> int:
         "device_slope_mb_per_min": round(dev_slope, 3),
         "rss_mb_final": samples[-1]["rss_mb"] if samples else None,
         "device_mb_final": samples[-1]["device_mb"] if samples else None,
-        "pass_rss": abs(rss_slope) <= args.max_rss_slope,
-        "pass_device": abs(dev_slope) <= args.max_dev_slope,
+        # leaks only GROW: a negative slope (e.g. the train job finishing
+        # mid-window and releasing its params/opt state) is memory being
+        # returned, not a leak — the r5 first run failed pass_device on
+        # exactly that artifact (-20.7 MB/min)
+        "pass_rss": rss_slope <= args.max_rss_slope,
+        "pass_device": dev_slope <= args.max_dev_slope,
+        # the ingest stream is a tier under test: zero ingested images
+        # means the sync->TPU hook never exercised (r5 first run passed
+        # everything else while ingest was silently stalled)
+        "pass_ingest": (n_img_final - n_seed) > 0,
         "ts": round(time.time(), 1),
     }
     log_line(summary)
@@ -399,7 +422,9 @@ async def main(args) -> int:
     await nc_client.aclose()
     await app.shutdown()
     reload_settings()
-    return 0 if (summary["pass_rss"] and summary["pass_device"]) else 1
+    ok = (summary["pass_rss"] and summary["pass_device"]
+          and summary["pass_ingest"])
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
