@@ -102,7 +102,9 @@ async def login(request: Request):
                 f"{int(wait) + 1} segundos.",
                 headers={"Retry-After": str(int(wait) + 1)},
             )
-    user = auth_service.authenticate_user(db, email=username, password=password)
+    user = await auth_service.authenticate_user(
+        db, email=username, password=password
+    )
     if user == auth_service.INACTIVE:
         raise HTTPException(
             403,

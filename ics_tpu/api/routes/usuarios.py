@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from ics_tpu.core.security import hash_password, verify_password
+from ics_tpu.core.security import hash_password, verify_password_async
 from ics_tpu.core.validators import validar_email, validar_forca_senha
 from ics_tpu.crud.user_crud import (
     get_administrador_by_usuario,
@@ -111,7 +111,7 @@ async def alterar_minha_senha(request: Request):
     dados = await request.json()
     senha_atual = dados.get("senha_atual") or ""
     nova_senha = dados.get("nova_senha") or ""
-    if not verify_password(senha_atual, user.senha_hash):
+    if not await verify_password_async(senha_atual, user.senha_hash):
         raise HTTPException(400, "A senha atual está incorreta.")
     if not validar_forca_senha(nova_senha):
         raise HTTPException(

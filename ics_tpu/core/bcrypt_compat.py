@@ -300,11 +300,30 @@ def bcrypt_hash_pure(password: str, setting: str) -> Optional[str]:
     return f"${minor}${cost_s}${salt_s}{_b64_encode(checksum)}"
 
 
+def _salt_is_canonical(salt_s: str) -> bool:
+    """True when the 22-char salt round-trips through decode/encode.
+
+    22 chars x 6 bits = 132 bits for a 16-byte (128-bit) salt, so the last
+    char's low 4 bits are padding. Canonical encoders zero them, but
+    crypt_blowfish/pyca bcrypt *accept* settings with nonzero padding and
+    echo them verbatim into the digest — while libxcrypt canonicalises the
+    salt in its output. For such a hash the fast path's string compare
+    would reject the CORRECT password; the pure path (verbatim salt
+    re-encode) must be used instead."""
+    return _b64_encode(_b64_decode(salt_s, 16)) == salt_s
+
+
 def bcrypt_verify(password: str, stored: str) -> bool:
     """Constant-time-compare verification of a ``$2a/2b/2y`` hash."""
-    if not is_bcrypt_hash(stored):
+    m = _HASH_RE.match(stored) if isinstance(stored, str) else None
+    if m is None:
         return False
-    if _HAVE_LIBCRYPT_BCRYPT:  # fast path (native libxcrypt)
+    # Fast path only for canonical salts: libxcrypt canonicalises the
+    # 22nd salt char in its output, so a mismatch there would be
+    # indistinguishable from a wrong password. Non-canonical hashes
+    # (foreign tools echo the setting verbatim) take the pure path, whose
+    # verbatim salt re-encode reproduces the stored string exactly.
+    if _HAVE_LIBCRYPT_BCRYPT and _salt_is_canonical(m.group(3)):
         try:
             computed = _crypt.crypt(password, stored)
         except Exception:

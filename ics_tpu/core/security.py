@@ -14,6 +14,7 @@ Token claims match the reference contract: ``sub`` (user id), ``email``,
 
 from __future__ import annotations
 
+import asyncio
 import base64
 import hashlib
 import hmac
@@ -67,6 +68,26 @@ def verify_password(password: str, stored: str) -> bool:
         return hmac.compare_digest(dk, expected)
     except Exception:
         return False
+
+
+# Hash verification must not run on the event loop: scrypt costs ~25 ms,
+# and the pure-Python bcrypt fallback for adopted reference credentials
+# (no libxcrypt / Python>=3.13) costs SECONDS of CPU at the reference's
+# cost 12.  On the single-core host a synchronous check would stall every
+# in-flight request — including /health — and with LOGIN_RATE_LIMIT off by
+# default (reference parity) that is an unauthenticated DoS: any wrong
+# password against an adopted user replays the full cost.  The gate below
+# additionally serializes bcrypt checks so a burst of login attempts
+# queues instead of piling N multi-second computations onto one core.
+_bcrypt_gate = asyncio.Semaphore(1)
+
+
+async def verify_password_async(password: str, stored: str) -> bool:
+    """``verify_password`` off the event loop (use this from routes)."""
+    if isinstance(stored, str) and stored.startswith("$2"):
+        async with _bcrypt_gate:
+            return await asyncio.to_thread(verify_password, password, stored)
+    return await asyncio.to_thread(verify_password, password, stored)
 
 
 def password_needs_rehash(stored: str) -> bool:

@@ -177,12 +177,14 @@ def inspect(db: Database) -> dict:
     return report
 
 
-def _check_adoptable(report: dict) -> None:
-    if report["ics_revisions"]:
+def _check_adoptable(report: dict, resume: bool = False) -> None:
+    if report["ics_revisions"] and not resume:
         raise AdoptError(
             "já é um banco ics_tpu (revisões aplicadas: "
             f"{', '.join(report['ics_revisions'])}) — use as migrações, "
-            "não a adoção"
+            "não a adoção; se uma adoção anterior foi INTERROMPIDA "
+            "(stamp gravado mas migrações/eventos pendentes), re-execute "
+            "com --resume: todos os passos são idempotentes"
         )
     if report["missing_tables"]:
         raise AdoptError(
@@ -205,14 +207,22 @@ def _check_adoptable(report: dict) -> None:
             )
 
 
-def adopt(db: Database, dry_run: bool = False) -> dict:
+def adopt(db: Database, dry_run: bool = False, resume: bool = False) -> dict:
     """Adopt ``db`` (see module docstring); returns the adoption report.
 
     Raises :class:`AdoptError` when the database is not an un-adopted
     reference DB. ``dry_run`` performs only the inspection + checks.
+
+    ``resume`` finishes an INTERRUPTED adoption: ``stamp`` commits its
+    bookkeeping before the m0002+ migrations and event seeding run, so a
+    failure between those steps leaves ``schema_migrations`` non-empty and
+    a plain re-run would refuse the database. Every adoption step is
+    idempotent (column adds are guarded by the inspection, the index is
+    IF NOT EXISTS, stamp/upgrade skip applied revisions, event seeding
+    inserts only missing names), so resuming simply re-walks them.
     """
     report = inspect(db)
-    _check_adoptable(report)
+    _check_adoptable(report, resume=resume)
     if report["alembic_version"] is None:
         # a create_all-only dev DB (never ran the reference's alembic):
         # schema introspection above already proved equivalence
@@ -281,6 +291,13 @@ def main(argv: Optional[list[str]] = None) -> int:
         help="só inspeciona e valida; não escreve nada",
     )
     parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="finaliza uma adoção interrompida (todos os passos são "
+        "idempotentes; sem esta flag um banco já parcialmente adotado "
+        "é recusado)",
+    )
+    parser.add_argument(
         "--json", action="store_true", help="relatório em JSON (uma linha)"
     )
     args = parser.parse_args(argv)
@@ -290,7 +307,7 @@ def main(argv: Optional[list[str]] = None) -> int:
         print("banco indisponível", file=sys.stderr)
         return 2
     try:
-        report = adopt(db, dry_run=args.dry_run)
+        report = adopt(db, dry_run=args.dry_run, resume=args.resume)
     except AdoptError as exc:
         print(f"ERRO: {exc}", file=sys.stderr)
         return 2

@@ -200,31 +200,45 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("target", nargs="?", default=None)
     parser.add_argument("--database-url", default=settings.DATABASE_URL)
     raw = list(sys.argv[1:] if argv is None else argv)
-    # argparse would read the "-1" target as an option flag
-    args = parser.parse_args(["last" if a == "-1" else a for a in raw])
-    if args.target == "last":
+    # argparse would read the "-1" target as an option flag. Rewrite ONLY
+    # the token immediately following the command (any other position is
+    # genuinely an option), and use a sentinel no revision id can collide
+    # with — rewriting every "-1" to a plain word would silently turn a
+    # mistyped target of that name into "revert newest" (review r5).
+    sentinel = "\x00minus-one"
+    for i, tok in enumerate(raw):
+        if tok in ("upgrade", "downgrade", "stamp", "current"):
+            if i + 1 < len(raw) and raw[i + 1] == "-1":
+                raw[i + 1] = sentinel
+            break
+    args = parser.parse_args(raw)
+    if args.target == sentinel:
         args.target = "-1"
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     db = Database(args.database_url)
     if not db.wait_until_ready():
         print("banco indisponível", file=sys.stderr)
         return 2
-    if args.command == "upgrade":
-        print(f"aplicadas: {upgrade_head(db) or '(nenhuma pendente)'}")
-    elif args.command == "downgrade":
-        if args.target is None:
-            parser.error("downgrade requer alvo: <revisão>, -1 ou base")
-        print(f"revertidas: {downgrade(db, args.target) or '(nenhuma)'}")
-    elif args.command == "stamp":
-        if args.target is None:
-            parser.error("stamp requer alvo: <revisão>")
-        print(f"registradas: {stamp(db, args.target) or '(nenhuma)'}")
-    else:
-        with db.session() as s:
-            chain = [m.revision for m in _load_revisions()]
-            done = applied_revisions(s)
-        for rev in chain:
-            print(f"{'x' if rev in done else ' '} {rev}")
+    try:
+        if args.command == "upgrade":
+            print(f"aplicadas: {upgrade_head(db) or '(nenhuma pendente)'}")
+        elif args.command == "downgrade":
+            if args.target is None:
+                parser.error("downgrade requer alvo: <revisão>, -1 ou base")
+            print(f"revertidas: {downgrade(db, args.target) or '(nenhuma)'}")
+        elif args.command == "stamp":
+            if args.target is None:
+                parser.error("stamp requer alvo: <revisão>")
+            print(f"registradas: {stamp(db, args.target) or '(nenhuma)'}")
+        else:  # current
+            with db.session() as s:
+                chain = [m.revision for m in _load_revisions()]
+                done = applied_revisions(s)
+            for rev in chain:
+                print(f"{'x' if rev in done else ' '} {rev}")
+    except ValueError as exc:  # unknown/ambiguous target: clean exit,
+        print(f"ERRO: {exc}", file=sys.stderr)  # not a traceback
+        return 2
     return 0
 
 

@@ -10,6 +10,7 @@ Token claims keep the reference's shape: ``sub``, ``user_type``,
 
 from __future__ import annotations
 
+import asyncio
 from datetime import timedelta
 from typing import Optional, Union
 
@@ -21,7 +22,7 @@ from ics_tpu.core.security import (
     jwt_decode,
     jwt_encode,
     password_needs_rehash,
-    verify_password,
+    verify_password_async,
 )
 from ics_tpu.crud import user_crud
 from ics_tpu.db.engine import Session
@@ -32,24 +33,29 @@ from ics_tpu.web.requests import Request
 INACTIVE = "inativo"
 
 
-def authenticate_user(
+async def authenticate_user(
     db: Session, email: str, password: str
 ) -> Union[Usuario, str, None]:
     """Returns the user, the sentinel ``"inativo"`` for disabled accounts
-    (reference parity, ``auth_service.py:31-33``), or None."""
+    (reference parity, ``auth_service.py:31-33``), or None.
+
+    Async because the hash check runs off the event loop
+    (``verify_password_async`` — the pure-Python bcrypt fallback for
+    adopted credentials costs seconds of CPU and must not stall the
+    single-threaded server)."""
     user = user_crud.get_user_by_email(db, email)
     if user is None:
         return None
     if not user.ativo:
         return INACTIVE
-    if not verify_password(password, user.senha_hash):
+    if not await verify_password_async(password, user.senha_hash):
         return None
     if password_needs_rehash(user.senha_hash):
         # bcrypt credential carried over from an adopted reference DB
         # (``db/adopt.py``): upgrade to scrypt now that we hold the
         # plaintext; the login route's commit persists it, so the slow
         # bcrypt check runs exactly once per adopted user.
-        user.senha_hash = hash_password(password)
+        user.senha_hash = await asyncio.to_thread(hash_password, password)
     return user
 
 

@@ -9,12 +9,9 @@ from __future__ import annotations
 
 import asyncio
 import gc
-import io
 import os
 import sys
 import tracemalloc
-
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,22 +20,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
-
-
-def make_jpeg(seed: int, hw=(400, 480)) -> bytes:
-    from PIL import Image
-
-    rng = np.random.default_rng(seed)
-    img = Image.fromarray(rng.integers(0, 256, (*hw, 3), np.uint8))
-    buf = io.BytesIO()
-    img.save(buf, "JPEG", quality=88, subsampling=2)
-    return buf.getvalue()
+from _probe_common import make_jpeg, rss_mb  # noqa: E402,F401
 
 
 def probe_stage(name, fn, n=300):

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import argparse
 import asyncio
-import io
 import json
 import os
 import sys
@@ -61,12 +60,8 @@ def log_line(rec: dict) -> None:
         f.write(line + "\n")
 
 
-def rss_mb() -> float:
-    with open("/proc/self/status") as f:
-        for line in f:
-            if line.startswith("VmRSS:"):
-                return int(line.split()[1]) / 1024.0
-    return 0.0
+from _probe_common import make_jpeg as _make_jpeg  # noqa: E402
+from _probe_common import rss_mb  # noqa: E402,F401
 
 
 def live_device_mb() -> float:
@@ -76,15 +71,8 @@ def live_device_mb() -> float:
 
 
 def make_jpeg(seed: int, hw=(400, 480)) -> bytes:
-    from PIL import Image, ImageFilter
-
-    rng = np.random.default_rng(seed)
-    img = Image.fromarray(
-        rng.integers(0, 256, (*hw, 3), np.uint8)
-    ).filter(ImageFilter.GaussianBlur(1))
-    buf = io.BytesIO()
-    img.save(buf, "JPEG", quality=88, subsampling=2)
-    return buf.getvalue()
+    # blur=1: closer to a camera corpus than raw noise (evidence runs)
+    return _make_jpeg(seed, hw, blur=1)
 
 
 async def main(args) -> int:
@@ -246,6 +234,8 @@ async def main(args) -> int:
     async def serving_client(cid: int):
         while not stop.is_set():
             t0 = time.perf_counter()
+            resp = None  # transport-level failure leaves no response
+            err = None
             try:
                 resp = await http.post(
                     "/inferencia/classificar",
@@ -253,15 +243,17 @@ async def main(args) -> int:
                     headers=admin_hdr,
                 )
                 ok = resp.status_code == 200
-            except Exception:
+            except Exception as exc:
                 ok = False
+                err = str(exc)[:200]
             dt = (time.perf_counter() - t0) * 1000
             if ok:
                 latencies.append((time.perf_counter(), dt))
                 served[0] += 1
             else:
                 log_line({"soak": "serve_error", "client": cid,
-                          "status": getattr(resp, "status_code", None)})
+                          "status": getattr(resp, "status_code", None),
+                          "error": err})
                 await asyncio.sleep(0.5)
 
     async def ingest_stream():

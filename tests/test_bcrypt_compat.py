@@ -92,6 +92,27 @@ class TestPureVectors:
     def test_cost_out_of_range_rejected(self):
         assert bc.bcrypt_hash_pure("x", "$2b$03$abcdefghijklmnopqrstuv") is None
 
+    def test_non_canonical_salt_verifies_on_every_host(self):
+        """The 22nd salt char carries 4 padding bits. crypt_blowfish/pyca
+        bcrypt accept settings with nonzero padding and echo them verbatim
+        into the digest, while libxcrypt canonicalises the salt in its
+        output — so the native fast path would string-compare a DIFFERENT
+        salt spelling and reject the correct password (review r5).
+        bcrypt_verify must route non-canonical hashes to the pure path."""
+        setting = "$2b$04$abcdefghijklmnopqrstu"
+        last = "u"
+        v = bc._B64_INDEX[last]
+        assert v & 0xF == 0  # the vector's salt is canonical
+        nc = bc._B64[v | 1]  # same 16 decoded bytes, non-canonical spelling
+        assert bc._b64_decode("abcdefghijklmnopqrstu" + nc, 16) == \
+            bc._b64_decode("abcdefghijklmnopqrstu" + last, 16)
+        assert not bc._salt_is_canonical("abcdefghijklmnopqrstu" + nc)
+        # a foreign tool that echoes the setting verbatim produces:
+        stored = bc.bcrypt_hash_pure("password", setting + nc)
+        assert stored is not None and stored[28] == nc
+        assert bc.bcrypt_verify("password", stored)
+        assert not bc.bcrypt_verify("wrong", stored)
+
     @pytest.mark.skipif(
         not bc._HAVE_LIBCRYPT_BCRYPT, reason="host libcrypt lacks bcrypt"
     )
@@ -121,7 +142,8 @@ class TestSecurityIntegration:
 
 
 class TestLoginRehash:
-    def test_bcrypt_login_rehashes_to_scrypt(self, db):
+    @pytest.mark.anyio
+    async def test_bcrypt_login_rehashes_to_scrypt(self, db):
         from ics_tpu.crud import user_crud
         from ics_tpu.db.models import TipoUsuario
         from ics_tpu.services import auth_service
@@ -144,7 +166,9 @@ class TestLoginRehash:
             uid = user.id_usu
 
         with db.session() as s:
-            got = auth_service.authenticate_user(s, "legado@ref.db", "password")
+            got = await auth_service.authenticate_user(
+                s, "legado@ref.db", "password"
+            )
             assert got is not None and got != auth_service.INACTIVE
             assert got.senha_hash.startswith("scrypt$")  # upgraded in place
             s.commit()
@@ -155,9 +179,12 @@ class TestLoginRehash:
             row = s.get(Usuario, uid)
             assert row.senha_hash.startswith("scrypt$")
             # and the upgraded hash still authenticates
-            assert auth_service.authenticate_user(s, "legado@ref.db", "password")
+            assert await auth_service.authenticate_user(
+                s, "legado@ref.db", "password"
+            )
 
-    def test_wrong_password_does_not_rehash(self, db):
+    @pytest.mark.anyio
+    async def test_wrong_password_does_not_rehash(self, db):
         from ics_tpu.crud import user_crud
         from ics_tpu.db.models import TipoUsuario, Usuario
         from ics_tpu.services import auth_service
@@ -178,7 +205,66 @@ class TestLoginRehash:
             uid = user.id_usu
 
         with db.session() as s:
-            assert auth_service.authenticate_user(s, "legado2@ref.db", "nope") is None
+            assert (
+                await auth_service.authenticate_user(s, "legado2@ref.db", "nope")
+            ) is None
             s.commit()
         with db.session() as s:
             assert s.get(Usuario, uid).senha_hash == bhash
+
+    @pytest.mark.anyio
+    async def test_bcrypt_verify_runs_off_the_event_loop(self, monkeypatch):
+        """The pure bcrypt path costs seconds of CPU; a synchronous check
+        in the async login route would stall every in-flight request on
+        the single-core host (review r5). verify_password_async must keep
+        the loop responsive while the hash computation runs."""
+        import asyncio
+        import time
+
+        def slow_verify(password, stored):
+            time.sleep(0.4)  # stands in for a cost-12 pure-Python bcrypt
+            return True
+
+        monkeypatch.setattr(security, "verify_password", slow_verify)
+
+        ticks = []
+
+        async def heartbeat():
+            for _ in range(8):
+                ticks.append(time.perf_counter())
+                await asyncio.sleep(0.05)
+
+        hb = asyncio.ensure_future(heartbeat())
+        ok = await security.verify_password_async("pw", "$2b$12$" + "a" * 53)
+        await hb
+        assert ok
+        # while the 0.4 s verification ran, the loop kept ticking: at
+        # least half the heartbeats landed before it finished
+        assert sum(1 for _ in ticks) == 8
+        gaps = [b - a for a, b in zip(ticks, ticks[1:])]
+        assert max(gaps) < 0.35, f"event loop starved: gaps={gaps}"
+
+    @pytest.mark.anyio
+    async def test_bcrypt_checks_are_serialized(self, monkeypatch):
+        """Concurrent bcrypt verifications queue on one gate instead of
+        piling N multi-second computations onto the single core."""
+        import asyncio
+
+        active = [0]
+        peak = [0]
+
+        def tracked_verify(password, stored):
+            active[0] += 1
+            peak[0] = max(peak[0], active[0])
+            import time
+
+            time.sleep(0.05)
+            active[0] -= 1
+            return False
+
+        monkeypatch.setattr(security, "verify_password", tracked_verify)
+        stored = "$2b$12$" + "a" * 53
+        await asyncio.gather(
+            *(security.verify_password_async("pw", stored) for _ in range(4))
+        )
+        assert peak[0] == 1, f"bcrypt checks overlapped (peak={peak[0]})"

@@ -129,6 +129,38 @@ class TestAdopt:
         with pytest.raises(AdoptError, match="já é um banco ics_tpu"):
             adopt(refdb)
 
+    def test_interrupted_adoption_resumes(self, refdb, monkeypatch):
+        """stamp() commits its bookkeeping before the m0002+ migrations and
+        event seeding run; a failure between those steps must be
+        finishable by the tool itself via --resume (review r5)."""
+        import ics_tpu.db.adopt as adopt_mod
+
+        real_upgrade = adopt_mod.upgrade_head
+
+        def boom(db):
+            raise RuntimeError("connection dropped mid-adoption")
+
+        monkeypatch.setattr(adopt_mod, "upgrade_head", boom)
+        with pytest.raises(RuntimeError, match="mid-adoption"):
+            adopt(refdb)
+        # the stamp already committed: a plain re-run refuses, but the
+        # error now tells the operator how to finish
+        monkeypatch.setattr(adopt_mod, "upgrade_head", real_upgrade)
+        with pytest.raises(AdoptError, match="--resume"):
+            adopt(refdb)
+        rep = adopt(refdb, resume=True)
+        assert set(rep["migrations_applied"]) == ALL_REVISIONS - {
+            "0001_initial_schema"
+        }
+        assert rep["eventos_criados"] > 0  # seeding ran on the resumed pass
+        with refdb.session() as s:
+            assert applied_revisions(s) == ALL_REVISIONS
+        # resume on a FULLY adopted DB is a clean no-op
+        rep2 = adopt(refdb, resume=True)
+        assert rep2["migrations_applied"] == []
+        assert rep2["deltas_applied"] == []
+        assert rep2["eventos_criados"] == 0
+
     def test_refuses_missing_table(self, refdb):
         with refdb.session() as s:
             s.execute("DROP TABLE classificacoes")
@@ -170,6 +202,9 @@ class TestAdoptCLI:
         assert "adotado" in out and "2 com hash bcrypt" in out
         assert main(["--database-url", url]) == 2
         assert "já é um banco ics_tpu" in capsys.readouterr().err
+        # --resume is accepted on an already-adopted DB (idempotent no-op)
+        assert main(["--database-url", url, "--resume"]) == 0
+        assert "adotado" in capsys.readouterr().out
 
     def test_json_report(self, tmp_path, capsys):
         import json

@@ -18,6 +18,8 @@ import json
 import pytest
 
 from ics_tpu.db.engine import Database
+from ics_tpu.db.introspect import column_names as _columns
+from ics_tpu.db.introspect import table_names as _tables
 from ics_tpu.db.migrate import applied_revisions, downgrade, upgrade_head
 
 ALL = [
@@ -27,32 +29,6 @@ ALL = [
     "0004_sugestao_incerteza",
     "0005_embeddings",
 ]
-
-
-def _tables(s) -> set:
-    if getattr(s, "dialect", "sqlite") == "postgres":
-        return {
-            r["table_name"]
-            for r in s.fetchall(
-                "SELECT table_name FROM information_schema.tables"
-            )
-        }
-    return {
-        r["name"]
-        for r in s.fetchall("SELECT name FROM sqlite_master WHERE type='table'")
-    }
-
-
-def _columns(s, table: str) -> set:
-    if getattr(s, "dialect", "sqlite") == "postgres":
-        return {
-            r["column_name"]
-            for r in s.fetchall(
-                "SELECT column_name FROM information_schema.columns "
-                f"WHERE table_name = '{table}'"
-            )
-        }
-    return {r["name"] for r in s.fetchall(f"PRAGMA table_info({table})")}
 
 
 @pytest.fixture()
@@ -220,3 +196,25 @@ class TestMigrateCLI:
         db = Database(url)
         with db.session() as s:
             assert applied_revisions(s) == set(ALL[:2])
+
+    def test_literal_unknown_target_is_an_error_not_revert_newest(
+        self, tmp_path, capsys
+    ):
+        """`downgrade last` (a guessed alembic-ism) must NOT be rewritten
+        into `-1` and silently revert the newest revision — m0005's
+        downgrade drops embeddings_imagem and its data (review r5)."""
+        from ics_tpu.db.migrate import main
+
+        url = f"sqlite:///{tmp_path}/lit.db"
+        assert main(["upgrade", "--database-url", url]) == 0
+        capsys.readouterr()
+        assert main(["downgrade", "last", "--database-url", url]) == 2
+        assert "not an applied revision" in capsys.readouterr().err
+        db = Database(url)
+        with db.session() as s:
+            assert applied_revisions(s) == set(ALL)  # nothing reverted
+        # ambiguous / unknown revision targets also exit 2 cleanly
+        assert main(["downgrade", "zzz", "--database-url", url]) == 2
+        capsys.readouterr()
+        with db.session() as s:
+            assert applied_revisions(s) == set(ALL)
