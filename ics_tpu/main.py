@@ -224,6 +224,12 @@ async def _observability_middleware(request: Request, call_next):
     request_id = request.headers.get("x-request-id") or uuid.uuid4().hex[:12]
     request.state.request_id = request_id
     t0 = time.perf_counter()
+    # default covers BaseExceptions the clauses below don't: a request
+    # cancelled by SIGTERM drain raises CancelledError (NOT an Exception),
+    # which left `status` unbound in the finally and replaced the clean
+    # cancellation with an UnboundLocalError 500 (caught live in the r5
+    # verify drive). 499 = client/server closed before a response.
+    status = 499
     try:
         response = await call_next(request)
         status = response.status_code

@@ -29,36 +29,70 @@ def stack_block_params(blocks: list) -> dict:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
+def stage_block_params(blocks: list, n_stages: int) -> dict:
+    """List of per-block param trees -> one tree with leading [S, per, ...]
+    dims, ready to shard one stage per device along dim 0.
+
+    Serving engines call this ONCE at init (and ``device_put`` the result
+    with a ``P('pp')`` sharding): stacking inside the compiled step would
+    re-copy the entire trunk's parameters on every inference batch
+    (review r5)."""
+    depth = len(blocks)
+    if depth % n_stages:
+        raise ValueError(
+            f"profundidade {depth} não divide pelos {n_stages} estágios"
+        )
+    per_stage = depth // n_stages
+    stacked = stack_block_params(blocks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_stages, per_stage) + x.shape[1:]), stacked
+    )
+
+
 def pipeline_blocks(block, stacked_params, tokens, mesh: Mesh,
                     microbatches: int, axis: str = "pp",
-                    use_flash: bool = False):
+                    use_flash: bool = False, staged: bool = False):
     """Run a homogeneous block stack over ``tokens`` [B, T, D] with the
     blocks SPLIT ACROSS the mesh's ``axis`` devices (depth % stages == 0,
     B % microbatches == 0). Returns [B, T, D] — numerically identical to
     applying the blocks sequentially on one device.
 
     ``block`` is the module whose ``apply(params, x, use_flash)`` runs one
-    block; ``stacked_params`` is :func:`stack_block_params` output.
+    block; ``stacked_params`` is :func:`stack_block_params` output
+    ([depth, ...]), or — with ``staged=True`` — :func:`stage_block_params`
+    output ([S, per, ...], typically pre-placed with a ``P(axis)``
+    sharding so the restage below is skipped and no per-call copy or
+    collective runs).
     """
     n_stages = int(mesh.shape[axis])
-    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    if depth % n_stages:
-        raise ValueError(
-            f"profundidade {depth} não divide pelos {n_stages} estágios"
-        )
     b, t, d = tokens.shape
     if b % microbatches:
         raise ValueError(
             f"batch {b} não divide por {microbatches} microbatches"
         )
-    per_stage = depth // n_stages
+    if staged:
+        lead = jax.tree_util.tree_leaves(stacked_params)[0].shape[:2]
+        if lead[0] != n_stages:
+            raise ValueError(
+                f"parâmetros estagiados para {lead[0]} estágios, mesh tem "
+                f"{n_stages}"
+            )
+        per_stage = lead[1]
+        staged_params = stacked_params
+    else:
+        depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+        if depth % n_stages:
+            raise ValueError(
+                f"profundidade {depth} não divide pelos {n_stages} estágios"
+            )
+        per_stage = depth // n_stages
+        # [S, per, ...]: leading dim shards one stage per device
+        staged_params = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_stages, per_stage) + x.shape[1:]),
+            stacked_params,
+        )
     mb = b // microbatches
     m = microbatches
-    # [S, per, ...]: leading dim shards one stage per device
-    staged = jax.tree_util.tree_map(
-        lambda x: x.reshape((n_stages, per_stage) + x.shape[1:]),
-        stacked_params,
-    )
     xs = tokens.reshape(m, mb, t, d)
 
     def stage_apply(stage_params, x):
@@ -120,7 +154,7 @@ def pipeline_blocks(block, stacked_params, tokens, mesh: Mesh,
         in_specs=(P(axis), P()),
         out_specs=P(),
         check_vma=not use_flash,
-    )(staged, xs)
+    )(staged_params, xs)
     return out.reshape(b, t, d)
 
 
@@ -142,10 +176,20 @@ def pipeline_vit_forward(model, folded, x, mesh: Mesh,
     )
     y = jnp.concatenate([cls, y], axis=1)
     y = y + folded["pos_embed"].astype(y.dtype)
-    stacked = stack_block_params(folded["blocks"])
-    y = pipeline_blocks(
-        model.blocks[0], stacked, y, mesh,
-        microbatches=microbatches, axis=axis, use_flash=use_flash,
-    )
+    # "blocks_staged" ([S, per, ...], pre-placed P(axis) at engine init)
+    # avoids re-stacking the whole trunk inside the compiled step on every
+    # call; the "blocks" list form stays supported for direct callers
+    staged_blocks = folded.get("blocks_staged")
+    if staged_blocks is None:
+        y = pipeline_blocks(
+            model.blocks[0], stack_block_params(folded["blocks"]), y, mesh,
+            microbatches=microbatches, axis=axis, use_flash=use_flash,
+        )
+    else:
+        y = pipeline_blocks(
+            model.blocks[0], staged_blocks, y, mesh,
+            microbatches=microbatches, axis=axis, use_flash=use_flash,
+            staged=True,
+        )
     y = model.ln.apply(folded["ln"], y)
     return model.head.apply(folded["head"], y[:, 0])

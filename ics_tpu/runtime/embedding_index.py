@@ -10,6 +10,7 @@ refreshes when the (count, latest-write) version key changes.
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 from typing import Optional
@@ -32,18 +33,21 @@ def _rows_bucket(n: int) -> int:
     return b
 
 
-import functools
-
-
-@functools.partial(jax.jit, static_argnums=2)
-def _cosine_topk(query, matrix, k: int):
-    """query [D] f32, matrix [Nb, D] bf16 (rows L2-normed, padding rows are
-    zero so they score 0 and never beat real matches for reasonable k) ->
-    (scores, idx) of the top k rows. k is static: one graph per (bucket,
-    k) pair, both from small bounded sets."""
+@functools.partial(jax.jit, static_argnums=3)
+def _cosine_topk(query, matrix, n_valid, k: int):
+    """query [D] f32, matrix [Nb, D] bf16 (rows L2-normed) -> (scores, idx)
+    of the top k rows among the first ``n_valid``. Padding rows are masked
+    to -inf BEFORE top_k: their raw score is 0, which outranks every
+    real match with negative cosine — with a small corpus in a large
+    bucket the top-k would otherwise fill with padding and valid results
+    silently vanish (review r5). ``n_valid`` is traced (no extra graphs);
+    k is static: one graph per (bucket, k) pair, both from small sets."""
     scores = jnp.dot(
         matrix, query.astype(matrix.dtype),
         preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(
+        jnp.arange(matrix.shape[0]) < n_valid, scores, -jnp.inf
     )
     return jax.lax.top_k(scores, k)
 
@@ -115,7 +119,7 @@ class EmbeddingIndex:
         # graph per rows-bucket regardless of the requested k
         k_eff = min(self.K_MAX, int(matrix.shape[0]))
         q = jnp.asarray(np.asarray(query, np.float32))
-        scores, idx = _cosine_topk(q, matrix, k_eff)
+        scores, idx = _cosine_topk(q, matrix, n, k_eff)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []

@@ -114,6 +114,32 @@ class InferenceEngine:
             )
         else:
             self.folded = jax.device_put(self.folded)
+        # the tree the compiled serving step receives: plain folded params,
+        # except under PP where the trunk is PRE-staged to [S, per, ...]
+        # and placed sharded over 'pp' ONCE here — stacking inside the
+        # step would copy the whole trunk's params every call, and the
+        # sharded placement keeps 1/S of the trunk per device with no
+        # per-call collective (review r5)
+        self._step_folded = self.folded
+        if self.pp_microbatches:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ics_tpu.parallel.pipeline import stage_block_params
+
+            staged = stage_block_params(
+                self.folded["blocks"], int(mesh.shape["pp"])
+            )
+            staged = jax.device_put(
+                staged,
+                jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P("pp")), staged
+                ),
+            )
+            pp_folded = {
+                k: v for k, v in self.folded.items() if k != "blocks"
+            }
+            pp_folded["blocks_staged"] = staged
+            self._step_folded = pp_folded
         self._step = None
         self._compiled_shapes: set[tuple[int, int]] = set()
         self._stats = {
@@ -185,7 +211,16 @@ class InferenceEngine:
                 return top_idx, top_scores
 
             rep = NamedSharding(mesh, P())
-            rep_tree = jax.tree_util.tree_map(lambda _: rep, self.folded)
+            pp_sh = NamedSharding(mesh, P("pp"))
+            folded_sh = jax.tree_util.tree_map(
+                lambda _: rep, self._step_folded
+            )
+            # the pre-staged trunk stays sharded one stage per device —
+            # in_specs P('pp') inside pipeline_blocks' shard_map then
+            # consumes it with zero data movement
+            folded_sh["blocks_staged"] = jax.tree_util.tree_map(
+                lambda _: pp_sh, self._step_folded["blocks_staged"]
+            )
             # NO input donation here (SURVEY §7 step 8, evaluated r4):
             # donate_argnums only lets XLA alias donated INPUTS to OUTPUTS,
             # and this step's outputs are [B, K] top-k — nothing can absorb
@@ -193,7 +228,7 @@ class InferenceEngine:
             # usable" and no memory is saved (docs/benchmarks.md, rejected)
             return jax.jit(
                 pp_step,
-                in_shardings=(rep_tree, rep, rep),
+                in_shardings=(folded_sh, rep, rep),
                 out_shardings=(rep, rep),
             )
 
@@ -598,7 +633,7 @@ class InferenceEngine:
         for b in buckets or self.buckets:
             canvas = np.zeros((b, self.canvas, self.canvas, 3), np.uint8)
             sizes = np.full((b, 2), 256, np.int32)
-            idx, _ = step(self.folded, canvas, sizes)
+            idx, _ = step(self._step_folded, canvas, sizes)
             jax.block_until_ready(idx)
             self._compiled_shapes.add((b, self.canvas))
             logger.info("compiled %s step for bucket %d", self.model_name, b)
@@ -653,7 +688,7 @@ class InferenceEngine:
         # graph per (batch_bucket, canvas) shape; stage_batch quantizes the
         # canvas side to a small bucket set, bounding the compile count
         t0 = time.perf_counter()
-        idx, scores = step(self.folded, canvas, sizes)
+        idx, scores = step(self._step_folded, canvas, sizes)
         shape_key = (bucket, canvas.shape[1])
 
         def resolve() -> tuple[np.ndarray, np.ndarray]:
@@ -679,6 +714,11 @@ class InferenceEngine:
             "precision": self.precision,
             "buckets": list(self.buckets),
             "backend": jax.default_backend(),
-            "devices": len(jax.devices()),
+            # replica-pinned engines (runtime.hedging) must report THEIR
+            # mesh's capacity, not the whole host's device count (review r5)
+            "devices": (
+                int(self.mesh.devices.size) if self.mesh is not None
+                else len(jax.devices())
+            ),
             **self._stats,
         }

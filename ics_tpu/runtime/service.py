@@ -411,9 +411,7 @@ class InferenceService:
         scores at 2x device FLOPs. Opt-in and rare next to plain traffic,
         so it stages a batch-of-1 directly instead of holding a dedicated
         batcher lane open."""
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         image = await loop.run_in_executor(None, decode_image, data)
         canvas, sizes = await loop.run_in_executor(
@@ -423,7 +421,7 @@ class InferenceService:
             idx, scores = await loop.run_in_executor(
                 None, self.engine.predict_staged_tta, canvas, sizes
             )
-        dt_ms = (_time.perf_counter() - t0) * 1000
+        dt_ms = (time.perf_counter() - t0) * 1000
         self._record_latency(dt_ms)
         return {
             "top_classes": [int(i) for i in idx[0]],
@@ -460,9 +458,7 @@ class InferenceService:
         rare diagnostic traffic, so this stages a batch-of-1 directly
         (no dedicated batcher lane); decode and the device step run off
         the event loop."""
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         loop = asyncio.get_running_loop()
         image = await loop.run_in_executor(None, decode_image, data)
         canvas, sizes = await loop.run_in_executor(
@@ -474,7 +470,7 @@ class InferenceService:
                     canvas, sizes, class_idx, smooth_samples=smooth_samples,
                 )
             )
-        dt_ms = (_time.perf_counter() - t0) * 1000
+        dt_ms = (time.perf_counter() - t0) * 1000
         self._record_latency(dt_ms)
         out = {
             "top_classes": [int(i) for i in idx],
@@ -521,27 +517,34 @@ class InferenceService:
 
 
 async def _drain_and_stop(service: InferenceService,
-                          grace_s: float = 30.0) -> None:
+                          grace_s: float = 30.0,
+                          hurry: Optional[asyncio.Event] = None) -> None:
     """Stop an evicted service once its in-flight work drains (bounded):
-    stopping immediately would fail futures that requests are awaiting."""
-    deadline = asyncio.get_running_loop().time() + grace_s
+    stopping immediately would fail futures that requests are awaiting.
+
+    The idle predicate is ``_inflight`` — it covers the WHOLE request
+    lifetime (decode, any lane's queue, awaiting a flush). Queue-emptiness
+    alone goes false-idle while a flush runs in the executor (including a
+    cold inline compile, minutes over the remote-compile tunnel) and
+    stop() would then cancel the flusher mid-flight, failing live
+    requests with 500s (review r5). ``hurry`` (the pool's shutdown event)
+    cuts the wait short — a stopping process can't honor the grace."""
+    loop = asyncio.get_running_loop()
+    deadline = loop.time() + grace_s
     # a hedged service is a bundle of per-replica plain services
     parts = getattr(service, "replicas", [service])
     batchers = [
         b for s in parts for b in (s.batcher, *s.coeff_batchers.values())
     ]
-    while asyncio.get_running_loop().time() < deadline:
-        if all(
-            b._queue.empty() and not any(
-                not t.done() for t in b._resolve_tasks
-            )
-            for b in batchers
-        ) and all(s._incoming.value == 0 for s in parts):
+    while loop.time() < deadline and not (hurry and hurry.is_set()):
+        busy = any(
+            s._inflight > 0 or s._incoming.value > 0 for s in parts
+        ) or any(
+            not t.done() for b in batchers for t in b._resolve_tasks
+        )
+        if not busy:
             break
         await asyncio.sleep(0.25)
-    # let a flush already handed to the executor resolve its futures —
-    # stop() cancels the flusher task, which would fail them mid-flight
-    await asyncio.sleep(1.0)
     await service.stop()
 
 
@@ -568,7 +571,18 @@ class InferenceServicePool:
         self.replica_meshes = list(replica_meshes) if replica_meshes else None
         self.hedge_ms = hedge_ms
         self._services: dict[str, InferenceService] = {}
-        self._lock = asyncio.Lock()
+        # per-key creation locks: one pool-wide lock would serialize
+        # multi-minute cold engine builds across UNRELATED model names
+        # (model B's first request stuck behind model A's cold build —
+        # review r5); the double-create guard only needs per-key exclusion
+        self._locks: dict[str, asyncio.Lock] = {}
+        self._stopped = False
+        # background eviction drains: keep strong references (the loop
+        # holds tasks weakly — an unreferenced drain task can be GC'd
+        # mid-flight, leaking the evicted service's flusher) and let
+        # stop() hurry + await them (review r5)
+        self._drain_tasks: set = set()
+        self._hurry = asyncio.Event()
 
     def _build_service(self, make_engine) -> "InferenceService":
         """One InferenceService per replica mesh (wrapped in hedging) when
@@ -600,26 +614,39 @@ class InferenceServicePool:
             )
         return one(self.engine_kwargs.get("mesh"))
 
+    async def _register(self, key: str, service: InferenceService
+                        ) -> InferenceService:
+        """Insert a freshly-built+started service, unless the pool stopped
+        while the (uncancellable) executor build ran — then stop it instead
+        of leaking a live flusher into a shutting-down process."""
+        if self._stopped:
+            await service.stop()
+            raise RuntimeError("pool de inferência encerrado")
+        self._services[key] = service
+        return service
+
     async def get(self, model_name: Optional[str] = None) -> InferenceService:
         name = model_name or self.default_model
         service = self._services.get(name)  # lock-free fast path
         if service is not None:
             return service
-        async with self._lock:
+        if self._stopped:
+            raise RuntimeError("pool de inferência encerrado")
+        async with self._locks.setdefault(name, asyncio.Lock()):
             service = self._services.get(name)
-            if service is None:
-                # engine construction (init + fold + device_put) can take
-                # seconds/minutes cold — never block the event loop on it
-                loop = asyncio.get_running_loop()
-                service = await loop.run_in_executor(
-                    None,
-                    lambda: self._build_service(
-                        lambda kw: InferenceEngine(model_name=name, **kw)
-                    ),
-                )
-                await service.start()
-                self._services[name] = service
-            return service
+            if service is not None:
+                return service
+            # engine construction (init + fold + device_put) can take
+            # seconds/minutes cold — never block the event loop on it
+            loop = asyncio.get_running_loop()
+            service = await loop.run_in_executor(
+                None,
+                lambda: self._build_service(
+                    lambda kw: InferenceEngine(model_name=name, **kw)
+                ),
+            )
+            await service.start()
+            return await self._register(name, service)
 
     async def get_trained(self, modelo_row) -> InferenceService:
         """Serving engine for a registry version (``modelos_treinados`` row):
@@ -634,7 +661,9 @@ class InferenceServicePool:
         service = self._services.get(key)  # lock-free fast path
         if service is not None:
             return service
-        async with self._lock:
+        if self._stopped:
+            raise RuntimeError("pool de inferência encerrado")
+        async with self._locks.setdefault(key, asyncio.Lock()):
             service = self._services.get(key)
             if service is None:
                 loop = asyncio.get_running_loop()
@@ -677,18 +706,30 @@ class InferenceServicePool:
 
                 service = await loop.run_in_executor(None, build)
                 await service.start()
+                service = await self._register(key, service)
                 prefix = f"trained:{modelo_row.id_amb}:"
                 for k in list(self._services):
                     if not k.startswith(prefix) or k == key:
                         continue
                     if int(k.split(":")[2]) < modelo_row.versao:
-                        asyncio.ensure_future(
-                            _drain_and_stop(self._services.pop(k))
-                        )
-                self._services[key] = service
+                        task = asyncio.ensure_future(_drain_and_stop(
+                            self._services.pop(k), hurry=self._hurry
+                        ))
+                        self._drain_tasks.add(task)
+                        task.add_done_callback(self._drain_tasks.discard)
             return service
 
     async def stop(self) -> None:
-        for service in self._services.values():
+        # flag first: builds finishing after this point self-stop in
+        # _register instead of inserting into a dead pool; snapshot+swap
+        # (no await in between) so a concurrent insert can't mutate the
+        # dict we iterate (review r5)
+        self._stopped = True
+        self._hurry.set()  # eviction drains skip their remaining grace
+        services, self._services = dict(self._services), {}
+        for service in services.values():
             await service.stop()
-        self._services.clear()
+        if self._drain_tasks:
+            await asyncio.gather(
+                *list(self._drain_tasks), return_exceptions=True
+            )

@@ -178,6 +178,29 @@ class TestEmbeddingIndex:
         db.create_all()
         assert EmbeddingIndex(db, "m").search(np.zeros(4), k=3) == []
 
+    def test_negative_cosine_matches_beat_padding(self, tmp_path):
+        """Padding rows score exactly 0; with a small corpus in the
+        128-row bucket, every real row with NEGATIVE cosine ranked below
+        all (bucket - n) pads and the top-64 filled with padding — valid
+        results silently vanished (review r5). Pads are now masked to
+        -inf before top_k."""
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(16,)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        vecs = {}
+        for i in range(3):
+            v = rng.normal(size=(16,)).astype(np.float32)
+            v /= np.linalg.norm(v)
+            if v @ q > 0:  # force every corpus row to score NEGATIVE
+                v = -v
+            vecs[f"{i:02d}" + "n" * 62] = v
+        db = self._db_with_vectors(tmp_path, vecs)
+        got = EmbeddingIndex(db, "m").search(q, k=3)
+        assert len(got) == 3  # all real rows returned, best-first
+        assert all(g["score"] < 0 for g in got)
+        scores = [g["score"] for g in got]
+        assert scores == sorted(scores, reverse=True)
+
 
 class TestCrudQueues:
     def test_hashes_sem_embedding(self, tmp_path):

@@ -70,6 +70,37 @@ class TestMonitorEndpoints:
         assert any("rid=abc123" in rec.getMessage() for rec in caplog.records)
 
     @pytest.mark.anyio
+    async def test_cancelled_request_logs_499_not_unboundlocal(
+        self, app, caplog
+    ):
+        """SIGTERM drain cancels in-flight requests with CancelledError —
+        a BaseException the middleware's `except Exception` clauses never
+        catch, which left `status` unbound in the finally and replaced the
+        clean cancellation with an UnboundLocalError 500 (caught live in
+        the r5 verify drive)."""
+        import asyncio
+        import logging
+
+        from ics_tpu.web.app import Router
+
+        r = Router()
+
+        @r.get("/_test/cancelada")
+        async def cancelada(request):
+            raise asyncio.CancelledError()
+
+        app.include_router(r)
+        with caplog.at_level(logging.INFO, logger="ics_tpu.main"):
+            async with httpx.AsyncClient(
+                transport=httpx.ASGITransport(app=app), base_url="http://t"
+            ) as client:
+                with pytest.raises(BaseException):
+                    await client.get("/_test/cancelada")
+        msgs = [rec.getMessage() for rec in caplog.records]
+        assert any("status=499" in m for m in msgs), msgs
+        assert not any("UnboundLocalError" in m for m in msgs)
+
+    @pytest.mark.anyio
     async def test_docs_and_openapi(self, app):
         async with httpx.AsyncClient(
             transport=httpx.ASGITransport(app=app), base_url="http://t"

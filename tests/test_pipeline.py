@@ -78,6 +78,44 @@ class TestPipelineForward:
             pipeline_blocks(model.blocks[0], stacked, tokens, mesh,
                             microbatches=3)
 
+    def test_pre_staged_blocks_match_list_form(self, vit_setup):
+        """blocks_staged ([S, per, ...], pre-computed once at engine init)
+        must produce identical results to the on-the-fly stacked list form
+        — the serving engine uses the pre-staged path so the compiled step
+        stops re-copying the whole trunk every call (review r5)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ics_tpu.parallel.pipeline import stage_block_params
+
+        model, folded, x, ref = vit_setup
+        mesh = make_mesh((4,), ("pp",), devices=jax.devices()[:4])
+        staged = stage_block_params(folded["blocks"], 4)
+        staged = jax.device_put(
+            staged,
+            jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P("pp")), staged
+            ),
+        )
+        pp_folded = {k: v for k, v in folded.items() if k != "blocks"}
+        pp_folded["blocks_staged"] = staged
+        out = pipeline_vit_forward(
+            model, pp_folded, x, mesh, microbatches=4, use_flash=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=1e-5, rtol=1e-5
+        )
+
+    def test_stage_params_mismatch_is_loud(self, vit_setup):
+        from ics_tpu.parallel.pipeline import stage_block_params
+
+        model, folded, x, _ = vit_setup
+        mesh = make_mesh((4,), ("pp",), devices=jax.devices()[:4])
+        staged2 = stage_block_params(folded["blocks"], 2)  # wrong stages
+        tokens = jnp.zeros((4, 17, 32), jnp.float32)
+        with pytest.raises(ValueError, match="estagiados"):
+            pipeline_blocks(model.blocks[0], staged2, tokens, mesh,
+                            microbatches=2, staged=True)
+
     def test_stage_params_actually_distributed(self, vit_setup):
         """The stacked stage tree shards its leading dim over 'pp': each
         device must hold only depth/stages blocks' worth of weights."""

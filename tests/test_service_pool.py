@@ -129,6 +129,67 @@ class TestPool:
         assert pool._services == {}
 
     @pytest.mark.anyio
+    async def test_cold_builds_do_not_serialize_across_models(self, monkeypatch):
+        """One pool-wide lock made model B's first request wait behind
+        model A's minutes-long cold engine build; creation locks are
+        per-key (review r5)."""
+        import time
+
+        pool = InferenceServicePool(
+            default_model="mobilenetv3_small", deadline_us=500,
+            num_classes=8, precision="fp32", buckets=(1,), canvas=64,
+            device_decode=False,
+        )
+        real_build = pool._build_service
+
+        def slow_build_for_A(make_engine):
+            svc = real_build(make_engine)
+            if svc.engine.model_name == "mobilenetv3_small":
+                time.sleep(1.5)  # stand-in for a cold compile
+            return svc
+
+        monkeypatch.setattr(pool, "_build_service", slow_build_for_A)
+        t0 = time.perf_counter()
+        slow = asyncio.ensure_future(pool.get("mobilenetv3_small"))
+        await asyncio.sleep(0.05)  # let A enter its build
+        await pool.get("resnet_tiny")  # must NOT wait for A
+        dt_b = time.perf_counter() - t0
+        await slow
+        assert dt_b < 1.4, f"model B waited behind model A's build ({dt_b:.2f}s)"
+        await pool.stop()
+
+    @pytest.mark.anyio
+    async def test_stop_races_concurrent_build(self, monkeypatch):
+        """A build finishing after pool.stop() must not insert a live
+        service into the dead pool (its flusher would leak and its
+        submitters hang) — and stop() must not crash on a dict mutated
+        mid-iteration (review r5)."""
+        import time
+
+        pool = InferenceServicePool(
+            default_model="mobilenetv3_small", deadline_us=500,
+            num_classes=8, precision="fp32", buckets=(1,), canvas=64,
+            device_decode=False,
+        )
+        await pool.get()  # one resident service for stop() to walk
+        real_build = pool._build_service
+
+        def slow_build(make_engine):
+            time.sleep(0.5)
+            return real_build(make_engine)
+
+        monkeypatch.setattr(pool, "_build_service", slow_build)
+        inflight = asyncio.ensure_future(pool.get("resnet_tiny"))
+        await asyncio.sleep(0.05)  # build is in the executor
+        await pool.stop()
+        with pytest.raises(RuntimeError, match="encerrado"):
+            await inflight
+        assert pool._services == {}
+        # and a fresh get() after stop refuses instead of resurrecting
+        with pytest.raises(RuntimeError, match="encerrado"):
+            await pool.get()
+
+    @pytest.mark.anyio
     async def test_replica_aware_pool_builds_hedged_services(self):
         """With replica meshes configured, pool-created (non-default)
         models serve hedged across the replica device groups instead of
