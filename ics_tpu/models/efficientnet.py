@@ -41,16 +41,18 @@ def round_repeats(repeats: int, depth_mult: float) -> int:
 
 
 class MBConv:
-    def __init__(self, in_ch, out_ch, kernel, stride, expand):
+    def __init__(self, in_ch, out_ch, kernel, stride, expand,
+                 bn_eps: float = 1e-5):
         mid = in_ch * expand
-        self.expand = ConvBN(in_ch, mid, 1) if expand != 1 else None
+        self.expand = (ConvBN(in_ch, mid, 1, eps=bn_eps)
+                       if expand != 1 else None)
         # symmetric k//2 padding (torch convention) — SAME differs at
         # stride 2, which would break imported torchvision checkpoints
         # (train/pretrained.py)
         self.depthwise = ConvBN(mid, mid, kernel, stride, groups=mid,
-                                padding=kernel // 2)
+                                padding=kernel // 2, eps=bn_eps)
         self.se = SEBlock(mid, max(1, in_ch // 4), gate="sigmoid")
-        self.project = ConvBN(mid, out_ch, 1)
+        self.project = ConvBN(mid, out_ch, 1, eps=bn_eps)
         self.use_residual = stride == 1 and in_ch == out_ch
 
     def init(self, key):
@@ -228,16 +230,17 @@ class FusedMBConv:
     torchvision naming: ``block.0`` = (conv, bn, silu); with expansion a
     ``block.1`` = (1x1 project conv, bn, NO activation) follows."""
 
-    def __init__(self, in_ch, out_ch, kernel, stride, expand):
+    def __init__(self, in_ch, out_ch, kernel, stride, expand,
+                 bn_eps: float = 1e-5):
         mid = in_ch * expand
         if expand != 1:
             self.expand = ConvBN(in_ch, mid, kernel, stride,
-                                 padding=kernel // 2)
-            self.project = ConvBN(mid, out_ch, 1)
+                                 padding=kernel // 2, eps=bn_eps)
+            self.project = ConvBN(mid, out_ch, 1, eps=bn_eps)
         else:
             self.expand = None
             self.project = ConvBN(in_ch, out_ch, kernel, stride,
-                                  padding=kernel // 2)
+                                  padding=kernel // 2, eps=bn_eps)
         self._act_on_project = expand == 1
         self.use_residual = stride == 1 and in_ch == out_ch
 
@@ -287,23 +290,32 @@ class FusedMBConv:
         return y + x if self.use_residual else y
 
 
+# torchvision builds every V2 variant with norm_layer=BatchNorm2d(eps=1e-3)
+# (the V1 family keeps the 1e-5 default) — folding imported V2 checkpoints
+# with the wrong eps mis-scales any channel whose running_var is near eps
+# (same convention note as mobilenetv3._BN_EPS; review r5)
+_V2_BN_EPS = 1e-3
+
+
 class EfficientNetV2:
     def __init__(self, spec=None, stem_ch: int = 24, head_ch: int = 1280,
                  num_classes: int = 1000):
         self.spec = spec or V2_S_SPEC
-        self.stem = ConvBN(3, stem_ch, 3, 2, padding=1)
+        self.stem = ConvBN(3, stem_ch, 3, 2, padding=1, eps=_V2_BN_EPS)
         self.blocks: list = []
         in_ch = stem_ch
         for kind, expand, out_ch, kernel, stride, repeats in self.spec:
             for r in range(repeats):
                 s = stride if r == 0 else 1
                 if kind == "fused":
-                    blk = FusedMBConv(in_ch, out_ch, kernel, s, expand)
+                    blk = FusedMBConv(in_ch, out_ch, kernel, s, expand,
+                                      bn_eps=_V2_BN_EPS)
                 else:
-                    blk = MBConv(in_ch, out_ch, kernel, s, expand)
+                    blk = MBConv(in_ch, out_ch, kernel, s, expand,
+                                 bn_eps=_V2_BN_EPS)
                 self.blocks.append(blk)
                 in_ch = out_ch
-        self.conv_head = ConvBN(in_ch, head_ch, 1)
+        self.conv_head = ConvBN(in_ch, head_ch, 1, eps=_V2_BN_EPS)
         self.head = Dense(head_ch, num_classes)
         self.num_classes = num_classes
 

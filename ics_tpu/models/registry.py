@@ -6,8 +6,11 @@ The API tier and the benchmark select models by name
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any, Callable
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass(frozen=True)
@@ -60,7 +63,6 @@ def _ensure_populated() -> None:
     global _populated
     if _populated:
         return
-    _populated = True
     from ics_tpu.models import resnet
 
     register_model(
@@ -115,7 +117,11 @@ def _ensure_populated() -> None:
             dev_only=True,
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     register_model(
         "resnet152", resnet.resnet152, 224, 256, "ResNet-152 v1.5",
     )
@@ -141,7 +147,11 @@ def _ensure_populated() -> None:
             "ConvNeXt-Small",
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     try:
         from ics_tpu.models import swin
 
@@ -165,7 +175,11 @@ def _ensure_populated() -> None:
             dev_only=True,
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     try:
         from ics_tpu.models import regnet
 
@@ -180,7 +194,11 @@ def _ensure_populated() -> None:
             "(torchvision-checkpoint-compatible, 11,202,430 params)",
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     try:
         from ics_tpu.models import densenet
 
@@ -195,7 +213,11 @@ def _ensure_populated() -> None:
             "(torchvision-checkpoint-compatible, 14,149,480 params)",
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     try:
         from ics_tpu.models import mobilenetv3
 
@@ -204,7 +226,11 @@ def _ensure_populated() -> None:
             "MobileNetV3-Small — single-image latency config (BASELINE cfg 1)",
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
     try:
         from ics_tpu.models import efficientnet
 
@@ -228,4 +254,13 @@ def _ensure_populated() -> None:
             "(torchvision-checkpoint-compatible, 54,139,356 params)",
         )
     except ImportError:
-        pass
+        # every family lives in-repo with no optional deps — an import
+        # failure is a REGRESSION, not a missing extra; swallowing it
+        # silently made a whole family vanish from the API (review r5)
+        logger.exception("família de modelos falhou no import — "
+                         "seus modelos ficarão ausentes do registro")
+    # only mark complete at the END: a non-ImportError raised mid-way
+    # previously left the registry permanently half-populated for the rest
+    # of the process; register_model is an idempotent dict write, so the
+    # next call simply retries from scratch (review r5)
+    _populated = True

@@ -60,10 +60,16 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref):
             col = kb * K_BLOCK + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, dimension=1
             )
-            scores = jnp.where(col < seq_len, scores, NEG_INF)
+            valid = col < seq_len
+            scores = jnp.where(valid, scores, NEG_INF)
             m_cur = jnp.max(scores, axis=-1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(scores - m_new)                    # fp32
+            # re-zero masked positions: while every score seen so far is
+            # masked, m_new is still NEG_INF and exp(NEG_INF - NEG_INF)
+            # would give the masked positions weight 1 — a fully-masked
+            # row (seq_len=0, or valid tokens starting after this block)
+            # must contribute nothing, not the mean of pad garbage
+            p = jnp.where(valid, jnp.exp(scores - m_new), 0.0)  # fp32
             correction = jnp.exp(m_prev - m_new)
             l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * correction + jax.lax.dot_general(
@@ -109,7 +115,9 @@ def _flash_kernel_single_pass(len_ref, q_ref, k_ref, v_ref, o_ref,
         )                                                   # [Qb, S] fp32
         scores = jnp.where(mask, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
+        # re-zero masked positions: with seq_len=0 every score is NEG_INF,
+        # m == NEG_INF, and exp(scores - m) would weight pad garbage at 1
+        p = jnp.where(mask, jnp.exp(scores - m), 0.0)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         acc = jax.lax.dot_general(
             p.astype(v_all.dtype), v_all,

@@ -33,11 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+from ics_tpu.ops import round_up as _round_up
 from ics_tpu.ops import should_interpret as _should_interpret
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def pack_chain_weights(blocks_folded, dtype=jnp.bfloat16):
@@ -200,14 +197,9 @@ def fused_bottleneck_chain(x, packed, tile_rows: int | None = None,
     true_w = w_px
     wp = _round_up(w_px, 8)
     if tile_rows is None:
-        # whole image when small (halo recompute amortizes best);
-        # otherwise the largest divisor <= 32
-        tile_rows = h
-        if h > 32:
-            for cand in (32, 28, 16, 14, 8, 7, 4, 2):
-                if h % cand == 0:
-                    tile_rows = cand
-                    break
+        from ics_tpu.ops import pick_tile_rows
+
+        tile_rows = pick_tile_rows(h)
     assert h % tile_rows == 0, (h, tile_rows)
     xp = jnp.pad(x, ((0, 0), (n, n), (0, wp - w_px), (0, 0)))
     packed_tuple = (

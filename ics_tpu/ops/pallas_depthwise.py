@@ -7,11 +7,16 @@ elementwise per tap (VPU), so the right shape is: row-tile resident in
 VMEM, k*k shifted multiply-accumulates, one read + one write of HBM.
 
 Layout: [rows, Wp, C] — C on lanes, W on sublanes. Width shifts use
-static sublane slices of a (k-1)-padded buffer; row shifts slice the
-untiled outer dim. Wp is padded so every slice start stays aligned.
+static ROLLS over the full padded width (unaligned sublane slices
+trigger Mosaic relayouts that dominate runtime — see ``_dw_kernel``);
+wrapped columns land past ``true_w`` and are cropped by the caller. Row
+shifts slice the untiled outer dim.
 
-Reference seam: ConvNeXtBlock.dwconv / EfficientNet depthwise stages
-(`models/convnext.py`, `models/efficientnet.py`).
+NOT YET WIRED into a model (the honest-status pattern of
+``pallas_preproc.py``): ConvNeXtBlock.dwconv and the EfficientNet
+depthwise stages still run XLA's grouped conv — swapping them in is the
+intended seam, gated on an on-chip A/B win for the folded serving path
+(docs/benchmarks.md records the kernel-level numbers).
 """
 
 from __future__ import annotations
@@ -25,11 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from ics_tpu.ops import round_up as _round_up
 from ics_tpu.ops import should_interpret as _should_interpret
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 def _dw_kernel(xp_hbm, w_ref, b_ref, out_ref, xbuf, sem, *,
@@ -124,12 +126,9 @@ def depthwise_conv(x, w, b=None, tile_rows: int | None = None,
         x, ((0, 0), (pad, pad), (pad, wp - w_px - pad), (0, cp - c))
     )
     if tile_rows is None:
-        tile_rows = h
-        if h > 32:
-            for cand in (32, 28, 16, 14, 8, 7, 4, 2):
-                if h % cand == 0:
-                    tile_rows = cand
-                    break
+        from ics_tpu.ops import pick_tile_rows
+
+        tile_rows = pick_tile_rows(h)
     assert h % tile_rows == 0, (h, tile_rows)
     wk = jnp.pad(
         w.reshape(k * k, 1, c), ((0, 0), (0, 0), (0, cp - c))

@@ -580,8 +580,12 @@ def _map_efficientnet_v2(model, flat):
             params["blocks"].append(bp)
             state["blocks"].append(bs)
             flat_idx += 1
+    # head conv follows the LAST stage: features.<n_stages+1> — hardcoding
+    # features.7 was only right for the 6-stage V2-S and made every
+    # 7-stage v2_m import fail on a missing features.7.0.weight (review r5)
+    head_idx = len(model.spec) + 1
     params["conv_head"], state["conv_head"] = _convbn(
-        flat, "features.7.0", "features.7.1"
+        flat, f"features.{head_idx}.0", f"features.{head_idx}.1"
     )
     params["head"] = _linear(flat, "classifier.1")
     return {"params": params, "state": state}

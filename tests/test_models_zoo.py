@@ -52,6 +52,22 @@ class TestFlashAttention:
             rtol=2e-3, atol=2e-3,
         )
 
+    @pytest.mark.parametrize("seq", [100, 1100])
+    def test_fully_masked_rows_are_zero(self, seq):
+        """seq_len=0: every score is NEG_INF, the running max equals
+        NEG_INF, and exp(NEG_INF - NEG_INF) gave every masked position
+        weight 1 — returning the MEAN of pad garbage instead of nothing
+        (review r5). Both the single-pass (seq<=1024) and online
+        (seq>1024) kernels must return exact zeros."""
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        shape = (1, 1, seq, 32)
+        q = jax.random.normal(keys[0], shape)
+        k = jax.random.normal(keys[1], shape) + 100.0  # conspicuous garbage
+        v = jax.random.normal(keys[2], shape) - 100.0
+        out = np.asarray(flash_attention(q, k, v, seq_len=0))
+        assert np.all(np.isfinite(out))
+        np.testing.assert_array_equal(out, np.zeros_like(out))
+
 
 class TestViT:
     @pytest.fixture(scope="class")
@@ -144,6 +160,31 @@ class TestEfficientNet:
         n = param_count(model.init(jax.random.PRNGKey(0))["params"])
         assert n == 21_458_488  # torchvision efficientnet_v2_s, exact
 
+    def test_v2_uses_torchvision_bn_eps(self):
+        """torchvision builds every V2 variant with BatchNorm eps=1e-3
+        (the V1 family keeps the 1e-5 default); folding imported V2
+        weights with 1e-5 mis-scales channels with tiny running_var —
+        same convention as mobilenetv3._BN_EPS (review r5)."""
+        from ics_tpu.models.efficientnet import (
+            FusedMBConv,
+            efficientnet_b0,
+            efficientnet_v2_s,
+        )
+
+        v2 = efficientnet_v2_s(num_classes=10)
+        assert v2.stem.bn.eps == 1e-3
+        assert v2.conv_head.bn.eps == 1e-3
+        for blk in v2.blocks:
+            assert blk.project.bn.eps == 1e-3
+            if blk.expand is not None:
+                assert blk.expand.bn.eps == 1e-3
+            if not isinstance(blk, FusedMBConv):
+                assert blk.depthwise.bn.eps == 1e-3
+        # V1 keeps torchvision's 1e-5 default
+        b0 = efficientnet_b0(num_classes=10)
+        assert b0.stem.bn.eps == 1e-5
+        assert b0.blocks[0].depthwise.bn.eps == 1e-5
+
     def test_v2_tiny_forward_and_fold(self):
         from ics_tpu.models.efficientnet import EfficientNetV2
 
@@ -189,6 +230,41 @@ class TestRegistryComplete:
             "resnet50", "vit_b16", "mobilenetv3_small", "efficientnet_b4"
         ):
             assert name in models, models
+
+    def test_population_failure_is_retried_not_cached(self, monkeypatch):
+        """_populated was set BEFORE registration: a non-ImportError
+        raised mid-way left the registry permanently half-populated for
+        the process, with later lookups reporting confusing 'unknown
+        model' instead of the real failure (review r5). The flag is now
+        set only on success; register_model is idempotent, so the next
+        call retries from scratch."""
+        from ics_tpu.models import registry
+
+        saved_reg = dict(registry._REGISTRY)
+        saved_pop = registry._populated
+        try:
+            registry._REGISTRY.clear()
+            registry._populated = False
+            real_register = registry.register_model
+            calls = {"n": 0}
+
+            def flaky_register(name, *a, **kw):
+                calls["n"] += 1
+                if calls["n"] == 3:  # fail mid-population, once
+                    raise RuntimeError("boom during registration")
+                return real_register(name, *a, **kw)
+
+            monkeypatch.setattr(registry, "register_model", flaky_register)
+            with pytest.raises(RuntimeError, match="boom"):
+                registry.list_models()
+            monkeypatch.setattr(registry, "register_model", real_register)
+            # next call retries and completes — no permanent half-registry
+            models = registry.list_models()
+            assert "resnet50" in models and "efficientnet_v2_m" in models
+        finally:
+            registry._REGISTRY.clear()
+            registry._REGISTRY.update(saved_reg)
+            registry._populated = saved_pop
 
 
 class TestConvNeXt:

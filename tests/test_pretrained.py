@@ -995,8 +995,12 @@ def _export_efficientnet_v2(model, variables):
                 _inv_convbn(out, bp["proj"], bs["proj"],
                             f"{pfx}.3.0", f"{pfx}.3.1")
             idx += 1
+    # torchvision places the head conv after the LAST stage — for the
+    # 7-stage v2_m that is features.8, not features.7 (the exporter
+    # previously shared the importer's hardcoded index, masking the bug)
+    head_idx = len(model.spec) + 1
     _inv_convbn(out, p["conv_head"], s["conv_head"],
-                "features.7.0", "features.7.1")
+                f"features.{head_idx}.0", f"features.{head_idx}.1")
     _inv_linear(out, p["head"], "classifier.1")
     return out
 
