@@ -136,7 +136,10 @@ async def indexar_embeddings(request: Request):
         body = await request.json()
     except Exception:
         body = {}
-    limite = int((body or {}).get("limite", 500))
+    try:
+        limite = int((body or {}).get("limite", 500))
+    except (TypeError, ValueError) as exc:
+        raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
     limite = max(1, min(limite, 5000))
     engine = service.engine
     modelo = engine.model_name

@@ -473,7 +473,10 @@ async def sugerir_em_lote(request: Request):
         )
     raw = await request.body()
     body = (await request.json()) if raw else {}
-    limite = max(1, min(int((body or {}).get("limite", 500)), 5000))
+    try:
+        limite = max(1, min(int((body or {}).get("limite", 500)), 5000))
+    except (TypeError, ValueError) as exc:
+        raise HTTPException(422, f"Parâmetro numérico inválido: {exc}")
 
     service = await pool.get_trained(row)
     engine = service.engine

@@ -102,13 +102,24 @@ class Request:
         return self._body
 
     async def json(self) -> Any:
+        """Parse the body as a JSON OBJECT (dict) or 422.
+
+        Every route body in this app is an object; the reference stack
+        (FastAPI + pydantic models) likewise rejects a top-level array /
+        scalar with 422, so enforcing it here keeps the contract AND
+        stops a crafted ``[1,2]`` body from reaching ``body.get(...)``
+        and turning into a 500.
+        """
         raw = await self.body()
         if not raw:
             raise HTTPException(422, "Corpo JSON ausente")
         try:
-            return json.loads(raw)
+            parsed = json.loads(raw)
         except json.JSONDecodeError:
             raise HTTPException(422, "JSON inválido")
+        if not isinstance(parsed, dict):
+            raise HTTPException(422, "Corpo JSON deve ser um objeto")
+        return parsed
 
     async def form(self) -> FormData:
         ctype = self.headers.get("content-type", "")

@@ -109,6 +109,26 @@ class TestRouting:
             assert r.status_code == 201 and r.json() == {"a": 1}
 
     @pytest.mark.anyio
+    async def test_non_object_json_body_is_422_not_500(self, client):
+        """Every route body in the app is an object; the reference stack
+        (FastAPI + pydantic) 422s a top-level array/scalar. A crafted
+        ``[1,2]`` body must not reach ``body.get`` and 500."""
+        async with client:
+            for payload in ("[1, 2]", '"texto"', "5", "null", "true"):
+                r = await client.post(
+                    "/items/", content=payload,
+                    headers={"content-type": "application/json"},
+                )
+                assert r.status_code == 422, (payload, r.status_code)
+                assert r.json()["detail"] == "Corpo JSON deve ser um objeto"
+            r = await client.post(
+                "/items/", content="{not json",
+                headers={"content-type": "application/json"},
+            )
+            assert r.status_code == 422
+            assert r.json()["detail"] == "JSON inválido"
+
+    @pytest.mark.anyio
     async def test_head_served_by_get_handler(self, client):
         async with client:
             r = await client.head("/items/42")
